@@ -1,0 +1,45 @@
+"""Global configuration for cyten_tpu.
+
+Mirrors the role of the reference's ``cyten/dummy_config.py`` (reference:
+cyten/dummy_config.py:1-23) but adds TPU-specific knobs: default block dtype policy,
+bucketing thresholds for batched sector kernels, and debug-check toggles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # --- printing ---
+    printoptions_skip_data: bool = True
+    printoptions_precision: int = 8
+    printoptions_linewidth: int = 120
+
+    # --- semantics / checks ---
+    do_fusion_input_checks: bool = True
+    #: enable extra invariant assertions (test_sanity on intermediate results etc.)
+    debug_checks: bool = False
+
+    # --- backend defaults ---
+    default_symmetry_backend: str = 'abelian'
+    default_block_backend: str = 'jax'
+
+    # --- numerics ---
+    #: blocks with norm below this are dropped from fusion-tree data (reference:
+    #: cyten/backends/fusion_tree_backend.py:249)
+    fusion_tree_block_eps: float = 5e-14
+    #: tolerance when projecting dense arrays onto the symmetric subspace
+    from_dense_block_tol: float = 1e-8
+
+    # --- TPU execution policy ---
+    #: pad per-sector matrix dims up to multiples of this when bucketing batched GEMMs
+    mxu_pad_multiple: int = 128
+    #: use pallas kernels where available (else fall back to plain XLA ops)
+    use_pallas: bool = True
+    #: minimum total FLOPs in a bucket before a pallas batched GEMM kernel is preferred
+    pallas_gemm_min_flops: int = 2**24
+
+
+config = Config()

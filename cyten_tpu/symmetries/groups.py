@@ -1,0 +1,547 @@
+"""Group symmetries: trivial, U(1), Z_N, SU(2), SU(N).
+
+Role-equivalent to the group classes of reference ``cyten/symmetries/_symmetries.py``
+(NoSymmetry :1304, U1 :1354, ZN :1400, SU2 :1467, SUN :1590, Group :1194,
+AbelianGroup :1241).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import numpy as np
+
+from ..dtypes import Dtype
+from ..tools.misc import as_immutable_array
+from . import su2_data
+from .core import (
+    _ONE_1D, _ONE_2D, _ONE_2D_F, _ONE_4D, _ONE_4D_F, BraidingStyle, FusionStyle, Sector,
+    SectorArray, Symmetry, SymmetryError, SymmetryFactor,
+)
+
+__all__ = ['Group', 'AbelianGroup', 'NoSymmetry', 'U1', 'ZN', 'SU2', 'SUN']
+
+
+class Group(SymmetryFactor):
+    """Base for symmetries described by a compact group: bosonic braiding, trivial twists."""
+
+    def __init__(self, fusion_style: FusionStyle, trivial_sector: Sector, group_name: str,
+                 num_sectors: int | float, has_complex_topological_data: bool,
+                 descriptive_name: str | None = None):
+        SymmetryFactor.__init__(
+            self, fusion_style=fusion_style, braiding_style=BraidingStyle.bosonic,
+            trivial_sector=trivial_sector, group_name=group_name, num_sectors=num_sectors,
+            has_complex_topological_data=has_complex_topological_data,
+            descriptive_name=descriptive_name)
+
+    def swap_gate(self, a: Sector, b: Sector) -> np.ndarray:
+        """Group braiding is the plain flip: X[b,a,b*,a*] = δ_{b,b*} δ_{a,a*}."""
+        d_a, d_b = self.sector_dim(a), self.sector_dim(b)
+        eye = np.einsum('bq,ap->baqp', np.eye(d_b), np.eye(d_a))
+        return eye
+
+    def qdim(self, a: Sector) -> float:
+        return self.sector_dim(a)
+
+    def batch_qdim(self, a: SectorArray) -> np.ndarray:
+        return self.batch_sector_dim(a)
+
+    def topological_twist(self, a: Sector) -> complex:
+        return +1
+
+
+class AbelianGroup(Group):
+    """Base for abelian groups: 1D sectors, unique fusion, trivial topological data."""
+
+    fusion_tensor_dtype = Dtype.float64
+
+    def __init__(self, trivial_sector: Sector, group_name: str, num_sectors: int | float,
+                 descriptive_name: str | None = None):
+        Group.__init__(self, fusion_style=FusionStyle.single,
+                       trivial_sector=trivial_sector, group_name=group_name,
+                       num_sectors=num_sectors, has_complex_topological_data=False,
+                       descriptive_name=descriptive_name)
+
+    def sector_str(self, a: Sector) -> str:
+        return str(a[0]) if len(a) == 1 else str(a)
+
+    def sector_dim(self, a: Sector) -> int:
+        return 1
+
+    def batch_sector_dim(self, a: SectorArray) -> np.ndarray:
+        return np.ones((len(a),), int)
+
+    def _n_symbol(self, a, b, c) -> int:
+        return 1
+
+    def _f_symbol(self, a, b, c, d, e, f) -> np.ndarray:
+        return _ONE_4D
+
+    def frobenius_schur(self, a: Sector) -> int:
+        return 1
+
+    def qdim(self, a: Sector) -> float:
+        return 1
+
+    def sqrt_qdim(self, a: Sector) -> float:
+        return 1
+
+    def inv_sqrt_qdim(self, a: Sector) -> float:
+        return 1
+
+    def _b_symbol(self, a, b, c) -> np.ndarray:
+        return _ONE_2D
+
+    def _r_symbol(self, a, b, c) -> np.ndarray:
+        return _ONE_1D
+
+    def _c_symbol(self, a, b, c, d, e, f) -> np.ndarray:
+        return _ONE_4D
+
+    def _fusion_tensor(self, a, b, c, Z_a: bool, Z_b: bool) -> np.ndarray:
+        return _ONE_4D_F
+
+    def Z_iso(self, a: Sector) -> np.ndarray:
+        return _ONE_2D_F
+
+
+class NoSymmetry(AbelianGroup):
+    """Trivial symmetry: a single sector ``[0]``."""
+
+    def __init__(self):
+        AbelianGroup.__init__(self, trivial_sector=np.array([0], dtype=int),
+                              group_name='no_symmetry', num_sectors=1)
+
+    def is_valid_sector(self, a: Sector) -> bool:
+        return getattr(a, 'shape', ()) == (1,) and a[0] == 0
+
+    def are_valid_sectors(self, sectors) -> bool:
+        shape = getattr(sectors, 'shape', ())
+        return len(shape) == 2 and shape[1] == 1 and np.all(sectors == 0)
+
+    def fusion_outcomes(self, a: Sector, b: Sector) -> SectorArray:
+        return a[np.newaxis, :]
+
+    def fusion_outcomes_broadcast(self, a: SectorArray, b: SectorArray) -> SectorArray:
+        return a
+
+    def _multiple_fusion_broadcast(self, *sectors: SectorArray) -> SectorArray:
+        return sectors[0]
+
+    def dual_sector(self, a: Sector) -> Sector:
+        return a
+
+    def dual_sectors(self, sectors: SectorArray) -> SectorArray:
+        return sectors
+
+    def all_sectors(self) -> SectorArray:
+        return self.trivial_sector[np.newaxis, :]
+
+    def sector_str(self, a: Sector) -> str:
+        return '.'
+
+    def __repr__(self):
+        return 'NoSymmetry()'
+
+    def _is_equivalent_factor(self, other) -> bool:
+        return isinstance(other, NoSymmetry)
+
+
+class U1(AbelianGroup):
+    """U(1) symmetry; sectors are single integer charges."""
+
+    def __init__(self, descriptive_name: str | None = None):
+        AbelianGroup.__init__(self, trivial_sector=np.array([0], dtype=int),
+                              group_name='U(1)', num_sectors=np.inf,
+                              descriptive_name=descriptive_name)
+
+    def is_valid_sector(self, a: Sector) -> bool:
+        return getattr(a, 'shape', ()) == (1,)
+
+    def are_valid_sectors(self, sectors) -> bool:
+        shape = getattr(sectors, 'shape', ())
+        return len(shape) == 2 and shape[1] == 1
+
+    def fusion_outcomes(self, a: Sector, b: Sector) -> SectorArray:
+        return (a + b)[np.newaxis, :]
+
+    def fusion_outcomes_broadcast(self, a: SectorArray, b: SectorArray) -> SectorArray:
+        return a + b
+
+    def _multiple_fusion_broadcast(self, *sectors: SectorArray) -> SectorArray:
+        return sum(sectors)
+
+    def dual_sector(self, a: Sector) -> Sector:
+        return -a
+
+    def dual_sectors(self, sectors: SectorArray) -> SectorArray:
+        return -sectors
+
+    def __repr__(self):
+        name = '' if self.descriptive_name is None else f'"{self.descriptive_name}"'
+        return f'U1({name})'
+
+    def _is_equivalent_factor(self, other) -> bool:
+        return isinstance(other, U1)
+
+
+class ZN(AbelianGroup):
+    """Z_N cyclic group; sectors are single integers mod N."""
+
+    def __init__(self, N: int, descriptive_name: str | None = None):
+        if not isinstance(N, (int, np.integer)) or N < 1:
+            raise ValueError(f'invalid N: {N}')
+        self.N = int(N)
+        subscripts = str.maketrans('0123456789', '₀₁₂₃₄₅₆₇₈₉')
+        AbelianGroup.__init__(self, trivial_sector=np.array([0], dtype=int),
+                              group_name=f'Z{str(N).translate(subscripts)}',
+                              num_sectors=self.N, descriptive_name=descriptive_name)
+
+    def is_valid_sector(self, a: Sector) -> bool:
+        return getattr(a, 'shape', ()) == (1,) and 0 <= a[0] < self.N
+
+    def are_valid_sectors(self, sectors) -> bool:
+        shape = getattr(sectors, 'shape', ())
+        return (len(shape) == 2 and shape[1] == 1
+                and bool(np.all(0 <= sectors)) and bool(np.all(sectors < self.N)))
+
+    def fusion_outcomes(self, a: Sector, b: Sector) -> SectorArray:
+        return ((a + b) % self.N)[np.newaxis, :]
+
+    def fusion_outcomes_broadcast(self, a: SectorArray, b: SectorArray) -> SectorArray:
+        return (a + b) % self.N
+
+    def _multiple_fusion_broadcast(self, *sectors: SectorArray) -> SectorArray:
+        return sum(sectors) % self.N
+
+    def dual_sector(self, a: Sector) -> Sector:
+        return (-a) % self.N
+
+    def dual_sectors(self, sectors: SectorArray) -> SectorArray:
+        return (-sectors) % self.N
+
+    def all_sectors(self) -> SectorArray:
+        return np.arange(self.N, dtype=int)[:, None]
+
+    def __repr__(self):
+        name = '' if self.descriptive_name is None else f', "{self.descriptive_name}"'
+        return f'ZN({self.N}{name})'
+
+    def _is_equivalent_factor(self, other) -> bool:
+        return isinstance(other, ZN) and other.N == self.N
+
+    def _init_args(self) -> dict:
+        return {'N': self.N}
+
+
+class SU2(Group):
+    """SU(2) symmetry. Sectors ``[jj]`` with ``jj = 2 * j`` a non-negative integer.
+
+    Topological data comes from exact CG / 6j arithmetic in :mod:`.su2_data`.
+    """
+
+    fusion_tensor_dtype = Dtype.float64
+    spin_zero = as_immutable_array(np.array([0], dtype=int))
+    spin_half = as_immutable_array(np.array([1], dtype=int))
+    spin_one = as_immutable_array(np.array([2], dtype=int))
+
+    def __init__(self, descriptive_name: str | None = None):
+        Group.__init__(self, fusion_style=FusionStyle.multiple_unique,
+                       trivial_sector=np.array([0], dtype=int), group_name='SU(2)',
+                       num_sectors=np.inf, has_complex_topological_data=False,
+                       descriptive_name=descriptive_name)
+
+    def is_valid_sector(self, a: Sector) -> bool:
+        return getattr(a, 'shape', ()) == (1,) and a[0] >= 0
+
+    def are_valid_sectors(self, sectors) -> bool:
+        shape = getattr(sectors, 'shape', ())
+        return len(shape) == 2 and shape[1] == 1 and bool(np.all(sectors >= 0))
+
+    def fusion_outcomes(self, a: Sector, b: Sector) -> SectorArray:
+        lo = abs(int(a[0]) - int(b[0]))
+        hi = int(a[0]) + int(b[0])
+        return np.arange(lo, hi + 2, 2)[:, np.newaxis]
+
+    def can_fuse_to(self, a: Sector, b: Sector, c: Sector) -> bool:
+        return bool((c[0] <= a[0] + b[0]) and (a[0] <= b[0] + c[0])
+                    and (b[0] <= c[0] + a[0]) and ((a[0] + b[0] + c[0]) % 2 == 0))
+
+    def sector_dim(self, a: Sector) -> int:
+        return int(a[0]) + 1
+
+    def batch_sector_dim(self, a: SectorArray) -> np.ndarray:
+        if len(a) == 0:
+            return np.zeros([0], dtype=int)
+        return a[:, 0] + 1
+
+    def sector_str(self, a: Sector) -> str:
+        jj = int(a[0])
+        return f'{jj} (J={jj // 2 if jj % 2 == 0 else f"{jj}/2"})'
+
+    def __repr__(self):
+        name = '' if self.descriptive_name is None else f'"{self.descriptive_name}"'
+        return f'SU2({name})'
+
+    def _is_equivalent_factor(self, other) -> bool:
+        return isinstance(other, SU2)
+
+    def dual_sector(self, a: Sector) -> Sector:
+        return a  # self-dual
+
+    def dual_sectors(self, sectors: SectorArray) -> SectorArray:
+        return sectors
+
+    def _n_symbol(self, a, b, c) -> int:
+        return 1
+
+    def _f_symbol(self, a, b, c, d, e, f) -> np.ndarray:
+        return su2_data.f_symbol(int(a[0]), int(b[0]), int(c[0]), int(d[0]),
+                                 int(e[0]), int(f[0]))
+
+    def frobenius_schur(self, a: Sector) -> int:
+        return 1 - 2 * (int(a[0]) % 2)
+
+    def qdim(self, a: Sector) -> float:
+        return int(a[0]) + 1
+
+    def _r_symbol(self, a, b, c) -> np.ndarray:
+        # (-1)^{j_a + j_b - j_c}: +1 for even integer sum, -1 for odd
+        return 1 - (a + b - c) % 4
+
+    def _fusion_tensor(self, a, b, c, Z_a: bool, Z_b: bool) -> np.ndarray:
+        X = su2_data.fusion_tensor(int(a[0]), int(b[0]), int(c[0]))
+        if Z_a:
+            # compose Z below leg a: [μ, m_a, m_b, m_c] x [m_a, m_ā*] -> move to axis 1
+            X = np.moveaxis(np.tensordot(X, self.Z_iso(self.dual_sector(a)), (1, 0)), -1, 1)
+        if Z_b:
+            X = np.moveaxis(np.tensordot(X, self.Z_iso(self.dual_sector(b)), (2, 0)), -1, 2)
+        return X
+
+    def Z_iso(self, a: Sector) -> np.ndarray:
+        return su2_data.Z_iso(int(a[0]))
+
+
+class SUN(Group):
+    """SU(N) symmetry for N >= 3.
+
+    Sectors are the first rows of normalized Gelfand-Tsetlin patterns: non-increasing
+    length-N integer arrays ending in 0 (e.g. the SU(3) adjoint is ``[2, 1, 0]``).
+
+    Fusion rules and dimensions are computed natively (Littlewood-Richardson rule and
+    Weyl dimension formula) — unlike the reference (cyten/symmetries/_symmetries.py:1590),
+    which requires precomputed HDF5 files even for fusion. F/R symbols and fusion tensors
+    *do* require Clebsch-Gordan data; pass precomputed HDF5 files (``CGfile``/``Ffile``/
+    ``Rfile``, same format as the reference) to enable them.
+    """
+
+    fusion_tensor_dtype = Dtype.float64
+
+    def __init__(self, N: int, CGfile: str | None = None, Ffile: str | None = None,
+                 Rfile: str | None = None, descriptive_name: str | None = None):
+        assert isinstance(N, (int, np.integer)) and N >= 2
+        self.N = int(N)
+        self.CGfile = CGfile
+        self.Ffile = Ffile
+        self.Rfile = Rfile
+        self._h5 = {}
+        Group.__init__(self, fusion_style=FusionStyle.general,
+                       trivial_sector=np.zeros(self.N, dtype=int),
+                       group_name=f'SU({N})', num_sectors=np.inf,
+                       has_complex_topological_data=False,
+                       descriptive_name=descriptive_name)
+
+    def _init_args(self) -> dict:
+        return {'N': self.N, 'CGfile': self.CGfile, 'Ffile': self.Ffile,
+                'Rfile': self.Rfile}
+
+    def is_valid_sector(self, a: Sector) -> bool:
+        if getattr(a, 'shape', ()) != (self.N,):
+            return False
+        return bool(np.all(a[:-1] >= a[1:]) and a[-1] == 0)
+
+    def are_valid_sectors(self, sectors) -> bool:
+        shape = getattr(sectors, 'shape', ())
+        return (len(shape) == 2 and shape[1] == self.N
+                and bool(np.all(sectors[:, :-1] >= sectors[:, 1:]))
+                and bool(np.all(sectors[:, -1] == 0)))
+
+    def sector_dim(self, a: Sector) -> int:
+        """Weyl dimension formula: prod_{i<j} (a_i - a_j + j - i) / (j - i)."""
+        num = 1
+        den = 1
+        for i in range(self.N):
+            for j in range(i + 1, self.N):
+                num *= int(a[i]) - int(a[j]) + j - i
+                den *= j - i
+        return num // den
+
+    def batch_sector_dim(self, a: SectorArray) -> np.ndarray:
+        return np.array([self.sector_dim(s) for s in a], dtype=int)
+
+    def qdim(self, a: Sector) -> float:
+        return self.sector_dim(a)
+
+    def dual_sector(self, a: Sector) -> Sector:
+        # conjugate rep: reverse, negate, shift so the last entry is 0
+        return (int(a[0]) - a)[::-1].copy()
+
+    def dual_sectors(self, sectors: SectorArray) -> SectorArray:
+        return np.stack([self.dual_sector(s) for s in sectors]) if len(sectors) else sectors
+
+    def fusion_outcomes(self, a: Sector, b: Sector) -> SectorArray:
+        """Distinct outcomes of a ⊗ b via the Littlewood-Richardson rule (mod column trick)."""
+        counts = self._lr_multiplicities(a, b)
+        rows = sorted(counts.keys())
+        return np.array(rows, dtype=int).reshape(len(rows), self.N)
+
+    def _n_symbol(self, a, b, c) -> int:
+        return self._lr_multiplicities(a, b).get(tuple(int(x) for x in c), 0)
+
+    def _lr_multiplicities(self, a: Sector, b: Sector) -> dict[tuple, int]:
+        key = ('LR', tuple(int(x) for x in a), tuple(int(x) for x in b))
+        res = self._cache.get(key)
+        if res is not None:
+            return res
+        counts: dict[tuple, int] = {}
+        for lam in _LRChains.expand(tuple(int(x) for x in a), tuple(int(x) for x in b),
+                                    self.N):
+            # reduce columns of height N: subtract lam[-1] from all rows
+            red = tuple(x - lam[-1] for x in lam)
+            counts[red] = counts.get(red, 0) + 1
+        self._cache[key] = counts
+        return counts
+
+    def can_fuse_to(self, a, b, c) -> bool:
+        return self._n_symbol(a, b, c) > 0
+
+    # --- data-file-backed topological data -----------------------------------------
+
+    def _load_h5(self, which: str):
+        path = {'CG': self.CGfile, 'F': self.Ffile, 'R': self.Rfile}[which]
+        if path is None:
+            raise SymmetryError(
+                f'SU({self.N}) {which} data requires a precomputed HDF5 file; '
+                f'pass {which}file= to the constructor.')
+        if which not in self._h5:
+            import h5py
+
+            self._h5[which] = h5py.File(path, 'r')
+        return self._h5[which]
+
+    def _group_name(self, sectors) -> str:
+        return ' '.join(','.join(str(int(x)) for x in s) for s in sectors)
+
+    def _f_symbol(self, a, b, c, d, e, f) -> np.ndarray:
+        file = self._load_h5('F')
+        key = self._group_name([a, b, c, d, e, f])
+        if key not in file:
+            raise SymmetryError(f'F symbol {key} not in data file')
+        return np.asarray(file[key])
+
+    def _r_symbol(self, a, b, c) -> np.ndarray:
+        file = self._load_h5('R')
+        key = self._group_name([a, b, c])
+        if key not in file:
+            raise SymmetryError(f'R symbol {key} not in data file')
+        return np.asarray(file[key])
+
+    def _fusion_tensor(self, a, b, c, Z_a: bool, Z_b: bool) -> np.ndarray:
+        file = self._load_h5('CG')
+        key = self._group_name([a, b, c])
+        if key not in file:
+            raise SymmetryError(f'CG tensor {key} not in data file')
+        X = np.asarray(file[key])
+        if Z_a or Z_b:
+            raise NotImplementedError('Z isos for SU(N) require CG-derived data')
+        return X
+
+    def frobenius_schur(self, a: Sector) -> int:
+        if np.array_equal(self.dual_sector(a), a):
+            # real or pseudo-real; for SU(N) self-conjugate reps: determined by N and a
+            # fall back to the F-symbol derivation if data is available
+            try:
+                return super().frobenius_schur(a)
+            except SymmetryError:
+                return 1
+        return 1
+
+    def __repr__(self):
+        name = '' if self.descriptive_name is None else f', "{self.descriptive_name}"'
+        return f'SUN({self.N}{name})'
+
+    def _is_equivalent_factor(self, other) -> bool:
+        return isinstance(other, SUN) and other.N == self.N
+
+
+def _horizontal_strips(lam: tuple, k: int, N: int):
+    """All partitions mu ⊇ lam with |mu| - |lam| = k and mu/lam a horizontal strip.
+
+    Horizontal strip: mu_i >= lam_i >= mu_{i+1} (at most one new box per column).
+    """
+    results = []
+
+    def rec(row, remaining, acc):
+        if row == N:
+            if remaining == 0:
+                results.append(tuple(acc))
+            return
+        lo = lam[row]
+        hi = lam[row - 1] if row > 0 else lam[0] + remaining
+        hi = min(hi, lo + remaining)
+        if row > 0:
+            hi = min(hi, acc[row - 1])  # keep partition shape
+            # horizontal strip: mu_row <= lam_{row-1}
+            hi = min(hi, lam[row - 1])
+        for m in range(lo, hi + 1):
+            acc.append(m)
+            rec(row + 1, remaining - (m - lo), acc)
+            acc.pop()
+
+    rec(0, k, [])
+    return results
+
+
+class _LRChains:
+    """Littlewood-Richardson expansion via partition chains.
+
+    An LR skew tableau of shape λ/a and content b corresponds to a chain
+    ``a = λ⁰ ⊆ λ¹ ⊆ ... ⊆ λᵏ = λ`` where step l adds a horizontal strip of size
+    ``b[l]`` (the boxes of letter l), subject to the lattice-word condition
+    ``N_l(r) ≤ N_{l-1}(r-1)`` with ``N_l(r)`` = number of letter-l boxes in rows 0..r.
+    Each outcome partition is yielded once per unit of LR multiplicity.
+    """
+
+    @staticmethod
+    def expand(a: tuple, b: tuple, N: int):
+        a = tuple(a) + (0,) * (N - len(a))
+        strips = list(b)
+        # chain state: list of partitions [λ⁰, λ¹, ..., λˡ]
+        states = [[a]]
+        for l, k in enumerate(strips):
+            new_states = []
+            for chain in states:
+                lam = chain[-1]
+                for mu in _horizontal_strips(lam, k, N):
+                    if l == 0 or _LRChains._lattice_ok(chain[-2], chain[-1], lam, mu):
+                        new_states.append(chain + [mu])
+            states = new_states
+        for chain in states:
+            yield chain[-1]
+
+    @staticmethod
+    def _lattice_ok(prev2, prev1, lam, mu) -> bool:
+        """N_l(r) <= N_{l-1}(r-1): letter-l boxes in rows 0..r vs letter-(l-1) in 0..r-1.
+
+        Letter l adds mu/lam (lam == prev1); letter l-1 added prev1/prev2.
+        """
+        N = len(mu)
+        count_l = 0
+        count_lm1 = 0  # rows 0..r-1 of letter l-1
+        for r in range(N):
+            count_l += mu[r] - lam[r]
+            if count_l > count_lm1:
+                return False
+            count_lm1 += prev1[r] - prev2[r]
+        return True

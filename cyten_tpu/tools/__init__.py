@@ -1,0 +1,13 @@
+"""Cross-cutting utilities (host-side)."""
+
+from . import cost_polynomials, mappings, misc
+from .cost_polynomials import BigOMonomial, BigOPolynomial
+from .mappings import IdentityMapping, SparseMapping
+from .misc import (
+    as_immutable_array, combine_permutations, common_noncommon_rows_sorted,
+    common_rows_sorted, duplicate_entries, find_row_differences, find_subclass,
+    inverse_permutation, is_permutation, iter_common_noncommon_sorted,
+    iter_common_noncommon_sorted_arrays, iter_common_sorted, iter_common_sorted_arrays,
+    lexsorted, list_to_dict_list, make_grid, make_stride, rank_data, to_iterable,
+    to_iterable_of_len, unstridify,
+)
