@@ -11,6 +11,11 @@ from .anyons import (
     SU2_kAnyonCategory, SU3_3AnyonCategory, ToricCodeCategory, ZNAnyonCategory,
     ZNAnyonCategory2,
 )
+from .spaces import (
+    AbelianLegPipe, ElementarySpace, Leg, LegPipe, Space, TensorProduct, swap_gate,
+    twist_gate,
+)
+from .trees import FusionTree, fusion_trees
 
 # premade instances (cheap constructors only)
 no_symmetry = NoSymmetry().as_Symmetry()
@@ -40,6 +45,8 @@ __all__ = [
     'ZNAnyonCategory', 'ZNAnyonCategory2', 'QuantumDoubleZNAnyonCategory',
     'ToricCodeCategory', 'FibonacciAnyonCategory', 'IsingAnyonCategory',
     'SU2_kAnyonCategory', 'SU3_3AnyonCategory',
+    'Leg', 'LegPipe', 'Space', 'ElementarySpace', 'TensorProduct', 'AbelianLegPipe',
+    'swap_gate', 'twist_gate', 'FusionTree', 'fusion_trees',
     'no_symmetry', 'z2_symmetry', 'z3_symmetry', 'z4_symmetry', 'z5_symmetry',
     'z6_symmetry', 'z7_symmetry', 'z8_symmetry', 'z9_symmetry', 'u1_symmetry',
     'su2_symmetry', 'fermion_number', 'fermion_parity', 'semion_category',
