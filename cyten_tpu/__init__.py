@@ -13,6 +13,24 @@ from .dtypes import Dtype
 from .version import full_version as __version__
 from . import symmetries
 from . import tools
+from . import blocks
+from . import backends
+from . import tensors
+from .blocks import BlockBackend, get_block_backend
+from .backends import TensorBackend, get_backend
+from .symmetries import (
+    SU2, SUN, U1, ZN, AbelianLegPipe, BraidChiralityUnspecifiedError, BraidingStyle,
+    ElementarySpace, FermionNumber, FermionParity, FibonacciAnyonCategory,
+    FusionStyle, FusionTree, IsingAnyonCategory, Leg, LegPipe, NoSymmetry,
+    QuantumDoubleZNAnyonCategory, SU2_kAnyonCategory, SU3_3AnyonCategory, Sector,
+    SectorArray, Space, Symmetry, SymmetryError, TensorProduct, ToricCodeCategory,
+    ZNAnyonCategory, ZNAnyonCategory2, double_semion_category, fermion_number,
+    fermion_parity, fibonacci_anyon_category, fusion_trees, ising_anyon_category,
+    no_symmetry, semion_category, su2_symmetry, toric_code_category, u1_symmetry,
+    z2_symmetry, z3_symmetry, z4_symmetry, z5_symmetry, z6_symmetry, z7_symmetry,
+    z8_symmetry, z9_symmetry,
+)
+from .tensors import *  # noqa: F401,F403
 
 
 def show_config() -> None:

@@ -1,0 +1,144 @@
+"""Two-site DMRG on finite MPS.
+
+Role-equivalent to reference ``toycodes/tenpy_toycodes/d_dmrg.py`` (HEffective :14,
+DMRGEngine :117). The effective-Hamiltonian matvec is a chain of label-based tdot
+calls, so it runs unchanged on every symmetry backend; with jax blocks, each matvec
+traces to a fixed sequence of XLA GEMMs on the MXU.
+
+Environment conventions:
+
+- ``LPs[i]``: everything left of site i, labels ``['vR', 'wR', 'vR*']``
+  (ket bond, MPO bond, bra bond).
+- ``RPs[i]``: everything right of site i, labels ``['vL', 'wL', 'vL*']``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..symmetries import ElementarySpace
+from ..tensors import (
+    SymmetricTensor, dagger, permute_legs, pinv, scale_axis, tdot,
+)
+from ..tensors.krylov_based import lanczos
+from ..tensors.sparse import LinearOperator
+from .mps import SimpleMPS, split_truncate_theta
+
+__all__ = ['HEffective', 'DMRGEngine']
+
+
+class HEffective(LinearOperator):
+    """Effective two-site Hamiltonian ``LP -- W1 -- W2 -- RP``."""
+
+    def __init__(self, LP, RP, W1, W2):
+        self.LP = LP
+        self.RP = RP
+        self.W1 = W1.relabelled({'p': 'p0', 'p*': 'p0*'})
+        self.W2 = W2.relabelled({'p': 'p1', 'p*': 'p1*'})
+        LinearOperator.__init__(self, dtype=W1.dtype)
+
+    def matvec(self, theta):
+        x = tdot(self.LP, theta, 'vR', 'vL')
+        x = tdot(x, self.W1, ['wR', 'p0'], ['wL', 'p0*'])
+        x = tdot(x, self.W2, ['wR', 'p1'], ['wL', 'p1*'])
+        x = tdot(x, self.RP, ['vR', 'wR'], ['vL', 'wL'])
+        x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+        return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+
+
+class DMRGEngine:
+    """Two-site DMRG sweeps with Lanczos ground-state search per bond."""
+
+    def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
+                 lanczos_options: dict = None):
+        self.psi = psi
+        self.model = model
+        self.chi_max = chi_max
+        self.eps = eps
+        self.lanczos_options = lanczos_options or {'N_max': 20, 'P_tol': 1e-14}
+        self.backend = psi.backend
+        L = psi.L
+        self.LPs = [None] * L
+        self.RPs = [None] * L
+        self._init_environments()
+        self.E = None
+        self.trunc_err = 0.
+
+    def _init_environments(self):
+        psi, model = self.psi, self.model
+        L = psi.L
+        sym = psi.Bs[0].symmetry
+        triv = ElementarySpace(sym, sym.trivial_sector[None, :])
+        # initial LP: codomain [V0] ('vR*'), domain [w0, V0] -> legs [vR*, vR, wR]
+        V0 = psi.Bs[0].get_leg_co_domain('vL')
+        w0 = model.H_mpo[0].get_leg_co_domain('wL')
+        LP = SymmetricTensor.from_dense_block(
+            np.ones((1, 1, 1)), [V0], [w0, V0], backend=self.backend,
+            labels=['vR*', 'vR', 'wR'])
+        self.LPs[0] = LP
+        # initial RP: codomain [VR, w] (['vL', 'wL']), domain [VR] ('vL*')
+        VR = psi.Bs[-1].domain.factors[0]
+        wR = model.H_mpo[-1].domain.factors[0]
+        RP = SymmetricTensor.from_dense_block(
+            np.ones((1, 1, 1)), [VR, wR], [VR], backend=self.backend,
+            labels=['vL', 'wL', 'vL*'])
+        self.RPs[L - 1] = RP
+        for i in range(L - 1, 0, -1):
+            self.update_RP(i)
+
+    def update_LP(self, i: int, A):
+        """LPs[i+1] from LPs[i] and the left-isometric tensor A at site i."""
+        W = self.model.H_mpo[i]
+        t = tdot(self.LPs[i], A, 'vR', 'vL')
+        t = tdot(t, W, ['wR', 'p'], ['wL', 'p*'])
+        t = tdot(t, dagger(A), ['vR*', 'p'], ['vL*', 'p*'])
+        self.LPs[i + 1] = t
+
+    def update_RP(self, i: int, B=None):
+        """RPs[i-1] from RPs[i] and the right-isometric tensor B at site i."""
+        if B is None:
+            B = self.psi.Bs[i]
+        W = self.model.H_mpo[i]
+        t = tdot(B, self.RPs[i], 'vR', 'vL')
+        t = tdot(t, W, ['wL', 'p'], ['wR', 'p*'])
+        t = tdot(t, dagger(B), ['vL*', 'p'], ['vR*', 'p*'])
+        self.RPs[i - 1] = t
+
+    def sweep(self) -> float:
+        L = self.psi.L
+        for i in range(L - 1):
+            self.update_bond(i)
+        for i in range(L - 2, -1, -1):
+            self.update_bond(i)
+        return self.E
+
+    def update_bond(self, i: int):
+        psi = self.psi
+        Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
+                          self.model.H_mpo[i + 1])
+        theta0 = psi.get_theta2(i)
+        E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
+        self.E = E
+        A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps)
+        self.trunc_err = max(self.trunc_err, err)
+        # restore B form on site i: B_i = S_i^{-1} A S_new
+        Sinv = pinv(psi.Ss[i], cutoff=1e-14)
+        new_B = scale_axis(scale_axis(A, Sinv, 'vL'), S, 'vR')
+        psi.Bs[i] = new_B
+        psi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
+        psi.Bs[i + 1] = B
+        self.update_LP(i, A)
+        self.update_RP(i + 1, B)
+
+    def run(self, n_sweeps: int = 10, tol: float = 1e-10, verbose: bool = False
+            ) -> float:
+        E_old = np.inf
+        for sweep in range(n_sweeps):
+            E = self.sweep()
+            if verbose:
+                print(f'sweep {sweep + 1}: E = {E:.12f}, '
+                      f'max chi = {self.psi.max_chi()}')
+            if abs(E - E_old) < tol:
+                break
+            E_old = E
+        return self.E

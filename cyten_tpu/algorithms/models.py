@@ -1,0 +1,275 @@
+"""Toy models: transverse-field Ising and Heisenberg chains, with exact references.
+
+Role-equivalent to reference ``toycodes/tenpy_toycodes/b_model.py`` (TFIModel :11,
+HeisenbergModel :83, exact energies :175/:209). Builds H_bonds (two-site gates) and
+H_mpo (MPO tensors) as cyten_tpu SymmetricTensors, for a chosen conserved symmetry.
+
+Exact ground-state references are computed by sparse exact diagonalization (instead of
+the reference's closed-form free-fermion formula) — equally exact for the system sizes
+tested (tolerance 1e-9, cf. BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dtypes import Dtype
+from ..symmetries import ElementarySpace, Symmetry, u1_symmetry, z2_symmetry, \
+    no_symmetry
+from ..tensors import SymmetricTensor
+
+__all__ = ['TFIModel', 'HeisenbergModel', 'spin_half_site',
+           'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy']
+
+# Pauli matrices in the (|up>, |down>) basis
+_sx = np.array([[0., 1.], [1., 0.]])
+_sy = np.array([[0., -1j], [1j, 0.]])
+_sz = np.array([[1., 0.], [0., -1.]])
+_id = np.eye(2)
+
+
+def spin_half_site(conserve: str = 'None', backend=None):
+    """The spin-1/2 site leg for a given conservation choice.
+
+    conserve in {'Sz', 'parity', 'None'}: U(1) by 2*Sz, Z2 by spin-flip parity of the
+    ordered basis, or no symmetry. Public basis order is (|up>, |down>) in all cases.
+    """
+    if conserve == 'Sz':
+        leg = ElementarySpace.from_basis(u1_symmetry, [[1], [-1]])
+    elif conserve == 'parity':
+        leg = ElementarySpace.from_basis(z2_symmetry, [[0], [1]])
+    else:
+        leg = ElementarySpace.from_trivial_sector(2, symmetry=no_symmetry)
+    return leg
+
+
+class TFIModel:
+    r"""Transverse field Ising chain: :math:`H = -J \sum σ^x_i σ^x_{i+1} - g \sum σ^z_i`.
+
+    The Z2 symmetry (spin-flip in the x direction == parity of down spins in the z
+    basis) can be conserved with ``conserve='parity'``.
+    """
+
+    def __init__(self, L: int, J: float = 1., g: float = 1.,
+                 conserve: str = 'parity', backend=None, block_backend=None):
+        assert conserve in ('parity', 'None', None)
+        self.L = L
+        self.J = J
+        self.g = g
+        self.conserve = conserve = conserve or 'None'
+        self.site_leg = spin_half_site(conserve)
+        from ..backends import get_backend
+
+        self.backend = backend if backend is not None else \
+            get_backend(self.site_leg.symmetry, block_backend)
+        self.H_bonds = self._build_H_bonds()
+        self.H_mpo = self._build_H_mpo()
+
+    @property
+    def site_legs(self):
+        return [self.site_leg] * self.L
+
+    def _two_site_op(self, h: np.ndarray) -> SymmetricTensor:
+        """Dense 4x4 (p0 p1, p0' p1') -> SymmetricTensor codomain [p0,p1] domain [p0,p1]."""
+        block = h.reshape(2, 2, 2, 2).transpose(0, 1, 3, 2)  # legs [p0,p1,p1*,p0*]
+        p = self.site_leg
+        return SymmetricTensor.from_dense_block(
+            block, [p, p], [p, p], backend=self.backend,
+            labels=['p0', 'p1', 'p1*', 'p0*'])
+
+    def _build_H_bonds(self):
+        res = []
+        for i in range(self.L - 1):
+            gL = self.g / 2. * (2. if i == 0 else 1.)
+            gR = self.g / 2. * (2. if i + 1 == self.L - 1 else 1.)
+            h = -self.J * np.kron(_sx, _sx) \
+                - gL * np.kron(_sz, _id) - gR * np.kron(_id, _sz)
+            res.append(self._two_site_op(h))
+        return res
+
+    def _build_H_mpo(self):
+        p = self.site_leg
+        sym = p.symmetry
+        if self.conserve == 'parity':
+            wL_sectors = np.array([[0], [1], [0]])
+        else:
+            wL_sectors = np.zeros((3, sym.sector_ind_len), dtype=int)
+        w_leg = ElementarySpace.from_basis(sym, wL_sectors) \
+            if sym.can_be_dropped else None
+        # W[wL, p(ket), p(bra), wR] is already in legs order [wL, p, p*, wR]
+        W = np.zeros((3, 2, 2, 3))
+        W[0, :, :, 0] = _id
+        W[0, :, :, 1] = _sx
+        W[0, :, :, 2] = -self.g * _sz
+        W[1, :, :, 2] = -self.J * _sx
+        W[2, :, :, 2] = _id
+        mpos = []
+        first = np.zeros((1, 3))
+        first[0, 0] = 1.
+        last = np.zeros((3, 1))
+        last[2, 0] = 1.
+        triv = ElementarySpace(sym, sym.trivial_sector[None, :])
+        for i in range(self.L):
+            Wi = W
+            wl, wr = w_leg, w_leg
+            if i == 0:
+                Wi = np.tensordot(first, Wi, (1, 0))
+                wl = triv
+            if i == self.L - 1:
+                Wi = np.tensordot(Wi, last, (3, 0))
+                wr = triv
+            mpos.append(SymmetricTensor.from_dense_block(
+                Wi, [wl, p], [wr, p], backend=self.backend,
+                labels=['wL', 'p', 'p*', 'wR']))
+        return mpos
+
+    def energy(self, psi) -> float:
+        return float(np.real(sum(psi.bond_expectation_value(h, i)
+                                 for i, h in enumerate(self.H_bonds))))
+
+    def exact_finite_gs_energy(self) -> float:
+        return tfi_exact_finite_gs_energy(self.L, self.J, self.g)
+
+
+class HeisenbergModel:
+    r"""Spin-1/2 Heisenberg chain: :math:`H = J \sum \vec{S}_i \cdot \vec{S}_{i+1}`.
+
+    ``conserve='Sz'`` uses the U(1) symmetry of total :math:`S^z`.
+    """
+
+    def __init__(self, L: int, J: float = 1., conserve: str = 'Sz', backend=None,
+                 block_backend=None):
+        assert conserve in ('Sz', 'parity', 'None', None)
+        self.L = L
+        self.J = J
+        self.conserve = conserve = conserve or 'None'
+        self.site_leg = spin_half_site(conserve)
+        from ..backends import get_backend
+
+        self.backend = backend if backend is not None else \
+            get_backend(self.site_leg.symmetry, block_backend)
+        self.H_bonds = self._build_H_bonds()
+        self.H_mpo = self._build_H_mpo()
+
+    @property
+    def site_legs(self):
+        return [self.site_leg] * self.L
+
+    def _build_H_bonds(self):
+        Sp = np.array([[0., 1.], [0., 0.]])
+        Sm = Sp.T
+        Sz = 0.5 * _sz
+        h = self.J * (0.5 * (np.kron(Sp, Sm) + np.kron(Sm, Sp)) + np.kron(Sz, Sz))
+        p = self.site_leg
+        block = h.reshape(2, 2, 2, 2).transpose(0, 1, 3, 2)
+        op = SymmetricTensor.from_dense_block(
+            block, [p, p], [p, p], backend=self.backend,
+            labels=['p0', 'p1', 'p1*', 'p0*'])
+        return [op] * (self.L - 1)
+
+    def _build_H_mpo(self):
+        Sp = np.array([[0., 1.], [0., 0.]])
+        Sm = Sp.T
+        Sz = 0.5 * _sz
+        J = self.J
+        p = self.site_leg
+        sym = p.symmetry
+        W = np.zeros((5, 2, 2, 5))
+        W[0, :, :, 0] = _id
+        W[0, :, :, 1] = Sp
+        W[0, :, :, 2] = Sm
+        W[0, :, :, 3] = Sz
+        W[1, :, :, 4] = J / 2. * Sm
+        W[2, :, :, 4] = J / 2. * Sp
+        W[3, :, :, 4] = J * Sz
+        W[4, :, :, 4] = _id
+        if self.conserve == 'Sz':
+            # virtual charges (2*Sz units): charge rule fuse(wL, p_ket) ==
+            # fuse(wR, p_ket-of-domain-index) gives +2 for the Sp column, -2 for Sm.
+            w_sectors = np.array([[0], [2], [-2], [0], [0]])
+        elif self.conserve == 'parity':
+            w_sectors = np.array([[0], [1], [1], [0], [0]])
+        else:
+            w_sectors = np.zeros((5, sym.sector_ind_len), dtype=int)
+        w_leg = ElementarySpace.from_basis(sym, w_sectors)
+        triv = ElementarySpace(sym, sym.trivial_sector[None, :])
+        first = np.zeros((1, 5))
+        first[0, 0] = 1.
+        last = np.zeros((5, 1))
+        last[4, 0] = 1.
+        mpos = []
+        for i in range(self.L):
+            Wi = W
+            wl, wr = w_leg, w_leg
+            if i == 0:
+                Wi = np.tensordot(first, Wi, (1, 0))
+                wl = triv
+            if i == self.L - 1:
+                Wi = np.tensordot(Wi, last, (3, 0))
+                wr = triv
+            mpos.append(SymmetricTensor.from_dense_block(
+                Wi, [wl, p], [wr, p], backend=self.backend,
+                labels=['wL', 'p', 'p*', 'wR']))
+        return mpos
+
+    def energy(self, psi) -> float:
+        return float(np.real(sum(psi.bond_expectation_value(h, i)
+                                 for i, h in enumerate(self.H_bonds))))
+
+    def exact_finite_gs_energy(self) -> float:
+        return heisenberg_exact_finite_gs_energy(self.L, self.J)
+
+
+# --- exact references (sparse ED) -------------------------------------------------------
+
+
+def _sparse_chain_hamiltonian(L: int, bond_terms):
+    """Sparse Hamiltonian from a list of (coupling, op_i, op_j) nearest-neighbor terms
+    plus optional onsite terms; ops are 2x2 matrices."""
+    import scipy.sparse as sp
+
+    dim = 2 ** L
+    H = sp.csr_matrix((dim, dim))
+
+    def op_at(op, i):
+        mats = [sp.identity(2, format='csr')] * L
+        mats[i] = sp.csr_matrix(op)
+        res = mats[0]
+        for m in mats[1:]:
+            res = sp.kron(res, m, format='csr')
+        return res
+
+    for term in bond_terms:
+        if len(term) == 3:
+            c, op1, op2 = term
+            for i in range(L - 1):
+                H = H + c * (op_at(op1, i) @ op_at(op2, i + 1))
+        else:
+            c, op1 = term[0], term[1]
+            for i in range(L):
+                H = H + c * op_at(op1, i)
+    return H
+
+
+def tfi_exact_finite_gs_energy(L: int, J: float, g: float) -> float:
+    """Exact TFI ground energy for a finite open chain (sparse ED)."""
+    import scipy.sparse.linalg
+
+    H = _sparse_chain_hamiltonian(L, [(-J, _sx, _sx), (-g, _sz)])
+    vals = scipy.sparse.linalg.eigsh(H, k=1, which='SA',
+                                     return_eigenvectors=False)
+    return float(vals[0])
+
+
+def heisenberg_exact_finite_gs_energy(L: int, J: float) -> float:
+    """Exact Heisenberg ground energy for a finite open chain (sparse ED)."""
+    import scipy.sparse.linalg
+
+    Sp = np.array([[0., 1.], [0., 0.]])
+    Sm = Sp.T
+    Sz = 0.5 * _sz
+    H = _sparse_chain_hamiltonian(
+        L, [(J / 2., Sp, Sm), (J / 2., Sm, Sp), (J, Sz, Sz)])
+    vals = scipy.sparse.linalg.eigsh(H, k=1, which='SA',
+                                     return_eigenvectors=False)
+    return float(vals[0])

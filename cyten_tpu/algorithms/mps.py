@@ -1,0 +1,176 @@
+"""Finite matrix-product states in right-canonical (B) form.
+
+Role-equivalent to reference ``toycodes/tenpy_toycodes/a_mps.py`` (SimpleMPS :9-216,
+split_truncate_theta :217). Written against the cyten_tpu tensor API; all contractions
+are label-based ``tdot`` calls, so the same code runs on every symmetry backend.
+
+Conventions:
+
+- ``Bs[i]``: site tensor with labels ``['vL', 'p', 'vR']``, codomain ``[vL, p]``,
+  domain ``[vR]``; right-canonical: ``B @ dagger(B) == eye`` on [vL, p]... i.e.
+  contracting p and vR of B with its conjugate gives the identity on vL.
+- ``Ss[i]``: DiagonalTensor of singular values on the *left* bond of site i.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dtypes import Dtype
+from ..symmetries import ElementarySpace
+from ..tensors import (
+    DiagonalTensor, SymmetricTensor, combine_legs, dagger, entropy, inner, item,
+    norm, permute_legs, pinv, scale_axis, split_legs, svd_apply_mask, tdot, trace,
+    truncate_singular_values, svd,
+)
+
+__all__ = ['SimpleMPS', 'split_truncate_theta']
+
+
+class SimpleMPS:
+    """A finite MPS in B-form. See module docstring for conventions."""
+
+    def __init__(self, Bs, Ss, bc: str = 'finite'):
+        assert bc == 'finite', 'only finite boundary conditions for now'
+        self.Bs = list(Bs)
+        self.Ss = list(Ss)
+        self.bc = bc
+        self.L = len(Bs)
+        self.backend = Bs[0].backend
+
+    def copy(self):
+        return SimpleMPS([B.copy(deep=False) for B in self.Bs],
+                         [S.copy(deep=False) for S in self.Ss], self.bc)
+
+    @classmethod
+    def from_product_state(cls, site_legs, basis_states, backend=None,
+                           dtype=Dtype.float64) -> SimpleMPS:
+        """Product state MPS: ``basis_states[i]`` is the public basis index on site i.
+
+        Virtual legs carry the cumulative charge so the state is exactly symmetric.
+        """
+        symmetry = site_legs[0].symmetry
+        L = len(site_legs)
+        Bs = []
+        Ss = []
+        left_sector = symmetry.trivial_sector
+        left_leg = ElementarySpace(symmetry, left_sector[None, :])
+        for i in range(L):
+            p_leg = site_legs[i]
+            state_sector = p_leg.idx_to_sector(basis_states[i]) \
+                if symmetry.can_be_dropped else symmetry.trivial_sector
+            right_sector = symmetry.multiple_fusion(left_sector, state_sector)
+            right_leg = ElementarySpace(symmetry, right_sector[None, :])
+            block = np.zeros((1, int(p_leg.dim), 1))
+            block[0, basis_states[i], 0] = 1.
+            B = SymmetricTensor.from_dense_block(
+                block, [left_leg, p_leg], [right_leg], backend=backend,
+                labels=['vL', 'p', 'vR'], dtype=dtype)
+            Bs.append(B)
+            Ss.append(DiagonalTensor.from_eye(left_leg, backend=B.backend,
+                                              labels=['vL', 'vL*'], dtype=dtype))
+            left_sector = right_sector
+            left_leg = right_leg
+        return cls(Bs, Ss)
+
+    # --- structure -------------------------------------------------------------------
+
+    def get_theta1(self, i: int) -> SymmetricTensor:
+        """Effective single-site wavefunction ``S_i @ B_i``, labels [vL, p, vR]."""
+        return scale_axis(self.Bs[i], self.Ss[i], 'vL')
+
+    def get_theta2(self, i: int) -> SymmetricTensor:
+        """Two-site wavefunction on (i, i+1), labels [vL, p0, p1, vR]."""
+        th = self.get_theta1(i).relabelled({'p': 'p0'})
+        B2 = self.Bs[i + 1].relabelled({'p': 'p1'})
+        theta = tdot(th, B2, 'vR', 'vL')
+        # result: codomain [vL, p0], domain [vR, p1] -> canonical split
+        return permute_legs(theta, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+
+    def bond_dimensions(self) -> list[int]:
+        return [int(B.get_leg_co_domain('vL').dim) for B in self.Bs] \
+            + [int(self.Bs[-1].domain.factors[0].dim)]
+
+    def max_chi(self) -> int:
+        return max(self.bond_dimensions())
+
+    # --- measurements -----------------------------------------------------------------
+
+    def site_expectation_value(self, op, i: int):
+        """<psi| op_i |psi> for a single-site operator (codomain [p], domain [p])."""
+        theta = self.get_theta1(i)
+        op_theta = tdot(op, theta, [1], [1])  # [p; vL, vR ...]
+        res = tdot(dagger(theta), op_theta,
+                   ['p*', 'vL*', 'vR*'], ['p', 'vL', 'vR'])
+        return _as_scalar(res)
+
+    def bond_expectation_value(self, op, i: int):
+        """<psi| op_{i,i+1} |psi> for a 2-site op (codomain [p0,p1], domain [p0,p1])."""
+        theta = self.get_theta2(i)
+        op = op.relabelled(['p0', 'p1', 'p1*', 'p0*'])
+        op_theta = tdot(op, theta, ['p0*', 'p1*'], ['p0', 'p1'])
+        res = tdot(dagger(theta), op_theta,
+                   ['p0*', 'p1*', 'vL*', 'vR*'], ['p0', 'p1', 'vL', 'vR'])
+        return _as_scalar(res)
+
+    def entanglement_entropy(self) -> list[float]:
+        """Von Neumann entropy at each bond (qdim-weighted for non-abelian)."""
+        res = []
+        for i in range(1, self.L):
+            S = self.Ss[i]
+            p = S * S
+            n = p.sum()
+            p = (1. / n) * p
+            res.append(entropy(p, n=1))
+        return res
+
+    def norm_squared(self):
+        S = self.Ss[0]
+        return float(np.sum(np.abs(S.diag_numpy) ** 2))
+
+    def overlap(self, other: SimpleMPS):
+        """<self | other>, assuming matching site legs."""
+        assert self.L == other.L
+        t_self = dagger(self.get_theta1(0))
+        t_other = other.get_theta1(0)
+        E = tdot(t_self, t_other, ['vL*', 'p*'], ['vL', 'p'])  # [vR* ; vR]
+        for i in range(1, self.L):
+            E = tdot(E, other.Bs[i], 'vR', 'vL')
+            E = tdot(dagger(self.Bs[i]), E, ['vL*', 'p*'], ['vR*', 'p'])
+        return _as_scalar(E)
+
+
+def _as_scalar(res):
+    from ..tensors import Tensor
+
+    if isinstance(res, Tensor):
+        return item(res)
+    return res
+
+
+def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True):
+    """Split a two-site wavefunction and truncate.
+
+    Parameters
+    ----------
+    theta
+        Two-site wavefunction, labels [vL, p0, p1, vR] (any codomain/domain split).
+    chi_max, eps
+        Truncation: keep at most chi_max singular values, discard those below eps.
+
+    Returns
+    -------
+    A : left-isometric tensor, labels [vL, p0, vR]  (codomain [vL, p0], domain [vR])
+    S : DiagonalTensor of singular values on the new bond
+    B : right-isometric tensor, labels [vL, p1, vR] (codomain [vL, p1], domain [vR])
+    err : truncation error
+    """
+    theta = permute_legs(theta, codomain=['vL', 'p0'], domain=['vR', 'p1'])
+    U, S, Vh = svd(theta, new_labels=['vR', 'vL'])
+    mask, err, new_norm = truncate_singular_values(S, chi_max=chi_max, svd_min=eps)
+    U, S, Vh = svd_apply_mask(U, S, Vh, mask)
+    if normalize:
+        S = (1. / new_norm) * S
+    A = U.relabelled({'p0': 'p'})
+    B = permute_legs(Vh, codomain=['vL', 'p1'], domain=['vR']).relabelled({'p1': 'p'})
+    return A, S, B, err

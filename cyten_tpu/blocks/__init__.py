@@ -1,0 +1,13 @@
+"""Block backends: dense-array algebra under the symmetric-tensor machinery.
+
+Role-equivalent to reference ``cyten/block_backends/`` (``_block_backend.py:23-741``,
+``numpy.py``, ``torch.py``, ``array_api.py``). The primary backend is JAX (CPU/GPU/TPU via
+XLA); a numpy backend exists for host-side oracles and tests.
+"""
+
+from .backend import (
+    Block, BlockBackend, JaxBlockBackend, NumpyBlockBackend, get_block_backend,
+)
+
+__all__ = ['Block', 'BlockBackend', 'JaxBlockBackend', 'NumpyBlockBackend',
+           'get_block_backend']

@@ -1,0 +1,600 @@
+"""Dense block operations over a numpy-like namespace.
+
+Role-equivalent to the reference's ``BlockBackend`` ABC
+(cyten/block_backends/_block_backend.py:23-741, ~90 methods: creation, elementwise,
+reshape/permute, combine/split legs, matrix kernels) and its concrete numpy
+(cyten/block_backends/numpy.py), torch (torch.py) and array-api (array_api.py)
+implementations.
+
+TPU-first redesign:
+
+- One generic implementation over a numpy-like namespace ``self.xp`` covers both JAX
+  (``jax.numpy``) and numpy. The JAX backend is the production path — all of its methods
+  are jit-traceable, so symmetric-tensor ops built from them compile to fused XLA
+  programs on the MXU.
+- ``combine_legs``/``split_legs`` support C- and F-style flattening *without* relying on
+  ``order='F'`` (which jax lacks): F-style flattening of an axis group equals C-style
+  flattening of the reversed group, so we transpose-then-reshape. This keeps the op a
+  pure layout change that XLA folds away.
+- Randomness is generated host-side with a numpy Generator and transferred once;
+  random blocks are used for initialization and tests, never in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence, TypeVar
+
+import numpy as np
+
+from ..dtypes import Dtype
+
+__all__ = ['Block', 'BlockBackend', 'JaxBlockBackend', 'NumpyBlockBackend',
+           'get_block_backend']
+
+Block = TypeVar('Block')  # jax.Array | np.ndarray
+
+
+class BlockBackend:
+    """Dense-array contract. Instances are stateless except for an RNG for test data."""
+
+    svd_algorithms: list[str] = ['default']
+    can_jit = False
+    name = 'abstract'
+
+    def __init__(self, xp):
+        self.xp = xp
+        self._rng = np.random.default_rng()
+
+    def __repr__(self):
+        return f'{type(self).__name__}()'
+
+    def test_block_sanity(self, block, expect_shape=None, expect_dtype=None):
+        assert self.is_block(block), 'not a block'
+        if expect_shape is not None:
+            assert tuple(block.shape) == tuple(expect_shape), \
+                f'wrong shape: {block.shape} != {expect_shape}'
+        if expect_dtype is not None:
+            assert self.get_dtype(block) == expect_dtype
+
+    # --- dtype mapping -----------------------------------------------------------
+
+    def to_internal_dtype(self, dtype: Dtype):
+        return dtype.to_numpy
+
+    def get_dtype(self, block) -> Dtype:
+        return Dtype.from_numpy(block.dtype)
+
+    def to_dtype(self, block, dtype: Dtype):
+        return block.astype(self.to_internal_dtype(dtype))
+
+    # --- creation / conversion ----------------------------------------------------
+
+    def is_block(self, obj) -> bool:
+        raise NotImplementedError
+
+    def as_block(self, obj, dtype: Dtype = None, return_dtype: bool = False):
+        block = self.xp.asarray(obj)
+        if block.dtype in (np.int32, np.int64) or str(block.dtype).startswith('int'):
+            block = block.astype(self.to_internal_dtype(Dtype.float64)
+                                 if dtype is None else self.to_internal_dtype(dtype))
+        elif dtype is not None:
+            block = block.astype(self.to_internal_dtype(dtype))
+        if return_dtype:
+            return block, self.get_dtype(block)
+        return block
+
+    def copy_block(self, block):
+        return self.xp.array(block, copy=True)
+
+    def to_numpy(self, block, numpy_dtype=None) -> np.ndarray:
+        res = np.asarray(block)
+        if numpy_dtype is not None:
+            res = res.astype(numpy_dtype)
+        return res
+
+    def zeros(self, shape, dtype: Dtype = Dtype.float64):
+        return self.xp.zeros(tuple(shape), self.to_internal_dtype(dtype))
+
+    def ones(self, shape, dtype: Dtype = Dtype.float64):
+        return self.xp.ones(tuple(shape), self.to_internal_dtype(dtype))
+
+    def eye_matrix(self, dim: int, dtype: Dtype = Dtype.float64):
+        return self.xp.eye(dim, dtype=self.to_internal_dtype(dtype))
+
+    def eye_block(self, legs: Sequence[int], dtype: Dtype = Dtype.float64):
+        """Identity map from legs [J, J', ...] to itself; axes [J, J', ..., J*, J'*, ...]."""
+        d = math.prod(legs)
+        eye = self.xp.eye(d, dtype=self.to_internal_dtype(dtype))
+        return self.xp.reshape(eye, tuple(legs) + tuple(legs))
+
+    def block_random_uniform(self, shape, dtype: Dtype, rng: np.random.Generator = None):
+        rng = rng if rng is not None else self._rng
+        res = rng.uniform(-1, 1, size=tuple(shape))
+        if dtype.is_complex:
+            res = res + 1j * rng.uniform(-1, 1, size=tuple(shape))
+        return self.as_block(res, dtype)
+
+    def block_random_normal(self, shape, dtype: Dtype, sigma: float = 1.,
+                            rng: np.random.Generator = None):
+        rng = rng if rng is not None else self._rng
+        res = rng.normal(scale=sigma, size=tuple(shape))
+        if dtype.is_complex:
+            res = res + 1j * rng.normal(scale=sigma, size=tuple(shape))
+        return self.as_block(res, dtype)
+
+    # --- shape / structure ----------------------------------------------------------
+
+    def get_shape(self, block) -> tuple[int, ...]:
+        return tuple(block.shape)
+
+    def reshape(self, block, shape):
+        return self.xp.reshape(block, tuple(shape))
+
+    def permute_axes(self, block, permutation: Sequence[int]):
+        return self.xp.transpose(block, tuple(permutation))
+
+    def moveaxis(self, block, source, destination):
+        return self.xp.moveaxis(block, source, destination)
+
+    def add_axis(self, block, pos: int):
+        return self.xp.expand_dims(block, pos)
+
+    def squeeze_axes(self, block, idcs: Sequence[int]):
+        if len(idcs) == 0:
+            return block
+        return self.xp.squeeze(block, tuple(idcs))
+
+    def combine_legs(self, block, leg_idcs_combine: Sequence[Sequence[int]],
+                     cstyles: Sequence[bool] = None):
+        """Flatten each contiguous group of axes into one axis, C- or F-style per group.
+
+        F-style flattening == C-style flattening of the reversed axes, implemented via a
+        single transpose + reshape (cf. reference _block_backend.py:183-213; redesigned
+        without ``order='F'`` so it stays jit-traceable).
+        """
+        old_shape = block.shape
+        if cstyles is None:
+            cstyles = [True] * len(leg_idcs_combine)
+        perm = []
+        new_shape = []
+        last = 0
+        for group, cstyle in zip(leg_idcs_combine, cstyles):
+            first_g = group[0]
+            perm.extend(range(last, first_g))
+            new_shape.extend(old_shape[last:first_g])
+            perm.extend(group if cstyle else group[::-1])
+            new_shape.append(math.prod(old_shape[i] for i in group))
+            last = group[-1] + 1
+        perm.extend(range(last, len(old_shape)))
+        new_shape.extend(old_shape[last:])
+        if perm != list(range(len(old_shape))):
+            block = self.xp.transpose(block, tuple(perm))
+        return self.xp.reshape(block, tuple(new_shape))
+
+    def split_legs(self, block, idcs: Sequence[int], dims: Sequence[Sequence[int]],
+                   cstyles: Sequence[bool] = None):
+        """Inverse of :meth:`combine_legs`: expand each axis ``idcs[i]`` into ``dims[i]``."""
+        if cstyles is None:
+            cstyles = [True] * len(idcs)
+        new_shape = []
+        # per new axis position, whether it is part of a reversed (F-style) group
+        groups = []  # (start, stop) ranges in new_shape to reverse afterwards
+        last = 0
+        for i, dim_group, cstyle in zip(idcs, dims, cstyles):
+            new_shape.extend(block.shape[last:i])
+            start = len(new_shape)
+            new_shape.extend(dim_group if cstyle else list(dim_group)[::-1])
+            if not cstyle and len(dim_group) > 1:
+                groups.append((start, len(new_shape)))
+            last = i + 1
+        new_shape.extend(block.shape[last:])
+        block = self.xp.reshape(block, tuple(new_shape))
+        if groups:
+            perm = list(range(len(new_shape)))
+            for start, stop in groups:
+                perm[start:stop] = perm[start:stop][::-1]
+            block = self.xp.transpose(block, tuple(perm))
+        return block
+
+    def permute_combined(self, block, axis: int, dims: Sequence[int],
+                         perm: Sequence[int], cstyle: bool = True):
+        """Permute the constituent factors inside a combined (flattened) axis.
+
+        ``axis`` was combined from factors of sizes ``dims`` (in the given style); the
+        result is as if the factors had been permuted by ``perm`` before combining (the
+        factor at old position perm[i] moves to position i).
+        Capability-equivalent to reference ``permute_combined_matrix``
+        (_block_backend.py:426-506), generalized to any single axis.
+        """
+        n_before = axis
+        shape = block.shape
+        factor_dims = list(dims) if cstyle else list(dims)[::-1]
+        new_shape = shape[:axis] + tuple(factor_dims) + shape[axis + 1:]
+        block = self.xp.reshape(block, new_shape)
+        if cstyle:
+            inner = [n_before + p for p in perm]
+        else:
+            k = len(dims)
+            inner = [n_before + (k - 1 - p) for p in reversed(perm)]
+        axes = (tuple(range(n_before)) + tuple(inner)
+                + tuple(range(n_before + len(dims), len(new_shape))))
+        block = self.xp.transpose(block, axes)
+        return self.xp.reshape(block, shape[:axis] + (math.prod(dims),) + shape[axis + 1:])
+
+    def enlarge_block(self, block, new_shape, slices: Sequence[slice]):
+        """Embed `block` into a zero block of `new_shape` at position `slices`."""
+        res = self.xp.zeros(tuple(new_shape), block.dtype)
+        return self._setitem(res, tuple(slices), block)
+
+    def _setitem(self, block, idx, value):
+        block = np.asarray(block).copy()
+        block[idx] = np.asarray(value)
+        return self.xp.asarray(block)
+
+    def get_block_element(self, block, idx):
+        res = block[tuple(idx)]
+        return self.block_item(res)
+
+    def block_item(self, block):
+        arr = np.asarray(block)
+        assert arr.size == 1, 'not a scalar block'
+        return arr.reshape(()).item()
+
+    def stack(self, blocks, axis: int = 0):
+        return self.xp.stack(blocks, axis=axis)
+
+    def concatenate(self, blocks, axis: int = 0):
+        return self.xp.concatenate(blocks, axis=axis)
+
+    # --- elementwise ----------------------------------------------------------------
+
+    def conj(self, block):
+        return self.xp.conj(block)
+
+    def real(self, block):
+        return self.xp.real(block)
+
+    def imag(self, block):
+        return self.xp.imag(block)
+
+    def angle(self, block):
+        return self.xp.angle(block)
+
+    def abs(self, block):
+        return self.xp.abs(block)
+
+    def sqrt(self, block):
+        return self.xp.sqrt(block)
+
+    def exp(self, block):
+        return self.xp.exp(block)
+
+    def log(self, block):
+        return self.xp.log(block)
+
+    def stable_log(self, block, cutoff: float):
+        return self.xp.where(block > cutoff, self.xp.log(
+            self.xp.where(block > cutoff, block, 1.)), 0.)
+
+    def cutoff_inverse(self, block, cutoff: float):
+        safe = self.xp.where(self.xp.abs(block) > cutoff, block, 1.)
+        return self.xp.where(self.xp.abs(block) > cutoff, 1. / safe, 0.)
+
+    def real_if_close(self, block, tol: float):
+        if self.get_dtype(block).is_complex:
+            eps = self.get_dtype(block).eps
+            if self.to_numpy(self.max_abs(self.xp.imag(block))) <= tol * eps:
+                return self.xp.real(block)
+        return block
+
+    def apply_elementwise(self, func: Callable, *blocks, **func_kwargs):
+        return func(*blocks, **func_kwargs)
+
+    def mul(self, a, block):
+        return a * block
+
+    def add(self, block1, block2):
+        return block1 + block2
+
+    def linear_combination(self, a, block1, b, block2):
+        return a * block1 + b * block2
+
+    # --- boolean / comparison ---------------------------------------------------------
+
+    def allclose(self, a, b, rtol: float = 1e-5, atol: float = 1e-8) -> bool:
+        return bool(np.allclose(self.to_numpy(a), self.to_numpy(b), rtol=rtol, atol=atol))
+
+    def block_all(self, block) -> bool:
+        return bool(self.xp.all(block))
+
+    def block_any(self, block) -> bool:
+        return bool(self.xp.any(block))
+
+    def sum_mask(self, mask) -> int:
+        return int(self.xp.sum(mask))
+
+    def apply_mask(self, block, mask, ax: int):
+        """Index `block` along axis `ax` with a boolean mask (host-side shape change)."""
+        mask_np = self.to_numpy(mask).astype(bool)
+        idx = np.nonzero(mask_np)[0]
+        return self.xp.take(block, self.xp.asarray(idx), axis=ax)
+
+    # --- reductions -------------------------------------------------------------------
+
+    def norm(self, block, order=2) -> float:
+        flat = self.xp.reshape(block, (-1,))
+        if order == 2:
+            return float(self.xp.sqrt(self.xp.sum(self.xp.abs(flat) ** 2)))
+        if order == np.inf:
+            return float(self.xp.max(self.xp.abs(flat))) if flat.shape[0] else 0.
+        return float(self.xp.sum(self.xp.abs(flat) ** order) ** (1. / order))
+
+    def max_abs(self, block):
+        return self.xp.max(self.xp.abs(block))
+
+    def block_max(self, block):
+        return self.xp.max(block)
+
+    def block_min(self, block):
+        return self.xp.min(block)
+
+    def block_sum_all(self, block):
+        return self.xp.sum(block)
+
+    def block_sum(self, block, ax: int):
+        return self.xp.sum(block, axis=ax)
+
+    def argmax(self, block) -> tuple[int, ...]:
+        flat_idx = int(np.argmax(self.to_numpy(self.abs(block))))
+        return tuple(int(i) for i in np.unravel_index(flat_idx, block.shape))
+
+    # --- diagonal / trace -----------------------------------------------------------
+
+    def get_diagonal(self, block, check_offdiagonal: bool = False):
+        d = min(block.shape)
+        diag = self.xp.diagonal(self.xp.reshape(block, (block.shape[0], -1))) \
+            if block.ndim == 2 else self.xp.diagonal(block)
+        if check_offdiagonal:
+            full = self.block_from_diagonal(diag, shape=block.shape)
+            if not self.allclose(block, full, rtol=1e-10, atol=1e-12):
+                raise ValueError('Block is not diagonal')
+        return diag
+
+    def block_from_diagonal(self, diag, shape=None):
+        d = diag.shape[0]
+        res = self.xp.zeros((d, d) if shape is None else tuple(shape), diag.dtype)
+        return self._set_diagonal(res, diag)
+
+    def _set_diagonal(self, block, diag):
+        res = np.asarray(block).copy()
+        np.fill_diagonal(res, np.asarray(diag))
+        return self.xp.asarray(res)
+
+    def block_from_mask(self, mask, dtype: Dtype):
+        """Rectangular projection matrix [sum(mask), len(mask)] from a bool mask."""
+        mask_np = self.to_numpy(mask).astype(bool)
+        res = np.zeros((int(np.sum(mask_np)), len(mask_np)),
+                       self.to_internal_dtype(dtype))
+        res[np.arange(int(np.sum(mask_np))), np.nonzero(mask_np)[0]] = 1.
+        return self.xp.asarray(res)
+
+    def trace_full(self, block):
+        """Full trace pairing axis i with axis ndim/2 + i."""
+        n = block.ndim // 2
+        d = math.prod(block.shape[:n])
+        mat = self.xp.reshape(block, (d, d))
+        return self.xp.trace(mat)
+
+    def trace_partial(self, block, idcs1: Sequence[int], idcs2: Sequence[int],
+                      remaining: Sequence[int]):
+        block = self.xp.transpose(block, tuple(remaining) + tuple(idcs1) + tuple(idcs2))
+        nrem = len(remaining)
+        drem = block.shape[:nrem]
+        d = math.prod(block.shape[nrem:nrem + len(idcs1)])
+        block = self.xp.reshape(block, drem + (d, d))
+        return self.xp.trace(block, axis1=-2, axis2=-1)
+
+    # --- linear algebra --------------------------------------------------------------
+
+    def matrix_dot(self, a, b):
+        return self.xp.matmul(a, b)
+
+    def tensordot(self, a, a_axes, b, b_axes):
+        return self.xp.tensordot(a, b, (tuple(a_axes), tuple(b_axes)))
+
+    def outer(self, a, b):
+        return self.xp.tensordot(a, b, 0)
+
+    def inner(self, a, b, do_dagger: bool):
+        """Frobenius inner product of same-shape blocks."""
+        if do_dagger:
+            return self.xp.sum(self.xp.conj(a) * b)
+        return self.xp.sum(a * b)
+
+    def scale_axis(self, block, factors, ax: int):
+        shape = [1] * block.ndim
+        shape[ax] = -1
+        return block * self.xp.reshape(factors, tuple(shape))
+
+    def matrix_svd(self, a, algorithm: str = None):
+        """SVD of a matrix: U, S (1D real), Vh."""
+        u, s, vh = self.xp.linalg.svd(a, full_matrices=False)
+        return u, s, vh
+
+    def matrix_qr(self, a, full: bool = False):
+        return self.xp.linalg.qr(a, mode='complete' if full else 'reduced')
+
+    def matrix_lq(self, a, full: bool = False):
+        q, r = self.matrix_qr(self.xp.transpose(a), full=full)
+        return self.xp.transpose(r), self.xp.transpose(q)
+
+    def matrix_eigh(self, a, sort: str = None):
+        w, v = self.xp.linalg.eigh(a)
+        return w, v  # ascending by default
+
+    def matrix_eig(self, a):
+        w, v = np.linalg.eig(self.to_numpy(a))
+        return self.xp.asarray(w), self.xp.asarray(v)
+
+    def matrix_exp(self, a):
+        raise NotImplementedError
+
+    def matrix_log(self, a):
+        import scipy.linalg
+
+        res = scipy.linalg.logm(self.to_numpy(a))
+        return self.xp.asarray(res)
+
+    # --- device handling ----------------------------------------------------------
+
+    def as_device(self, block, device: str = None):
+        return block
+
+    def get_device(self, block) -> str:
+        return 'cpu'
+
+    def synchronize(self):
+        pass
+
+
+class NumpyBlockBackend(BlockBackend):
+    """numpy implementation — host-side oracle and small-problem path.
+
+    Capability-equivalent to reference ``NumpyBlockBackend``
+    (cyten/block_backends/numpy.py:17-302).
+    """
+
+    svd_algorithms = ['gesdd', 'gesvd', 'robust']
+    can_jit = False
+    name = 'numpy'
+
+    def __init__(self):
+        BlockBackend.__init__(self, np)
+
+    def is_block(self, obj) -> bool:
+        return isinstance(obj, np.ndarray)
+
+    def matrix_svd(self, a, algorithm: str = None):
+        import scipy.linalg
+
+        if algorithm in (None, 'gesdd'):
+            try:
+                return scipy.linalg.svd(a, full_matrices=False)
+            except np.linalg.LinAlgError:
+                algorithm = 'gesvd'
+        if algorithm in ('gesvd', 'robust'):
+            return scipy.linalg.svd(a, full_matrices=False, lapack_driver='gesvd')
+        raise ValueError(f'unknown svd algorithm {algorithm}')
+
+    def matrix_exp(self, a):
+        import scipy.linalg
+
+        return scipy.linalg.expm(a)
+
+
+class JaxBlockBackend(BlockBackend):
+    """JAX implementation — the production TPU path.
+
+    All methods used in hot loops are jit-traceable; in-place-style helpers
+    (``_setitem``, ``_set_diagonal``) use functional ``.at[].set()`` updates so that they
+    remain traceable too.
+    """
+
+    svd_algorithms = ['default', 'qdwh']
+    can_jit = True
+    name = 'jax'
+
+    def __init__(self):
+        import jax
+        import jax.numpy as jnp
+
+        self.jax = jax
+        BlockBackend.__init__(self, jnp)
+
+    def is_block(self, obj) -> bool:
+        import jax
+
+        return isinstance(obj, jax.Array)
+
+    def as_block(self, obj, dtype: Dtype = None, return_dtype: bool = False):
+        block = self.xp.asarray(obj)
+        if np.issubdtype(block.dtype, np.integer) or block.dtype == bool:
+            if dtype is None or not dtype.is_bool:
+                block = block.astype(self.to_internal_dtype(dtype or Dtype.float64))
+        elif dtype is not None:
+            block = block.astype(self.to_internal_dtype(dtype))
+        if return_dtype:
+            return block, self.get_dtype(block)
+        return block
+
+    def to_internal_dtype(self, dtype: Dtype):
+        # jax canonicalizes x64 -> x32 unless jax_enable_x64; map through numpy names
+        return dtype.to_numpy
+
+    def copy_block(self, block):
+        return self.xp.array(block, copy=True)
+
+    def _setitem(self, block, idx, value):
+        return block.at[idx].set(value)
+
+    def _set_diagonal(self, block, diag):
+        d = diag.shape[0]
+        idx = self.xp.arange(d)
+        return block.at[idx, idx].set(diag)
+
+    def apply_mask(self, block, mask, ax: int):
+        idx = self.xp.nonzero(mask)[0]
+        return self.xp.take(block, idx, axis=ax)
+
+    def matrix_exp(self, a):
+        from jax.scipy.linalg import expm
+
+        return expm(a)
+
+    def matrix_eig(self, a):
+        # jax.numpy.linalg.eig is CPU-only; go through numpy (host-side op)
+        w, v = np.linalg.eig(np.asarray(a))
+        return self.xp.asarray(w), self.xp.asarray(v)
+
+    def as_device(self, block, device: str = None):
+        import jax
+
+        if device is None:
+            return block
+        kind = device.split(':')[0]
+        idx = int(device.split(':')[1]) if ':' in device else 0
+        return jax.device_put(block, jax.devices(kind)[idx])
+
+    def get_device(self, block) -> str:
+        try:
+            dev = list(block.devices())[0]
+            return f'{dev.platform}:{dev.id}'
+        except Exception:
+            return 'cpu'
+
+    def synchronize(self):
+        pass  # jax.block_until_ready is per-array; ops are async by design
+
+
+_BACKENDS: dict[str, BlockBackend] = {}
+
+
+def get_block_backend(name: str = None) -> BlockBackend:
+    """Get (and cache) a block backend instance by name ('jax' | 'numpy')."""
+    if name is None:
+        from ..config import config
+
+        name = config.default_block_backend
+    if name in ('jax', 'tpu', 'gpu'):
+        name = 'jax'
+    res = _BACKENDS.get(name)
+    if res is None:
+        if name == 'jax':
+            res = JaxBlockBackend()
+        elif name == 'numpy':
+            res = NumpyBlockBackend()
+        else:
+            raise ValueError(f'unknown block backend: {name}')
+        _BACKENDS[name] = res
+    return res

@@ -1,0 +1,227 @@
+"""Krylov-subspace eigensolvers and propagators on tensors.
+
+Role-equivalent to reference ``cyten/tensors/krylov_based.py`` (KrylovBased :16,
+Arnoldi :184, LanczosGroundState :316, LanczosEvolution :450, lanczos() :557).
+
+The matvec is backend-agnostic; with jax blocks each iteration traces to pure XLA.
+The small (N_max x N_max) Krylov eigenproblem is solved host-side with numpy —
+it is tiny and controls data-dependent convergence decisions.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from typing import Sequence
+
+import numpy as np
+
+from ._functions import inner, norm, scalar_multiply
+from ._tensors import Tensor
+from .sparse import LinearOperator
+
+__all__ = ['KrylovBased', 'Arnoldi', 'LanczosGroundState', 'LanczosEvolution',
+           'lanczos', 'lanczos_arpack']
+
+logger = logging.getLogger(__name__)
+
+
+class KrylovBased:
+    """Shared machinery for Krylov-subspace algorithms.
+
+    Options (passed as dict, like the reference's): N_min, N_max, P_tol, E_tol,
+    min_gap, cutoff, reortho.
+    """
+
+    def __init__(self, H: LinearOperator, psi0: Tensor, options: dict = None):
+        self.H = H
+        self.psi0 = psi0
+        options = options or {}
+        self.N_min = options.get('N_min', 3)
+        self.N_max = options.get('N_max', 20)
+        self.E_tol = options.get('E_tol', np.inf)
+        self.P_tol = options.get('P_tol', 1e-14)
+        self.min_gap = options.get('min_gap', 1e-12)
+        self.cutoff = options.get('cutoff', 1e-12)
+        self.reortho = options.get('reortho', False)
+        self._cache: list[Tensor] = []
+
+    def _build_krylov(self):
+        """Iteratively build the Krylov basis; subclasses process coefficients."""
+        raise NotImplementedError
+
+
+class LanczosGroundState(KrylovBased):
+    """Lanczos ground-state search for hermitian operators."""
+
+    def run(self) -> tuple[float, Tensor, int]:
+        """Returns ``(E0, psi0, N_iterations)``."""
+        H, psi = self.H, self.psi0
+        psi_norm = norm(psi)
+        assert psi_norm > 0, 'zero initial vector'
+        q = scalar_multiply(1. / psi_norm, psi)
+        basis = [q]
+        alphas: list[float] = []
+        betas: list[float] = []
+        E_old = None
+        theta = None
+        for k in range(self.N_max):
+            w = H.matvec(basis[-1])
+            alpha = float(np.real(inner(basis[-1], w)))
+            alphas.append(alpha)
+            w = w - scalar_multiply(alpha, basis[-1])
+            if len(basis) > 1:
+                w = w - scalar_multiply(betas[-1], basis[-2])
+            if self.reortho:
+                for b in basis[:-1]:
+                    w = w - scalar_multiply(inner(b, w), b)
+            beta = norm(w)
+            # solve the small tridiagonal problem
+            T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+            evals, evecs = np.linalg.eigh(T)
+            E = evals[0]
+            v0 = evecs[:, 0]
+            converged = False
+            if beta < self.cutoff:
+                converged = True
+            if k + 1 >= self.N_min:
+                if E_old is not None and abs(E - E_old) < self.E_tol:
+                    converged = True
+                # Ritz residual estimate: |beta * v0[-1]|
+                if abs(beta * v0[-1]) ** 2 < self.P_tol:
+                    converged = True
+            E_old = E
+            if converged or k == self.N_max - 1:
+                theta = scalar_multiply(complex(v0[0]) if np.iscomplexobj(v0)
+                                        else float(v0[0]), basis[0])
+                for coeff, b in zip(v0[1:], basis[1:]):
+                    theta = theta + scalar_multiply(
+                        complex(coeff) if np.iscomplexobj(v0) else float(coeff), b)
+                theta_norm = norm(theta)
+                if theta_norm > 0:
+                    theta = scalar_multiply(1. / theta_norm, theta)
+                return float(E), theta, k + 1
+            betas.append(float(beta))
+            basis.append(scalar_multiply(1. / beta, w))
+        raise RuntimeError('unreachable')
+
+
+class LanczosEvolution(KrylovBased):
+    """Compute ``exp(delta * H) |psi0>`` in the Krylov subspace."""
+
+    def processing(self, delta) -> tuple[Tensor, int]:
+        H, psi = self.H, self.psi0
+        psi_norm = norm(psi)
+        q = scalar_multiply(1. / psi_norm, psi)
+        basis = [q]
+        alphas: list[float] = []
+        betas: list[float] = []
+        result_coeffs = None
+        for k in range(self.N_max):
+            w = H.matvec(basis[-1])
+            alpha = float(np.real(inner(basis[-1], w)))
+            alphas.append(alpha)
+            w = w - scalar_multiply(alpha, basis[-1])
+            if len(basis) > 1:
+                w = w - scalar_multiply(betas[-1], basis[-2])
+            if self.reortho:
+                for b in basis[:-1]:
+                    w = w - scalar_multiply(inner(b, w), b)
+            beta = norm(w)
+            T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+            import scipy.linalg
+
+            expT = scipy.linalg.expm(delta * T)
+            coeffs = expT[:, 0]
+            converged = beta < self.cutoff or (
+                k + 1 >= self.N_min and abs(coeffs[-1]) < self.P_tol)
+            if converged or k == self.N_max - 1:
+                result_coeffs = coeffs
+                break
+            betas.append(float(beta))
+            basis.append(scalar_multiply(1. / beta, w))
+        theta = scalar_multiply(complex(result_coeffs[0]) * psi_norm, basis[0])
+        for c, b in zip(result_coeffs[1:], basis[1:]):
+            theta = theta + scalar_multiply(complex(c) * psi_norm, b)
+        return theta, len(alphas)
+
+    def run(self, delta) -> tuple[Tensor, int]:
+        return self.processing(delta)
+
+
+class Arnoldi(KrylovBased):
+    """Arnoldi iteration for (possibly non-hermitian) operators.
+
+    Finds the eigenvalue of largest magnitude (``which='LM'``) or smallest real part
+    (``'SR'``), etc., with the corresponding Ritz vector.
+    """
+
+    def __init__(self, H, psi0, options: dict = None):
+        KrylovBased.__init__(self, H, psi0, options)
+        options = options or {}
+        self.which = options.get('which', 'LM')
+
+    def _select(self, evals):
+        if self.which == 'LM':
+            return int(np.argmax(np.abs(evals)))
+        if self.which == 'SR':
+            return int(np.argmin(np.real(evals)))
+        if self.which == 'LR':
+            return int(np.argmax(np.real(evals)))
+        raise ValueError(f'invalid which: {self.which}')
+
+    def run(self) -> tuple[complex, Tensor, int]:
+        H, psi = self.H, self.psi0
+        q = scalar_multiply(1. / norm(psi), psi)
+        basis = [q]
+        h = np.zeros((self.N_max + 1, self.N_max), dtype=complex)
+        E_old = None
+        for k in range(self.N_max):
+            w = H.matvec(basis[-1])
+            for i, b in enumerate(basis):
+                h[i, k] = inner(b, w)
+                w = w - scalar_multiply(h[i, k], b)
+            beta = norm(w)
+            h[k + 1, k] = beta
+            Hk = h[:k + 1, :k + 1]
+            evals, evecs = np.linalg.eig(Hk)
+            sel = self._select(evals)
+            E = evals[sel]
+            v0 = evecs[:, sel]
+            converged = beta < self.cutoff
+            if k + 1 >= self.N_min and E_old is not None:
+                if abs(E - E_old) < self.E_tol or abs(beta * v0[-1]) ** 2 < self.P_tol:
+                    converged = True
+            E_old = E
+            if converged or k == self.N_max - 1:
+                theta = scalar_multiply(complex(v0[0]), basis[0])
+                for c, b in zip(v0[1:], basis[1:]):
+                    theta = theta + scalar_multiply(complex(c), b)
+                n = norm(theta)
+                if n > 0:
+                    theta = scalar_multiply(1. / n, theta)
+                return complex(E), theta, k + 1
+            basis.append(scalar_multiply(1. / beta, w))
+        raise RuntimeError('unreachable')
+
+
+def lanczos(H: LinearOperator, psi0: Tensor, options: dict = None
+            ) -> tuple[float, Tensor, int]:
+    """Ground state of a hermitian operator via Lanczos. Returns (E0, psi0, N)."""
+    return LanczosGroundState(H, psi0, options).run()
+
+
+def lanczos_arpack(H: LinearOperator, psi0: Tensor, options: dict = None):
+    """Ground state via scipy ARPACK, flattening tensors to dense vectors.
+
+    Slower than :func:`lanczos`; useful as a cross-check.
+    """
+    import scipy.sparse.linalg
+
+    from .sparse import NumpyArrayLinearOperator
+
+    wrapper = NumpyArrayLinearOperator(H, psi0)
+    op = wrapper.as_scipy_operator()
+    vals, vecs = scipy.sparse.linalg.eigsh(op, k=1, which='SA',
+                                           v0=wrapper.tensor_to_flat(psi0))
+    return float(vals[0]), wrapper.flat_to_tensor(vecs[:, 0]), -1

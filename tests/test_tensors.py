@@ -1,0 +1,372 @@
+"""Tensor-op tests against the dense numpy oracle.
+
+Pattern per reference test_tensors.py: build random symmetric tensors, perform the op
+symbolically, compare ``to_numpy()`` against the plain-numpy result.
+"""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import DiagonalTensor, Mask, SymmetricTensor, TensorProduct
+from cyten_tpu.symmetries import ElementarySpace
+
+from conftest import random_space
+
+
+def random_tensor(backend, codomain, domain, rng, labels=None):
+    return SymmetricTensor.from_random_normal(codomain, domain, backend=backend,
+                                              labels=labels, rng=rng)
+
+
+def assert_close(t, arr, atol=1e-10):
+    np.testing.assert_allclose(t.to_numpy(), arr, rtol=1e-10, atol=atol)
+
+
+@pytest.fixture
+def spaces(any_symmetry, np_random):
+    return [random_space(any_symmetry, np_random) for _ in range(4)]
+
+
+def test_roundtrip_and_sanity(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    T = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random,
+                      labels=['a', 'b', 'c', 'd'])
+    T.test_sanity()
+    arr = T.to_numpy()
+    assert arr.shape == T.shape
+    T2 = SymmetricTensor.from_dense_block(arr, [V, W], [X, Y],
+                                          backend=make_compatible_backend)
+    T2.test_sanity()
+    assert_close(T2, arr)
+
+
+def test_compose_tdot(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random)
+    B = random_tensor(make_compatible_backend, [X, Y], [W], np_random)
+    a, b = A.to_numpy(), B.to_numpy()
+    C = ct.compose(A, B)
+    C.test_sanity()
+    # A legs [V, W, Y*, X*]; A.domain factor order [X, Y] at axes (3, 2)
+    c = np.tensordot(a, b, ([3, 2], [0, 1]))
+    assert_close(C, c)
+    # tdot: contract A leg 3 (X*) with B leg 0 (X)
+    D = ct.tdot(A, B, [3], [0])
+    D.test_sanity()
+    d = np.tensordot(a, b, ([3], [0]))  # axes [V, W, Y*, Y*b, W*b]
+    # result: codomain = open legs of A in order [0,1,2], domain = open of B reversed
+    assert_close(D, d)
+
+
+def test_tdot_full_contraction(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    A = random_tensor(make_compatible_backend, [V], [W], np_random)
+    B = random_tensor(make_compatible_backend, [W], [V], np_random)
+    a, b = A.to_numpy(), B.to_numpy()
+    res = ct.tdot(A, B, [0, 1], [1, 0])
+    expect = np.tensordot(a, b, ([0, 1], [1, 0]))
+    if isinstance(res, ct.Tensor):
+        res = ct.item(res)
+    np.testing.assert_allclose(res, expect.item(), rtol=1e-10, atol=1e-10)
+
+
+def test_permute_dagger_transpose(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random,
+                      labels=['a', 'b', 'c', 'd'])
+    a = A.to_numpy()
+    P = ct.permute_legs(A, codomain=[0, 3], domain=[1, 2])
+    P.test_sanity()
+    assert_close(P, a.transpose(0, 3, 2, 1))
+    D = ct.dagger(A)
+    D.test_sanity()
+    assert_close(D, a.conj().transpose(3, 2, 1, 0))
+    assert D.labels == ['d*', 'c*', 'b*', 'a*']
+    T = ct.transpose(A)
+    T.test_sanity()
+    assert_close(T, a.transpose(2, 3, 0, 1))
+    # bend all legs up / down
+    B1 = ct.bend_legs(A, num_codomain_legs=4)
+    B1.test_sanity()
+    assert_close(B1, a)
+    B2 = ct.bend_legs(A, num_codomain_legs=0)
+    B2.test_sanity()
+    assert_close(B2, a)
+
+
+def test_outer_inner(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V], [W], np_random)
+    B = random_tensor(make_compatible_backend, [X], [Y], np_random)
+    a, b = A.to_numpy(), B.to_numpy()
+    O = ct.outer(A, B)
+    O.test_sanity()
+    # O: codomain [V, X], domain [W, Y]; legs [V, X, Y*, W*]
+    o = np.einsum('ij,kl->ikLJ'.replace('L', 'l').replace('J', 'j'), a, b)
+    assert_close(O, np.transpose(np.tensordot(a, b, 0), (0, 2, 3, 1)))
+    # inner
+    A2 = random_tensor(make_compatible_backend, [V], [W], np_random)
+    expect = np.sum(np.conj(a) * A2.to_numpy())
+    np.testing.assert_allclose(ct.inner(A, A2), expect, rtol=1e-10, atol=1e-10)
+
+
+def test_combine_split_roundtrip(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random,
+                      labels=['a', 'b', 'c', 'd'])
+    a = A.to_numpy()
+    # combine codomain group
+    C = ct.combine_legs(A, [0, 1])
+    C.test_sanity()
+    assert C.labels[0] == '(a.b)'
+    assert_close(C, a.reshape(-1, *a.shape[2:]))
+    S = ct.split_legs(C, 0)
+    S.test_sanity()
+    assert_close(S, a)
+    assert S.labels == ['a', 'b', 'c', 'd']
+    # combine domain group
+    C2 = ct.combine_legs(A, [2, 3])
+    C2.test_sanity()
+    assert_close(C2, a.reshape(*a.shape[:2], -1))
+    S2 = ct.split_legs(C2)
+    S2.test_sanity()
+    assert_close(S2, a)
+    # combine both
+    C3 = ct.combine_legs(A, [0, 1], [2, 3])
+    C3.test_sanity()
+    assert_close(C3, a.reshape(a.shape[0] * a.shape[1], -1))
+    S3 = ct.split_legs(C3)
+    S3.test_sanity()
+    assert_close(S3, a)
+
+
+def test_svd(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random,
+                      labels=['a', 'b', 'c', 'd'])
+    U, S, Vh = ct.svd(A, new_labels=['x', 'x*'])
+    U.test_sanity()
+    S.test_sanity()
+    Vh.test_sanity()
+    # reconstruction
+    US = ct.compose(U, S.as_SymmetricTensor())
+    USVh = ct.compose(US, Vh)
+    assert ct.almost_equal(USVh, A.as_SymmetricTensor(), rtol=1e-10, atol=1e-10)
+    # isometry
+    UdU = ct.compose(ct.dagger(U), U)
+    eye = SymmetricTensor.from_eye(U.domain.factors, backend=A.backend,
+                                   dtype=A.dtype)
+    assert ct.almost_equal(UdU, eye, rtol=1e-10, atol=1e-10)
+    VhVhd = ct.compose(Vh, ct.dagger(Vh))
+    assert ct.almost_equal(VhVhd, eye, rtol=1e-10, atol=1e-10)
+    # norm preserved
+    np.testing.assert_allclose(ct.norm(S), ct.norm(A), rtol=1e-10)
+
+
+def test_truncated_svd(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random)
+    if ct.norm(A) == 0:
+        # no charge-compatible blocks for these random spaces; make it nontrivial
+        A = random_tensor(make_compatible_backend, [V, W], [W, V], np_random)
+    assert ct.norm(A) > 0
+    U, S, Vh, err, renorm = ct.truncated_svd(A, chi_max=3)
+    U.test_sanity(), S.test_sanity(), Vh.test_sanity()
+    total_kept = sum(int(m) * d for m, d in zip(S.leg.multiplicities,
+                                                S.leg.sector_qdims))
+    assert total_kept <= 3
+    # error estimate matches actual
+    approx = ct.compose(ct.compose(U, S.as_SymmetricTensor()), Vh)
+    actual_err = ct.norm(approx - A) / ct.norm(A)
+    np.testing.assert_allclose(actual_err, err, rtol=1e-8, atol=1e-12)
+
+
+def test_qr_lq(make_compatible_backend, spaces, np_random):
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random)
+    Q, R = ct.qr(A)
+    Q.test_sanity(), R.test_sanity()
+    assert ct.almost_equal(ct.compose(Q, R), A, rtol=1e-10, atol=1e-10)
+    QdQ = ct.compose(ct.dagger(Q), Q)
+    eye = SymmetricTensor.from_eye(Q.domain.factors, backend=A.backend, dtype=A.dtype)
+    assert ct.almost_equal(QdQ, eye, rtol=1e-10, atol=1e-10)
+    L, Q2 = ct.lq(A)
+    L.test_sanity(), Q2.test_sanity()
+    assert ct.almost_equal(ct.compose(L, Q2), A, rtol=1e-10, atol=1e-10)
+
+
+def test_eigh_exp(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    A = random_tensor(make_compatible_backend, [V, W], [V, W][::-1], np_random)
+    # make hermitian: note domain must equal codomain
+    A = random_tensor(make_compatible_backend, [V, W],
+                      list(TensorProduct([V, W]).factors), np_random)
+    H = 0.5 * (A + ct.dagger(A))
+    W_, V_ = ct.eigh(H)
+    W_.test_sanity(), V_.test_sanity()
+    recon = ct.compose(ct.compose(V_, W_.as_SymmetricTensor()), ct.dagger(V_))
+    assert ct.almost_equal(recon, H, rtol=1e-9, atol=1e-9)
+    # exp
+    E = ct.exp(H)
+    E.test_sanity()
+    h = H.to_numpy()
+    d = h.shape[0] * h.shape[1]
+    # legs [V, W, W*, V*]: matrix form needs transpose of domain axes to factor order
+    hm = h.transpose(0, 1, 3, 2).reshape(d, d)
+    import scipy.linalg
+
+    em = scipy.linalg.expm(hm).reshape(h.shape[0], h.shape[1], h.shape[3],
+                                       h.shape[2]).transpose(0, 1, 3, 2)
+    assert_close(E, em, atol=1e-9)
+
+
+def test_trace_partial_trace(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    A = random_tensor(make_compatible_backend, [V, W], [V, W], np_random)
+    a = A.to_numpy()
+    # full trace: codomain [V, W], domain [V, W]; legs [V, W, W*, V*]
+    tr = ct.trace(A)
+    expect = np.einsum('ijji->', a.reshape(a.shape))
+    np.testing.assert_allclose(tr, np.trace(
+        a.transpose(0, 1, 3, 2).reshape(a.shape[0] * a.shape[1], -1)),
+        rtol=1e-10, atol=1e-10)
+    # partial trace of the (W, W*) pair: legs 1 and 2
+    P = ct.partial_trace(A, (1, 2))
+    P.test_sanity()
+    expect = np.einsum('ijjl->il', a)
+    assert_close(P, expect)
+
+
+def test_diagonal(make_compatible_backend, spaces, np_random):
+    V = spaces[0]
+    D = DiagonalTensor.from_random_normal(V, backend=make_compatible_backend,
+                                          rng=np_random)
+    D.test_sanity()
+    diag = D.diag_numpy
+    full = D.to_dense_block()
+    np.testing.assert_allclose(np.diag(diag),
+                               make_compatible_backend.block_backend.to_numpy(full),
+                               rtol=1e-10, atol=1e-10)
+    # elementwise algebra
+    E = D * D + 2 * D - 1
+    E.test_sanity()
+    np.testing.assert_allclose(E.diag_numpy, diag * diag + 2 * diag - 1,
+                               rtol=1e-10, atol=1e-10)
+    # comparisons -> bool -> Mask
+    pos = D > 0
+    assert pos.dtype == ct.Dtype.bool
+    mask = Mask.from_DiagonalTensor(pos)
+    mask.test_sanity()
+    np.testing.assert_array_equal(mask.blockmask(), diag > 0)
+    # scale_axis == compose with diagonal
+    A = random_tensor(make_compatible_backend, [V], [V], np_random)
+    AD = ct.compose(A, D)
+    np.testing.assert_allclose(AD.to_numpy(), A.to_numpy() * diag[None, :],
+                               rtol=1e-10, atol=1e-10)
+    DA = ct.compose(D, A)
+    np.testing.assert_allclose(DA.to_numpy(), diag[:, None] * A.to_numpy(),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_mask(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    blockmask = np_random.integers(2, size=int(V.dim)).astype(bool)
+    if not blockmask.any():
+        blockmask[0] = True
+    mask = Mask.from_blockmask(blockmask, V, backend=make_compatible_backend)
+    mask.test_sanity()
+    np.testing.assert_array_equal(mask.blockmask(), blockmask)
+    # apply to a tensor leg
+    A = random_tensor(make_compatible_backend, [V, W], [W], np_random)
+    a = A.to_numpy()
+    Am = ct.apply_mask(A, mask, 0)
+    Am.test_sanity()
+    np.testing.assert_allclose(Am.to_numpy(), a[blockmask], rtol=1e-10, atol=1e-10)
+    # enlarge back: zero-fill
+    Ae = ct.enlarge_leg(Am, mask, 0)
+    Ae.test_sanity()
+    expect = np.zeros_like(a)
+    expect[blockmask] = a[blockmask]
+    np.testing.assert_allclose(Ae.to_numpy(), expect, rtol=1e-10, atol=1e-10)
+    # boolean algebra
+    mask2 = Mask.from_blockmask(~blockmask, V, backend=make_compatible_backend)
+    assert not (mask & mask2).any() or int((mask & mask2).small_leg.dim) == 0
+    assert (mask | mask2).all()
+    # full tensor
+    full = mask.as_SymmetricTensor()
+    full.test_sanity()
+    expect_full = np.eye(int(V.dim))[blockmask]
+    np.testing.assert_allclose(full.to_numpy(), expect_full, rtol=1e-10, atol=1e-10)
+
+
+def test_add_squeeze_trivial_leg(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    A = random_tensor(make_compatible_backend, [V], [W], np_random,
+                      labels=['a', 'b'])
+    a = A.to_numpy()
+    B = ct.add_trivial_leg(A, 1, label='triv')
+    B.test_sanity()
+    assert B.labels == ['a', 'triv', 'b']
+    np.testing.assert_allclose(B.to_numpy(), a[:, None, :], rtol=1e-10, atol=1e-10)
+    C = ct.squeeze_legs(B)
+    C.test_sanity()
+    np.testing.assert_allclose(C.to_numpy(), a, rtol=1e-10, atol=1e-10)
+
+
+def test_norm_linearity(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    A = random_tensor(make_compatible_backend, [V], [W], np_random)
+    B = random_tensor(make_compatible_backend, [V], [W], np_random)
+    a, b = A.to_numpy(), B.to_numpy()
+    C = 2 * A - 0.5 * B
+    C.test_sanity()
+    np.testing.assert_allclose(C.to_numpy(), 2 * a - 0.5 * b, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(ct.norm(A), np.linalg.norm(a.reshape(-1)), rtol=1e-10)
+
+
+def test_eye(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    E = SymmetricTensor.from_eye([V, W], backend=make_compatible_backend,
+                                 labels=['a', 'b'])
+    E.test_sanity()
+    assert E.labels == ['a', 'b', 'b*', 'a*']
+    d1, d2 = int(V.dim), int(W.dim)
+    expect = np.eye(d1 * d2).reshape(d1, d2, d1, d2).transpose(0, 1, 3, 2)
+    np.testing.assert_allclose(E.to_numpy(), expect, rtol=1e-10, atol=1e-10)
+    # compose with eye is identity
+    A = random_tensor(make_compatible_backend, [V, W], [V, W], np_random)
+    A2 = ct.compose(E, A)
+    assert ct.almost_equal(A2, A, rtol=1e-10, atol=1e-10)
+
+
+def test_getitem(make_compatible_backend, spaces, np_random):
+    V, W = spaces[:2]
+    A = random_tensor(make_compatible_backend, [V], [W], np_random)
+    a = A.to_numpy()
+    for _ in range(5):
+        i = int(np_random.integers(int(V.dim)))
+        j = int(np_random.integers(int(W.dim)))
+        np.testing.assert_allclose(A[i, j], a[i, j], rtol=1e-10, atol=1e-12)
+
+
+def test_jit_compose(make_compatible_backend, spaces, np_random):
+    """Tensors are pytrees: jit over tensor-valued functions works."""
+    import jax
+
+    if make_compatible_backend.block_backend.name != 'jax':
+        pytest.skip('jit requires jax blocks')
+    V, W, X, Y = spaces
+    A = random_tensor(make_compatible_backend, [V, W], [X, Y], np_random)
+    B = random_tensor(make_compatible_backend, [X, Y], [W], np_random)
+
+    @jax.jit
+    def f(a, b):
+        return ct.compose(a, b)
+
+    C1 = f(A, B)
+    C2 = ct.compose(A, B)
+    np.testing.assert_allclose(C1.to_numpy(), C2.to_numpy(), rtol=1e-10, atol=1e-10)
+    # second call hits the cache
+    C3 = f(A, B)
+    np.testing.assert_allclose(C3.to_numpy(), C2.to_numpy(), rtol=1e-10, atol=1e-10)
