@@ -1,0 +1,103 @@
+"""Benchmark: U(1) two-site DMRG effective-Hamiltonian matvec throughput.
+
+The BASELINE.md north-star workload: the block-sparse tensordot chain (LP-W-W-RP
+applied to a two-site wavefunction) at large bond dimension, on whatever accelerator
+jax provides (TPU under the driver; CPU otherwise).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
+the speedup over the reference-style per-block numpy CPU path on the same workload.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_workload(backend, chi=2048, seed=0):
+    """Random but realistically-structured U(1) DMRG bond environment + theta."""
+    from cyten_tpu import ElementarySpace, SymmetricTensor, u1_symmetry
+
+    rng = np.random.default_rng(seed)
+    charges = np.arange(-4, 5)
+    weights = np.exp(-0.4 * charges ** 2)
+    mults = np.maximum(1, np.round(chi * weights / weights.sum()).astype(int))
+    v_leg = ElementarySpace(u1_symmetry, charges[:, None], mults)
+    p_leg = ElementarySpace(u1_symmetry, [[-1], [1]], [1, 1])
+    w_leg = ElementarySpace.from_defining_sectors(
+        u1_symmetry, np.array([[0], [2], [-2], [0], [0]]), unique_sectors=False)
+
+    LP = SymmetricTensor.from_random_normal(
+        [v_leg], [w_leg, v_leg], backend=backend, labels=['vR*', 'vR', 'wR'], rng=rng)
+    RP = SymmetricTensor.from_random_normal(
+        [v_leg, w_leg], [v_leg], backend=backend, labels=['vL', 'wL', 'vL*'], rng=rng)
+    W = SymmetricTensor.from_random_normal(
+        [w_leg, p_leg], [w_leg, p_leg], backend=backend,
+        labels=['wL', 'p', 'p*', 'wR'], rng=rng)
+    theta = SymmetricTensor.from_random_normal(
+        [v_leg, p_leg, p_leg], [v_leg], backend=backend,
+        labels=['vL', 'p0', 'p1', 'vR'], rng=rng)
+    W1 = W.relabelled({'p': 'p0', 'p*': 'p0*'})
+    W2 = W.relabelled({'p': 'p1', 'p*': 'p1*'})
+    return LP, RP, W1, W2, theta
+
+
+def numpy_run(chi, n_iter=3):
+    """Time the per-block numpy path and count exact GEMM FLOPs of one matvec."""
+    import cyten_tpu as ct
+    from cyten_tpu.tensors import tdot
+    from cyten_tpu.tools.flops import tdot_flops
+
+    backend = ct.get_backend(ct.u1_symmetry, 'numpy')
+    LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
+    flops = tdot_flops(LP, theta, ['vR'], ['vL'])
+    x = tdot(LP, theta, 'vR', 'vL')
+    flops += tdot_flops(x, W1, ['wR', 'p0'], ['wL', 'p0*'])
+    x = tdot(x, W1, ['wR', 'p0'], ['wL', 'p0*'])
+    flops += tdot_flops(x, W2, ['wR', 'p1'], ['wL', 'p1*'])
+    x = tdot(x, W2, ['wR', 'p1'], ['wL', 'p1*'])
+    flops += tdot_flops(x, RP, ['vR', 'wR'], ['vL', 'wL'])
+
+    from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
+
+    _heff_matvec_impl(LP, RP, W1, W2, theta)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        _heff_matvec_impl(LP, RP, W1, W2, theta)
+    return (time.perf_counter() - t0) / n_iter, flops
+
+
+def jax_run(chi, n_iter=20):
+    import jax
+
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
+
+    backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    args = build_workload(backend, chi=chi)
+    fn = jax.jit(_heff_matvec_impl)
+    out = fn(*args)
+    jax.block_until_ready(out.data.blocks)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(*args)
+    jax.block_until_ready(out.data.blocks)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    chi = int(os.environ.get('BENCH_CHI', '2048'))
+    t_np, flops = numpy_run(chi)
+    t_jax = jax_run(chi)
+    result = {
+        'metric': f'u1_dmrg_matvec_chi{chi}_tflops',
+        'value': round(flops / t_jax / 1e12, 4),
+        'unit': 'TFLOP/s',
+        'vs_baseline': round(t_np / t_jax, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

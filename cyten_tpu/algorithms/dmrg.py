@@ -27,23 +27,46 @@ from .mps import SimpleMPS, split_truncate_theta
 __all__ = ['HEffective', 'DMRGEngine']
 
 
+_JITTED_MATVEC = None
+
+
+def _heff_matvec_impl(LP, RP, W1, W2, theta):
+    x = tdot(LP, theta, 'vR', 'vL')
+    x = tdot(x, W1, ['wR', 'p0'], ['wL', 'p0*'])
+    x = tdot(x, W2, ['wR', 'p1'], ['wL', 'p1*'])
+    x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])
+    x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+    return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+
+
+def _get_jitted_matvec():
+    """jax.jit over the full matvec: tensors are pytrees, block structure is static
+    aux data, so XLA sees one fused program of GEMMs per (env, theta) structure."""
+    global _JITTED_MATVEC
+    if _JITTED_MATVEC is None:
+        import jax
+
+        _JITTED_MATVEC = jax.jit(_heff_matvec_impl)
+    return _JITTED_MATVEC
+
+
 class HEffective(LinearOperator):
     """Effective two-site Hamiltonian ``LP -- W1 -- W2 -- RP``."""
 
-    def __init__(self, LP, RP, W1, W2):
+    def __init__(self, LP, RP, W1, W2, use_jit: bool = None):
         self.LP = LP
         self.RP = RP
         self.W1 = W1.relabelled({'p': 'p0', 'p*': 'p0*'})
         self.W2 = W2.relabelled({'p': 'p1', 'p*': 'p1*'})
+        if use_jit is None:
+            use_jit = W1.backend.block_backend.can_jit
+        self.use_jit = use_jit
         LinearOperator.__init__(self, dtype=W1.dtype)
 
     def matvec(self, theta):
-        x = tdot(self.LP, theta, 'vR', 'vL')
-        x = tdot(x, self.W1, ['wR', 'p0'], ['wL', 'p0*'])
-        x = tdot(x, self.W2, ['wR', 'p1'], ['wL', 'p1*'])
-        x = tdot(x, self.RP, ['vR', 'wR'], ['vL', 'wL'])
-        x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
-        return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+        if self.use_jit:
+            return _get_jitted_matvec()(self.LP, self.RP, self.W1, self.W2, theta)
+        return _heff_matvec_impl(self.LP, self.RP, self.W1, self.W2, theta)
 
 
 class DMRGEngine:

@@ -571,8 +571,11 @@ class AbelianBackend(TensorBackend):
         return BlockSparseData(blocks, bi, dtype)
 
     def norm(self, a):
-        return float(np.sqrt(sum(self.block_backend.norm(b) ** 2
-                                 for b in a.data.blocks)))
+        if not a.data.blocks:
+            return 0.
+        total = sum(self.block_backend.norm(b) ** 2 for b in a.data.blocks)
+        res = total ** 0.5
+        return float(res) if isinstance(res, (int, float)) else res
 
     def item(self, a):
         if len(a.data.blocks) == 0:

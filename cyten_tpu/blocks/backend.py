@@ -517,6 +517,27 @@ class JaxBlockBackend(BlockBackend):
 
         return isinstance(obj, jax.Array)
 
+    def _is_tracer(self, obj) -> bool:
+        import jax
+
+        return isinstance(obj, jax.core.Tracer)
+
+    def block_item(self, block):
+        # under jit, keep the value traced (callers inside jit handle 0-d arrays)
+        if self._is_tracer(block):
+            return self.xp.reshape(block, ())
+        return super().block_item(block)
+
+    def norm(self, block, order=2) -> float:
+        if self._is_tracer(block):
+            flat = self.xp.reshape(block, (-1,))
+            if order == 2:
+                return self.xp.sqrt(self.xp.sum(self.xp.abs(flat) ** 2))
+            if order == np.inf:
+                return self.xp.max(self.xp.abs(flat))
+            return self.xp.sum(self.xp.abs(flat) ** order) ** (1. / order)
+        return super().norm(block, order=order)
+
     def as_block(self, obj, dtype: Dtype = None, return_dtype: bool = False):
         block = self.xp.asarray(obj)
         if np.issubdtype(block.dtype, np.integer) or block.dtype == bool:

@@ -1,0 +1,11 @@
+"""Multi-device execution: sharding block-sparse tensors over a jax Mesh.
+
+The reference has no distributed layer (SURVEY.md §2.9); this is the TPU-native
+equivalent: sector-axis and multiplicity-axis sharding via ``jax.sharding``, with XLA
+inserting the collectives (psum for contracted sharded axes, all-gathers for global
+truncation decisions).
+"""
+
+from .sharding import make_mesh, replicate_tensor, shard_tensor
+
+__all__ = ['make_mesh', 'shard_tensor', 'replicate_tensor']

@@ -16,6 +16,9 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax
 
+# note: the JAX_PLATFORMS env var is overridden by the environment's TPU plugin;
+# the config update reliably forces CPU (with the virtual 8-device mesh from XLA_FLAGS)
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 import numpy as np
