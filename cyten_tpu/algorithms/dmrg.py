@@ -18,7 +18,7 @@ import numpy as np
 
 from ..symmetries import ElementarySpace
 from ..tensors import (
-    SymmetricTensor, dagger, permute_legs, pinv, scale_axis, tdot,
+    SymmetricTensor, compose, dagger, permute_legs, pinv, scale_axis, tdot,
 )
 from ..tensors.krylov_based import lanczos
 from ..tensors.sparse import LinearOperator
@@ -31,10 +31,12 @@ _JITTED_MATVEC = None
 
 
 def _heff_matvec_impl(LP, RP, W1, W2, theta):
-    x = tdot(LP, theta, 'vR', 'vL')
-    x = tdot(x, W1, ['wR', 'p0'], ['wL', 'p0*'])
-    x = tdot(x, W2, ['wR', 'p1'], ['wL', 'p1*'])
-    x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])
+    # every step below is a *planar* rearrangement (cyclic rotations + bends only),
+    # so the same code runs for anyonic symmetries without braid chiralities.
+    x = tdot(theta, LP, 'vL', 'vR')                    # [p0, p1, vR, vR*, wR]
+    x = tdot(x, W1, ['p0', 'wR'], ['p0*', 'wL'])       # [p1, vR, vR*, p0, wR]
+    x = tdot(x, W2, ['p1', 'wR'], ['p1*', 'wL'])       # [vR, vR*, p0, p1, wR]
+    x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])        # [vR*, p0, p1, vL*]
     x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
     return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
 
@@ -90,42 +92,50 @@ class DMRGEngine:
     def _init_environments(self):
         psi, model = self.psi, self.model
         L = psi.L
-        sym = psi.Bs[0].symmetry
-        triv = ElementarySpace(sym, sym.trivial_sector[None, :])
-        # initial LP: codomain [V0] ('vR*'), domain [w0, V0] -> legs [vR*, vR, wR]
+        backend = self.backend
+
+        def ones_func(shape, coupled):
+            return backend.block_backend.ones(shape, psi.Bs[0].dtype)
+
+        # initial LP: codomain [V0] ('vR*'), domain [V0, w0] -> legs [vR*, wR, vR]
         V0 = psi.Bs[0].get_leg_co_domain('vL')
         w0 = model.H_mpo[0].get_leg_co_domain('wL')
-        LP = SymmetricTensor.from_dense_block(
-            np.ones((1, 1, 1)), [V0], [w0, V0], backend=self.backend,
-            labels=['vR*', 'vR', 'wR'])
+        LP = SymmetricTensor.from_sector_block_func(
+            ones_func, [V0], [V0, w0], backend=backend,
+            labels=[['vR*'], ['vR', 'wR']])
         self.LPs[0] = LP
         # initial RP: codomain [VR, w] (['vL', 'wL']), domain [VR] ('vL*')
         VR = psi.Bs[-1].domain.factors[0]
-        wR = model.H_mpo[-1].domain.factors[0]
-        RP = SymmetricTensor.from_dense_block(
-            np.ones((1, 1, 1)), [VR, wR], [VR], backend=self.backend,
-            labels=['vL', 'wL', 'vL*'])
+        wR = model.H_mpo[-1].get_leg_co_domain('wR')
+        RP = SymmetricTensor.from_sector_block_func(
+            ones_func, [VR, wR], [VR], backend=backend,
+            labels=[['vL', 'wL'], ['vL*']])
         self.RPs[L - 1] = RP
         for i in range(L - 1, 0, -1):
             self.update_RP(i)
 
     def update_LP(self, i: int, A):
-        """LPs[i+1] from LPs[i] and the left-isometric tensor A at site i."""
+        """LPs[i+1] from LPs[i] and the left-isometric tensor A at site i.
+
+        All rearrangements are planar (anyon-safe).
+        """
         W = self.model.H_mpo[i]
-        t = tdot(self.LPs[i], A, 'vR', 'vL')
-        t = tdot(t, W, ['wR', 'p'], ['wL', 'p*'])
-        t = tdot(t, dagger(A), ['vR*', 'p'], ['vL*', 'p*'])
-        self.LPs[i + 1] = t
+        t = tdot(A, self.LPs[i], 'vL', 'vR')               # [p, vR, vR*, wR]
+        t = tdot(t, W, ['p', 'wR'], ['p*', 'wL'])          # [vR, vR*, p, wR]
+        tp = permute_legs(t, codomain=['vR*', 'p'], domain=['vR', 'wR'])
+        self.LPs[i + 1] = compose(dagger(A), tp)           # [vR*, wR, vR]
 
     def update_RP(self, i: int, B=None):
         """RPs[i-1] from RPs[i] and the right-isometric tensor B at site i."""
         if B is None:
             B = self.psi.Bs[i]
         W = self.model.H_mpo[i]
-        t = tdot(B, self.RPs[i], 'vR', 'vL')
-        t = tdot(t, W, ['wL', 'p'], ['wR', 'p*'])
-        t = tdot(t, dagger(B), ['vL*', 'p'], ['vR*', 'p*'])
-        self.RPs[i - 1] = t
+        t = tdot(B, self.RPs[i], 'vR', 'vL')               # [vL, p, wL, vL*]
+        tp = permute_legs(t, codomain=['p', 'wL'], domain=['vL', 'vL*'])
+        t = compose(W, tp)                                 # [wL, p, vL*, vL]
+        zp = permute_legs(t, codomain=['vL', 'wL'], domain=['vL*', 'p'])
+        dB = permute_legs(dagger(B), codomain=['vR*', 'p*'], domain=['vL*'])
+        self.RPs[i - 1] = compose(zp, dB)                  # [vL, wL, vL*]
 
     def sweep(self) -> float:
         L = self.psi.L

@@ -14,9 +14,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..dtypes import Dtype
-from ..symmetries import ElementarySpace, Symmetry, u1_symmetry, z2_symmetry, \
-    no_symmetry
-from ..tensors import SymmetricTensor
+from ..symmetries import ElementarySpace, Symmetry, su2_symmetry, u1_symmetry, \
+    z2_symmetry, no_symmetry
+from ..tensors import (
+    SymmetricTensor, add_trivial_leg, dagger, permute_legs, scale_axis, sqrt, svd,
+    tdot, truncate_singular_values, svd_apply_mask,
+)
 
 __all__ = ['TFIModel', 'HeisenbergModel', 'spin_half_site',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy']
@@ -34,13 +37,84 @@ def spin_half_site(conserve: str = 'None', backend=None):
     conserve in {'Sz', 'parity', 'None'}: U(1) by 2*Sz, Z2 by spin-flip parity of the
     ordered basis, or no symmetry. Public basis order is (|up>, |down>) in all cases.
     """
-    if conserve == 'Sz':
+    if conserve in ('SU2', 'SU(2)'):
+        leg = ElementarySpace(su2_symmetry, [[1]])  # one spin-1/2 multiplet
+    elif conserve == 'Sz':
         leg = ElementarySpace.from_basis(u1_symmetry, [[1], [-1]])
     elif conserve == 'parity':
         leg = ElementarySpace.from_basis(z2_symmetry, [[0], [1]])
     else:
         leg = ElementarySpace.from_trivial_sector(2, symmetry=no_symmetry)
     return leg
+
+
+def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
+    """Uniform nearest-neighbor MPO from a two-site bond operator.
+
+    Factorizes ``h = sum_k A_k ⊗ B_k`` by SVD across the bond (the reference's
+    ``horizontal_factorization`` idea, cyten/tensors/planar.py:1102) and assembles
+    the standard 3-block MPO ``W = [[1, A, 0], [0, 0, B], [0, 0, 1]]`` with
+    :func:`tensor_from_grid`. Works for any symmetry backend (incl. SU(2)).
+    """
+    from ..tensors import tensor_from_grid
+
+    backend = h_bond.backend
+    p = h_bond.codomain.factors[0]
+    h = h_bond.relabelled(['p0', 'p1', 'p1*', 'p0*'])
+    # planar horizontal cut: left arc (p0*, p0) vs right arc (p1*, p1)
+    X = permute_legs(h, codomain=['p0*', 'p0'], domain=['p1*', 'p1'])
+    U, S, Vh = svd(X, new_labels=['wR', 'wL'])
+    mask, err, _ = truncate_singular_values(S, svd_min=svd_cut)
+    U, S, Vh = svd_apply_mask(U, S, Vh, mask)
+    sqrt_S = S.sqrt() if not S.dtype.is_complex else S ** 0.5
+    A_k = scale_axis(U, sqrt_S, 'wR')   # legs [p0*, p0, wR]
+    B_k = scale_axis(Vh, sqrt_S, 'wL')  # legs [wL, p1, p1*]
+    # shape into MPO-entry form: legs [wL, p, wR, p*] (all moves planar)
+    A_k = permute_legs(A_k, codomain=['p0'], domain=['p0*', 'wR'])
+    A_k = add_trivial_leg(A_k, 0, label='wL')
+    A_k = A_k.relabelled({'p0': 'p', 'p0*': 'p*'})
+    B_k = permute_legs(B_k, codomain=['wL', 'p1'], domain=['p1*'])
+    B_k = add_trivial_leg(B_k, 2, label='wR', to_domain=True, is_dual=True)
+    B_k = B_k.relabelled({'p1': 'p', 'p1*': 'p*'})
+    eye_p = SymmetricTensor.from_eye([p], backend=backend, labels=['p'],
+                                     dtype=h_bond.dtype)
+    Id = add_trivial_leg(eye_p, 0, label='wL')
+    Id = add_trivial_leg(Id, 2, label='wR', to_domain=True, is_dual=True)
+    # grid rows x cols; None = zero
+    grid = [[Id, A_k, None],
+            [None, None, B_k],
+            [None, None, Id]]
+    W = tensor_from_grid(grid, labels=['wL', 'p', 'wR', 'p*'], row_leg='wL',
+                         col_leg='wR')
+    first = _boundary_selector(W, left=True)
+    last = _boundary_selector(W, left=False)
+    mpos = [first if i == 0 else (last if i == L - 1 else W) for i in range(L)]
+    return mpos
+
+
+def _boundary_selector(W: SymmetricTensor, left: bool) -> SymmetricTensor:
+    """Contract the left (row 0) or right (last column) boundary unit vector.
+
+    Selects the first / last multiplicity of the trivial sector of the stacked leg
+    (works for every backend, incl. anyons).
+    """
+    from ..dtypes import Dtype
+    from ..tensors import DiagonalTensor, Mask, apply_mask
+
+    label = 'wL' if left else 'wR'
+    leg = W.get_leg_co_domain(label)
+    sym = leg.symmetry
+    bb = W.backend.block_backend
+
+    def func(shape, sector):
+        keep = np.zeros(shape[0], dtype=bool)
+        if np.all(np.asarray(sector) == sym.trivial_sector):
+            keep[0 if left else -1] = True
+        return bb.as_block(keep, Dtype.bool)
+
+    diag = DiagonalTensor.from_sector_block_func(func, leg, backend=W.backend)
+    mask = Mask.from_DiagonalTensor(diag)
+    return apply_mask(W, mask, label)
 
 
 class TFIModel:
@@ -96,7 +170,7 @@ class TFIModel:
             wL_sectors = np.zeros((3, sym.sector_ind_len), dtype=int)
         w_leg = ElementarySpace.from_basis(sym, wL_sectors) \
             if sym.can_be_dropped else None
-        # W[wL, p(ket), p(bra), wR] is already in legs order [wL, p, p*, wR]
+        # W[wL, p(ket), p(bra), wR]; MPO layout is [wL, p, wR, p*] (anyon-compatible)
         W = np.zeros((3, 2, 2, 3))
         W[0, :, :, 0] = _id
         W[0, :, :, 1] = _sx
@@ -118,9 +192,10 @@ class TFIModel:
             if i == self.L - 1:
                 Wi = np.tensordot(Wi, last, (3, 0))
                 wr = triv
+            # dense axes [wL, p, p', wR] -> legs order [wL, p, wR, p*]
             mpos.append(SymmetricTensor.from_dense_block(
-                Wi, [wl, p], [wr, p], backend=self.backend,
-                labels=['wL', 'p', 'p*', 'wR']))
+                np.transpose(Wi, (0, 1, 3, 2)), [wl, p], [p, wr],
+                backend=self.backend, labels=['wL', 'p', 'wR', 'p*']))
         return mpos
 
     def energy(self, psi) -> float:
@@ -139,7 +214,7 @@ class HeisenbergModel:
 
     def __init__(self, L: int, J: float = 1., conserve: str = 'Sz', backend=None,
                  block_backend=None):
-        assert conserve in ('Sz', 'parity', 'None', None)
+        assert conserve in ('SU2', 'SU(2)', 'Sz', 'parity', 'None', None)
         self.L = L
         self.J = J
         self.conserve = conserve = conserve or 'None'
@@ -168,6 +243,8 @@ class HeisenbergModel:
         return [op] * (self.L - 1)
 
     def _build_H_mpo(self):
+        if self.conserve in ('SU2', 'SU(2)'):
+            return mpo_from_bond_op(self.H_bonds[0], self.L)
         Sp = np.array([[0., 1.], [0., 0.]])
         Sm = Sp.T
         Sz = 0.5 * _sz
@@ -208,8 +285,8 @@ class HeisenbergModel:
                 Wi = np.tensordot(Wi, last, (3, 0))
                 wr = triv
             mpos.append(SymmetricTensor.from_dense_block(
-                Wi, [wl, p], [wr, p], backend=self.backend,
-                labels=['wL', 'p', 'p*', 'wR']))
+                np.transpose(Wi, (0, 1, 3, 2)), [wl, p], [p, wr],
+                backend=self.backend, labels=['wL', 'p', 'wR', 'p*']))
         return mpos
 
     def energy(self, psi) -> float:
@@ -218,6 +295,59 @@ class HeisenbergModel:
 
     def exact_finite_gs_energy(self) -> float:
         return heisenberg_exact_finite_gs_energy(self.L, self.J)
+
+
+class GoldenChainModel:
+    r"""Golden chain: :math:`H = -J \sum_i P^{\text{vac}}_{i,i+1}` of Fibonacci anyons.
+
+    Each site carries a tau anyon; the Hamiltonian projects neighboring pairs onto
+    their trivial fusion channel. Reference: toycodes/tenpy_toycodes/b_model.py:133,
+    couplings ``gold_coupling`` (cyten/models/couplings.py:657); benchmark energies
+    from MPSKit.jl (BASELINE.md).
+    """
+
+    #: exact finite-chain ground energies (J=1) from MPSKit.jl (BASELINE.md)
+    EXACT_ENERGIES = {6: -4.02595560765756, 8: -5.54888659415890,
+                      10: -7.0735949995638}
+
+    def __init__(self, L: int, J: float = 1., backend=None, block_backend=None):
+        from ..symmetries import fibonacci_anyon_category as fib
+        from ..backends import get_backend
+
+        self.L = L
+        self.J = J
+        self.site_leg = ElementarySpace(fib, [[1]])  # one tau anyon
+        self.backend = backend if backend is not None else \
+            get_backend(fib, block_backend)
+        self.H_bonds = self._build_H_bonds()
+        self.H_mpo = mpo_from_bond_op(self.H_bonds[0], L)
+
+    @property
+    def site_legs(self):
+        return [self.site_leg] * self.L
+
+    def _build_H_bonds(self):
+        p = self.site_leg
+        sym = p.symmetry
+        bb = self.backend.block_backend
+        J = self.J
+
+        def func(shape, coupled):
+            if np.all(np.asarray(coupled) == sym.trivial_sector):
+                return -J * bb.eye_matrix(shape[0], Dtype.float64)
+            return bb.zeros(shape, Dtype.float64)
+
+        h = SymmetricTensor.from_sector_block_func(
+            func, [p, p], [p, p], backend=self.backend,
+            labels=['p0', 'p1', 'p1*', 'p0*'])
+        return [h] * (self.L - 1)
+
+    def energy(self, psi) -> float:
+        return float(np.real(sum(psi.bond_expectation_value(h, i)
+                                 for i, h in enumerate(self.H_bonds))))
+
+    def exact_finite_gs_energy(self) -> float:
+        return self.EXACT_ENERGIES[self.L] * self.J
 
 
 # --- exact references (sparse ED) -------------------------------------------------------

@@ -19,9 +19,9 @@ import numpy as np
 from ..dtypes import Dtype
 from ..symmetries import ElementarySpace
 from ..tensors import (
-    DiagonalTensor, SymmetricTensor, combine_legs, dagger, entropy, inner, item,
-    norm, permute_legs, pinv, scale_axis, split_legs, svd_apply_mask, tdot, trace,
-    truncate_singular_values, svd,
+    DiagonalTensor, SymmetricTensor, combine_legs, compose, dagger, entropy, inner,
+    item, norm, permute_legs, pinv, scale_axis, split_legs, svd_apply_mask, tdot,
+    trace, truncate_singular_values, svd,
 )
 
 __all__ = ['SimpleMPS', 'split_truncate_theta']
@@ -73,6 +73,82 @@ class SimpleMPS:
             left_leg = right_leg
         return cls(Bs, Ss)
 
+    @classmethod
+    def from_singlet_pairs(cls, site_leg, L: int, backend=None,
+                           dtype=Dtype.float64) -> SimpleMPS:
+        """Product of nearest-neighbor singlet pairs (SU(2)-invariant MPS).
+
+        Right-canonical by construction: even sites carry the identity (/sqrt 2 of
+        the Schmidt split), odd sites the epsilon tensor.
+        """
+        assert L % 2 == 0
+        symmetry = site_leg.symmetry
+        triv = ElementarySpace(symmetry, symmetry.trivial_sector[None, :])
+        half = site_leg  # the bond inside a pair carries the same rep as the site
+        d = int(site_leg.dim)
+        eps = np.zeros((d, d))
+        for a in range(d):
+            eps[a, d - 1 - a] = (-1.) ** a
+        Bs, Ss = [], []
+        for i in range(L):
+            if i % 2 == 0:
+                block = (np.eye(d) / np.sqrt(d)).reshape(1, d, d)
+                B = SymmetricTensor.from_dense_block(
+                    block, [triv, site_leg], [half], backend=backend,
+                    labels=['vL', 'p', 'vR'], dtype=dtype)
+                S = DiagonalTensor.from_eye(triv, backend=B.backend,
+                                            labels=['vL', 'vL*'], dtype=dtype)
+            else:
+                block = eps.reshape(d, d, 1)
+                B = SymmetricTensor.from_dense_block(
+                    block, [half, site_leg], [triv], backend=backend,
+                    labels=['vL', 'p', 'vR'], dtype=dtype)
+                S = DiagonalTensor.from_sector_block_func(
+                    lambda shape, c: B.backend.block_backend.ones(shape, dtype)
+                    / np.sqrt(d), half, backend=B.backend, labels=['vL', 'vL*'])
+            Bs.append(B)
+            Ss.append(S)
+        return cls(Bs, Ss)
+
+    @classmethod
+    def from_fusion_pairs(cls, site_leg, L: int, backend=None,
+                          dtype=Dtype.float64) -> SimpleMPS:
+        """Pairs of neighboring sites fused to the vacuum (works for anyons).
+
+        The generalization of :meth:`from_singlet_pairs` to arbitrary symmetries,
+        built sector-wise (no dense detour).
+        """
+        assert L % 2 == 0
+        from ..backends import get_backend
+
+        symmetry = site_leg.symmetry
+        if backend is None:
+            backend = get_backend(symmetry)
+        bb = backend.block_backend
+        triv = ElementarySpace(symmetry, symmetry.trivial_sector[None, :])
+        bond = site_leg.as_ket_space() if site_leg.is_dual else site_leg
+
+        def ones_func(shape, coupled):
+            return bb.ones(shape, dtype)
+
+        Bs, Ss = [], []
+        for i in range(L):
+            if i % 2 == 0:
+                B = SymmetricTensor.from_sector_block_func(
+                    ones_func, [triv, site_leg], [bond], backend=backend,
+                    labels=[['vL', 'p'], ['vR']])
+                S = DiagonalTensor.from_eye(triv, backend=backend,
+                                            labels=['vL', 'vL*'], dtype=dtype)
+            else:
+                B = SymmetricTensor.from_sector_block_func(
+                    ones_func, [bond, site_leg], [triv], backend=backend,
+                    labels=[['vL', 'p'], ['vR']])
+                S = DiagonalTensor.from_eye(bond, backend=backend,
+                                            labels=['vL', 'vL*'], dtype=dtype)
+            Bs.append(B)
+            Ss.append(S)
+        return cls(Bs, Ss)
+
     # --- structure -------------------------------------------------------------------
 
     def get_theta1(self, i: int) -> SymmetricTensor:
@@ -97,21 +173,26 @@ class SimpleMPS:
     # --- measurements -----------------------------------------------------------------
 
     def site_expectation_value(self, op, i: int):
-        """<psi| op_i |psi> for a single-site operator (codomain [p], domain [p])."""
+        """<psi| op_i |psi> for a single-site operator (codomain [p], domain [p]).
+
+        Uses only planar rearrangements plus the structural Frobenius inner product,
+        so it is anyon-safe.
+        """
         theta = self.get_theta1(i)
-        op_theta = tdot(op, theta, [1], [1])  # [p; vL, vR ...]
-        res = tdot(dagger(theta), op_theta,
-                   ['p*', 'vL*', 'vR*'], ['p', 'vL', 'vR'])
-        return _as_scalar(res)
+        op = op.relabelled(['p', 'p*'])
+        thp = permute_legs(theta, codomain=['p'], domain=['vL', 'vR'])
+        op_th = compose(op, thp)  # legs [p, vR, vL]
+        op_th = permute_legs(op_th, codomain=['vL', 'p'], domain=['vR'])
+        return inner(theta, op_th, do_dagger=True)
 
     def bond_expectation_value(self, op, i: int):
         """<psi| op_{i,i+1} |psi> for a 2-site op (codomain [p0,p1], domain [p0,p1])."""
         theta = self.get_theta2(i)
         op = op.relabelled(['p0', 'p1', 'p1*', 'p0*'])
-        op_theta = tdot(op, theta, ['p0*', 'p1*'], ['p0', 'p1'])
-        res = tdot(dagger(theta), op_theta,
-                   ['p0*', 'p1*', 'vL*', 'vR*'], ['p0', 'p1', 'vL', 'vR'])
-        return _as_scalar(res)
+        thp = permute_legs(theta, codomain=['p0', 'p1'], domain=['vL', 'vR'])
+        op_th = compose(op, thp)  # legs [p0, p1, vR, vL]
+        op_th = permute_legs(op_th, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+        return inner(theta, op_th, do_dagger=True)
 
     def entanglement_entropy(self) -> list[float]:
         """Von Neumann entropy at each bond (qdim-weighted for non-abelian)."""

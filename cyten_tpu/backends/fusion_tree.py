@@ -1,32 +1,58 @@
 """Tensor backend for general fusion categories (non-abelian groups, fermions, anyons).
 
 Role-equivalent to reference ``cyten/backends/fusion_tree_backend.py`` (storage layout
-:1-78, compose :445, permute engine :2698-3034, tree mappings :3181-3630).
+:1-78, compose :445, permute engine :2698-3034, tree mappings :3181-3630, dense
+conversion :2393-2565).
 
-Storage: per coupled sector ``c`` one matrix block ``[codomain tree basis x domain tree
-basis]``; ``block_inds[n] = (i, j)`` index the (co)domain sector decompositions.
+Storage: per coupled sector ``c`` one matrix block ``[codomain tree basis x domain
+tree basis]`` (reusing :class:`BlockSparseData` with 2-column block_inds into the
+(co)domain sector decompositions). A tensor is
 
-TPU-first design: all tree manipulation (braids, bends, F/R/B/C symbol evaluation)
-happens host-side at trace time and is compiled into static per-sector coefficient
-matrices, applied on-device as dense matmuls. See ``trees.py`` for the move algebra.
+    T = sum_c sum_{Y, X} block_c[Y-slice, X-slice] . hconj(Y) ∘ X
 
-Implementation lands in stage S4 of the build plan (SURVEY.md §7); this module
-currently provides the class skeleton so that backend selection works.
+where Y runs over fusion trees of the codomain uncoupled sectors into c (the
+*splitting* trees, stored as fusion trees), X over fusion trees of the domain.
+Row layout per coupled block: uncoupled sector combinations (C-style over flat legs),
+then tree index, then multiplicity indices (C-style) — provided by
+``TensorProduct.iter_tree_blocks`` / ``tree_block_slice``.
+
+TPU-first design: *all* recoupling (F/R/B/C symbols, tree moves) happens host-side at
+trace time; ``permute_legs`` compiles the move sequence into a per-coupled-sector
+scatter/gather plan of static slices and coefficients, applied on-device as dense
+adds/GEMMs. Plans are memoized on the (codomain, domain, permutation, levels) key.
 """
 
 from __future__ import annotations
 
-from ..symmetries import Symmetry
-from ._backend import TensorBackend
-from .data import BlockSparseData
+import functools
+from typing import Callable
+
+import numpy as np
+
+from ..dtypes import Dtype
+from ..symmetries import (
+    ElementarySpace, Leg, LegPipe, Symmetry, SymmetryError, TensorProduct,
+)
+from ..symmetries.trees import FusionTree, fusion_trees
+from ..tools.misc import iter_common_sorted_arrays
+from ._backend import TensorBackend, conventional_leg_order
+from .data import BlockSparseData, DiagonalBlockData, MaskBlockData
+from .no_symmetry import _sort_eigh
 
 __all__ = ['FusionTreeBackend']
 
+EPS = 5e-14  # zero-block pruning (reference fusion_tree_backend.py:249)
 
-class _NotImplementedYet:
-    def __get__(self, obj, objtype=None):
-        raise NotImplementedError(
-            'FusionTreeBackend op not implemented yet (build stage S4).')
+
+def _coupled_sectors(codomain: TensorProduct, domain: TensorProduct):
+    """(sectors, i_cod, j_dom): coupled sectors present in both decompositions."""
+    pairs = list(iter_common_sorted_arrays(codomain.sector_decomposition,
+                                           domain.sector_decomposition))
+    sectors = np.array([codomain.sector_decomposition[i] for i, _ in pairs],
+                       dtype=int).reshape(len(pairs), codomain.symmetry.sector_ind_len)
+    i_cod = np.array([i for i, _ in pairs], dtype=np.intp)
+    j_dom = np.array([j for _, j in pairs], dtype=np.intp)
+    return sectors, i_cod, j_dom
 
 
 class FusionTreeBackend(TensorBackend):
@@ -38,11 +64,904 @@ class FusionTreeBackend(TensorBackend):
     def supports_symmetry(self, symmetry: Symmetry) -> bool:
         return True
 
-    def __getattr__(self, name):
-        # abstract ops not yet implemented -> clear error instead of TypeError at init
+    def test_tensor_sanity(self, a, is_diagonal: bool = False):
+        data = a.data
+        if is_diagonal:
+            assert isinstance(data, DiagonalBlockData)
+            for block, i in zip(data.blocks, data.block_inds):
+                self.block_backend.test_block_sanity(
+                    block, expect_shape=(int(a.leg.multiplicities[i]),))
+            return
+        assert isinstance(data, BlockSparseData)
+        assert data.block_inds.shape[1] == 2
+        for block, (i, j) in zip(data.blocks, data.block_inds):
+            assert np.all(a.codomain.sector_decomposition[i]
+                          == a.domain.sector_decomposition[j])
+            self.block_backend.test_block_sanity(
+                block, expect_shape=(int(a.codomain.multiplicities[i]),
+                                     int(a.domain.multiplicities[j])))
+
+    def test_mask_sanity(self, a):
+        data = a.data
+        assert isinstance(data, MaskBlockData)
+        for block, (i_small, i_large) in zip(data.blocks, data.block_inds):
+            assert np.all(a.small_leg.sector_decomposition[i_small]
+                          == a.large_leg.sector_decomposition[i_large])
+            assert self.block_backend.sum_mask(block) \
+                == a.small_leg.multiplicities[i_small]
+
+    # --- creation ------------------------------------------------------------------------
+
+    def zero_data(self, codomain, domain, dtype):
+        return BlockSparseData([], np.zeros((0, 2), np.intp), dtype, is_sorted=True)
+
+    def eye_data(self, codomain, domain, dtype):
+        blocks = []
+        rows = []
+        sectors, i_cod, j_dom = _coupled_sectors(codomain, domain)
+        for c, i, j in zip(sectors, i_cod, j_dom):
+            m = int(codomain.multiplicities[i])
+            blocks.append(self.block_backend.eye_matrix(m, dtype))
+            rows.append((i, j))
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
+
+    def from_sector_block_func(self, func, codomain, domain):
+        blocks = []
+        rows = []
+        sectors, i_cod, j_dom = _coupled_sectors(codomain, domain)
+        for c, i, j in zip(sectors, i_cod, j_dom):
+            shape = (int(codomain.multiplicities[i]), int(domain.multiplicities[j]))
+            blocks.append(func(shape, c))
+            rows.append((i, j))
+        dtype = self.block_backend.get_dtype(blocks[0]) if blocks else Dtype.float64
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
+
+    def copy_data(self, a):
+        return BlockSparseData([self.block_backend.copy_block(b)
+                                for b in a.data.blocks],
+                               a.data.block_inds.copy(), a.data.dtype, is_sorted=True)
+
+    # --- dense conversion -------------------------------------------------------------------
+
+    def to_dense_block(self, a):
+        """Sum of coeff * (dense splitting tree) ⊗ conj(dense fusion tree)."""
+        sym = a.symmetry
+        if not sym.can_be_dropped:
+            raise SymmetryError(f'to_dense_block is meaningless for {sym}')
+        bb = self.block_backend
+        spaces = list(conventional_leg_order(a.codomain, a.domain))
+        # dense axes: [cod flat legs ..., rev dom flat legs ...]
+        cod_legs = a.codomain.flat_legs
+        dom_legs = a.domain.flat_legs
+        shape = tuple(int(l.dim) for l in cod_legs) \
+            + tuple(int(l.dim) for l in reversed(dom_legs))
+        res = np.zeros(shape, dtype=complex)
+        lookup = {(int(i), int(j)): n for n, (i, j) in enumerate(a.data.block_inds)}
+        sectors, i_cod, j_dom = _coupled_sectors(a.codomain, a.domain)
+        for c, i, j in zip(sectors, i_cod, j_dom):
+            n = lookup.get((int(i), int(j)))
+            if n is None:
+                continue
+            block = bb.to_numpy(a.data.blocks[n])
+            for Y, row_slc, row_mults, _ in a.codomain.iter_tree_blocks([c]):
+                Y_dense = Y.as_block()  # [m_a1.., m_c]
+                for X, col_slc, col_mults, _ in a.domain.iter_tree_blocks([c]):
+                    coeffs = block[row_slc, col_slc]
+                    if np.linalg.norm(coeffs) < EPS:
+                        continue
+                    X_dense = np.conj(X.as_block())  # [m_b1.., m_c]
+                    # coeffs[rows, cols] with rows = C-flat cod mults, cols likewise
+                    C = coeffs.reshape(tuple(row_mults) + tuple(col_mults))
+                    # contribution[a1..aJ, b1..bM] = sum_mc Y[a.., mc] X*[b.., mc]
+                    trees = np.tensordot(Y_dense, X_dense,
+                                         (Y_dense.ndim - 1, X_dense.ndim - 1))
+                    # trees axes: [d_a1.., d_b1..]; C axes: [m_a1.., m_b1..]
+                    contrib = _mult_kron(C, trees, len(row_mults), len(col_mults))
+                    # contrib axes: [(m,d)_a1.., (m,d)_b1..] merged per leg, in
+                    # cod flat order then dom flat (factor) order
+                    _scatter_tree_contribution(res, contrib, cod_legs, dom_legs,
+                                               Y, X)
+        # sector basis -> public basis (per flat leg)
+        for ax, leg in enumerate(cod_legs + list(reversed(dom_legs))):
+            if leg._basis_perm is not None:
+                res = np.take(res, leg.inverse_basis_perm, axis=ax)
+        if np.allclose(res.imag, 0, atol=1e-14 * max(1., float(np.abs(res).max() if res.size else 0.))):
+            res = res.real.copy()
+        return bb.as_block(res)
+
+    def from_dense_block(self, block, codomain, domain, tol):
+        sym = codomain.symmetry
+        if not sym.can_be_dropped:
+            raise SymmetryError(f'from_dense_block is meaningless for {sym}')
+        bb = self.block_backend
+        arr = np.asarray(bb.to_numpy(block))
+        dtype = Dtype.from_numpy(arr.dtype) if arr.dtype != bool else Dtype.float64
+        cod_legs = codomain.flat_legs
+        dom_legs = domain.flat_legs
+        # public -> sector basis
+        for ax, leg in enumerate(cod_legs + list(reversed(dom_legs))):
+            if leg._basis_perm is not None:
+                arr = np.take(arr, leg.basis_perm, axis=ax)
+        sectors, i_cod, j_dom = _coupled_sectors(codomain, domain)
+        blocks = []
+        rows = []
+        total_sq = np.linalg.norm(arr.reshape(-1)) ** 2
+        kept_sq = 0.
+        for c, i, j in zip(sectors, i_cod, j_dom):
+            d_c = sym.sector_dim(c)
+            qd_c = sym.qdim(c)
+            M = int(codomain.multiplicities[i])
+            N = int(domain.multiplicities[j])
+            coeffs = np.zeros((M, N), dtype=complex)
+            for Y, row_slc, row_mults, _ in codomain.iter_tree_blocks([c]):
+                Y_dense = Y.as_block()
+                for X, col_slc, col_mults, _ in domain.iter_tree_blocks([c]):
+                    X_dense = np.conj(X.as_block())
+                    trees = np.tensordot(Y_dense, X_dense,
+                                         (Y_dense.ndim - 1, X_dense.ndim - 1))
+                    sub = _gather_tree_contribution(arr, cod_legs, dom_legs, Y, X)
+                    # sub axes: [(m,d)_a.., (m,d)_b..]; project onto trees / d_c
+                    C = _mult_unkron(sub, trees, row_mults, col_mults) / d_c
+                    coeffs[row_slc, col_slc] = C.reshape(
+                        int(np.prod(row_mults)) if len(row_mults) else 1,
+                        int(np.prod(col_mults)) if len(col_mults) else 1)
+            kept_sq += qd_c * np.linalg.norm(coeffs) ** 2
+            if np.linalg.norm(coeffs) > EPS:
+                if np.allclose(coeffs.imag, 0):
+                    coeffs = coeffs.real.copy()
+                else:
+                    dtype = dtype.to_complex
+                blocks.append(coeffs)
+                rows.append((int(i), int(j)))
+        if tol is not None and total_sq > 0:
+            if abs(total_sq - kept_sq) / total_sq > tol ** 2 + tol:
+                raise ValueError('Block is not symmetric up to tolerance: '
+                                 f'{abs(total_sq - kept_sq) / total_sq}')
+        blocks = [bb.as_block(b, dtype) for b in blocks]
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
+
+    # --- elementary ops -----------------------------------------------------------------------
+
+    def compose(self, a, b):
+        """Per-coupled-sector GEMM: matched by a.domain == b.codomain decomposition."""
+        bb = self.block_backend
+        dtype = Dtype.common(a.data.dtype, b.data.dtype)
+        a_by_j = {int(j): n for n, (i, j) in enumerate(a.data.block_inds)}
+        # a.domain == b.codomain, but decomposition *orders* may differ if objects
+        # differ; they are equal TensorProducts, so indices align directly.
+        blocks, rows = [], []
+        for m, (k, l) in enumerate(b.data.block_inds):
+            n = a_by_j.get(int(k))
+            if n is None:
+                continue
+            i = int(a.data.block_inds[n, 0])
+            blocks.append(bb.matrix_dot(a.data.blocks[n], b.data.blocks[m]))
+            rows.append((i, int(l)))
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
+
+    def dagger(self, a):
+        bb = self.block_backend
+        blocks = [bb.permute_axes(bb.conj(blk), [1, 0]) for blk in a.data.blocks]
+        return BlockSparseData(blocks, a.data.block_inds[:, ::-1], a.data.dtype)
+
+    def mul(self, a, b):
+        dtype = b.data.dtype
+        if isinstance(a, complex) and a.imag != 0:
+            dtype = dtype.to_complex
+        bb = self.block_backend
+        blocks = [bb.mul(a, bb.to_dtype(blk, dtype)) for blk in b.data.blocks]
+        if isinstance(b.data, DiagonalBlockData):
+            return DiagonalBlockData(blocks, b.data.block_inds, dtype, is_sorted=True)
+        return BlockSparseData(blocks, b.data.block_inds, dtype, is_sorted=True)
+
+    def linear_combination(self, a, v, b, w):
+        # identical structure to the abelian case: align blocks by block_inds rows
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.linear_combination(self, a, v, b, w)
+
+    def to_dtype(self, a, dtype):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.to_dtype(self, a, dtype)
+
+    def get_dtype_from_data(self, a):
+        return a.dtype
+
+    def _qdim_of_block(self, a, n: int) -> float:
+        i = int(a.data.block_inds[n, 0])
+        return float(a.codomain.symmetry.qdim(a.codomain.sector_decomposition[i]))
+
+    def norm(self, a):
+        if isinstance(a.data, DiagonalBlockData):
+            leg = a.leg
+            total = sum(float(leg.sector_qdims[int(i)])
+                        * self.block_backend.norm(b) ** 2
+                        for b, i in zip(a.data.blocks, a.data.block_inds))
+            return float(np.sqrt(total))
+        total = 0.
+        for n, b in enumerate(a.data.blocks):
+            total = total + self._qdim_of_block(a, n) * self.block_backend.norm(b) ** 2
+        res = total ** 0.5
+        return float(res) if isinstance(res, (int, float)) else res
+
+    def inner(self, a, b, do_dagger):
+        bb = self.block_backend
+        lookup = {tuple(r): n for n, r in enumerate(b.data.block_inds)}
+        res = None
+        sym = a.symmetry
+        for n, row in enumerate(a.data.block_inds):
+            if do_dagger:
+                m = lookup.get(tuple(row))
+            else:
+                m = lookup.get(tuple(row[::-1]))
+            if m is None:
+                continue
+            qd = self._qdim_of_block(a, n)
+            if do_dagger:
+                term = bb.inner(a.data.blocks[n], b.data.blocks[m], do_dagger=True)
+            else:
+                term = bb.block_sum_all(
+                    bb.mul(1., a.data.blocks[n])
+                    * bb.permute_axes(b.data.blocks[m], [1, 0]))
+            term = qd * term
+            res = term if res is None else bb.add(res, term)
+        if res is None:
+            return Dtype.common(a.data.dtype, b.data.dtype).zero_scalar
+        return bb.block_item(res)
+
+    def item(self, a):
+        if len(a.data.blocks) == 0:
+            return a.data.dtype.zero_scalar
+        assert len(a.data.blocks) == 1
+        return self.block_backend.block_item(a.data.blocks[0])
+
+    def trace_full(self, a):
+        bb = self.block_backend
+        sym = a.symmetry
+        res = None
+        for n, (i, j) in enumerate(a.data.block_inds):
+            qd = self._qdim_of_block(a, n)
+            term = qd * bb.trace_full(a.data.blocks[n])
+            res = term if res is None else bb.add(res, term)
+        if res is None:
+            return a.data.dtype.zero_scalar
+        return bb.block_item(res)
+
+    def get_element(self, a, idcs):
+        blk = self.to_dense_block(a)
+        return self.block_backend.get_block_element(blk, [int(i) for i in idcs])
+
+    def act_block_diagonal_square_matrix(self, a, block_method, dtype_map):
+        bb = self.block_backend
+        sectors, i_cod, j_dom = _coupled_sectors(a.codomain, a.domain)
+        lookup = {tuple(r): n for n, r in enumerate(a.data.block_inds)}
+        blocks, rows = [], []
+        for c, i, j in zip(sectors, i_cod, j_dom):
+            n = lookup.get((int(i), int(j)))
+            if n is None:
+                m = int(a.codomain.multiplicities[i])
+                block = bb.zeros((m, m), a.data.dtype)
+            else:
+                block = a.data.blocks[n]
+            blocks.append(block_method(block))
+            rows.append((int(i), int(j)))
+        dtype = a.data.dtype if dtype_map is None else dtype_map(a.data.dtype)
+        blocks = [bb.to_dtype(b, dtype) for b in blocks]
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
+
+    # --- structure ops -------------------------------------------------------------------------
+
+    def combine_legs(self, a, leg_idcs_combine, pipes, new_codomain, new_domain):
+        # pipes only regroup metadata; tree-basis enumeration uses flat legs
+        # (reference fusion_tree_backend.py:435-443)
+        return BlockSparseData(list(a.data.blocks), a.data.block_inds.copy(),
+                               a.data.dtype, is_sorted=True)
+
+    def split_legs(self, a, leg_idcs, codomain_split, domain_split, new_codomain,
+                   new_domain):
+        return BlockSparseData(list(a.data.blocks), a.data.block_inds.copy(),
+                               a.data.dtype, is_sorted=True)
+
+    def add_trivial_leg(self, a, legs_pos, add_to_domain, co_domain_pos, new_codomain,
+                        new_domain):
+        # the tree bases with an extra trivial sector are in 1:1 correspondence;
+        # row/column layouts are unchanged because the trivial sector fuses trivially
+        # and multiplicity 1 does not reorder strides.
+        rows = []
+        for i, j in a.data.block_inds:
+            c = a.codomain.sector_decomposition[i]
+            i_new = _sector_index(new_codomain, c)
+            j_new = _sector_index(new_domain, c)
+            rows.append((i_new, j_new))
+        return BlockSparseData(list(a.data.blocks),
+                               np.array(rows, np.intp).reshape(-1, 2),
+                               a.data.dtype)
+
+    def squeeze_legs(self, a, idcs, new_codomain, new_domain):
+        rows = []
+        for i, j in a.data.block_inds:
+            c = a.codomain.sector_decomposition[i]
+            i_new = _sector_index(new_codomain, c)
+            j_new = _sector_index(new_domain, c)
+            rows.append((i_new, j_new))
+        return BlockSparseData(list(a.data.blocks),
+                               np.array(rows, np.intp).reshape(-1, 2),
+                               a.data.dtype)
+
+    def outer(self, a, b, new_codomain, new_domain):
+        raise NotImplementedError('outer for FusionTreeBackend: planned (stage S4b)')
+
+    def partial_trace(self, a, pairs, levels, new_codomain, new_domain):
         raise NotImplementedError(
-            f'FusionTreeBackend.{name} not implemented yet (build stage S4).')
+            'partial_trace for FusionTreeBackend: planned (stage S4b)')
+
+    # --- permute_legs (braids & bends) ----------------------------------------------------------
+
+    def permute_legs(self, a, codomain_idcs, domain_idcs, levels, new_codomain,
+                     new_domain):
+        from .tree_moves import permute_legs_plan
+
+        key_levels = None if levels is None else tuple(levels)
+        plan = permute_legs_plan(a.codomain, a.domain, tuple(codomain_idcs),
+                                 tuple(domain_idcs), key_levels)
+        if plan is None:
+            return None  # levels required
+        return self._apply_plan(a, plan, new_codomain, new_domain)
+
+    def _apply_plan(self, a, plan, new_codomain, new_domain):
+        """Apply a tree-pair mapping plan: gather slices, scale, permute mult axes,
+        scatter into new blocks."""
+        bb = self.block_backend
+        dtype = a.data.dtype
+        if plan.complex_coeffs:
+            dtype = dtype.to_complex
+        lookup = {tuple(r): n for n, r in enumerate(a.data.block_inds)}
+        new_blocks: dict[tuple, object] = {}
+        for entry in plan.entries:
+            n = lookup.get(entry.old_block_key)
+            if n is None:
+                continue
+            old = a.data.blocks[n]
+            sub = old[entry.old_row_slc, entry.old_col_slc]
+            sub = bb.to_dtype(sub, dtype)
+            # reshape to mult axes [row mults..., col mults...], permute, reshape
+            sub = bb.reshape(sub, entry.mult_shape)
+            sub = bb.permute_axes(sub, entry.axis_perm)
+            sub = bb.reshape(sub, entry.new_shape_2d)
+            coeff = entry.coeff
+            key = entry.new_block_key
+            target = new_blocks.get(key)
+            if target is None:
+                i_new, j_new = key
+                shape = (int(new_codomain.multiplicities[i_new]),
+                         int(new_domain.multiplicities[j_new]))
+                target = bb.zeros(shape, dtype)
+            add = bb.mul(coeff, sub)
+            slc = (entry.new_row_slc, entry.new_col_slc)
+            cur = target[slc]
+            target = bb._setitem(target, slc, bb.add(cur, add))
+            new_blocks[key] = target
+        rows = list(new_blocks.keys())
+        blocks = [new_blocks[r] for r in rows]
+        # prune zero blocks (host-side only when concrete)
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(len(rows), 2),
+                               dtype)
+
+    # --- decompositions ---------------------------------------------------------------------------
+
+    def _matched(self, a, new_leg):
+        cod = a.codomain
+        dom = a.domain
+        lookup = {tuple(r): n for n, r in enumerate(a.data.block_inds)}
+        for k in range(new_leg.num_sectors):
+            c = new_leg.sector_decomposition[k]
+            i = _sector_index(cod, c)
+            j = _sector_index(dom, c)
+            n = lookup.get((i, j))
+            yield k, i, j, (None if n is None else a.data.blocks[n])
+
+    def svd(self, a, new_leg, algorithm):
+        bb = self.block_backend
+        u_blocks, u_rows, s_blocks, s_rows, vh_blocks, vh_rows = [], [], [], [], [], []
+        for k, i, j, block in self._matched(a, new_leg):
+            m = int(a.codomain.multiplicities[i])
+            n_ = int(a.domain.multiplicities[j])
+            kdim = int(new_leg.multiplicities[k])
+            if block is None:
+                u = bb.eye_matrix(m, a.data.dtype)[:, :kdim]
+                s = bb.zeros((kdim,), a.data.dtype.to_real)
+                vh = bb.eye_matrix(n_, a.data.dtype)[:kdim, :]
+            else:
+                u, s, vh = bb.matrix_svd(block, algorithm)
+            u_blocks.append(u)
+            u_rows.append((i, k))
+            s_blocks.append(s)
+            s_rows.append(k)
+            vh_blocks.append(vh)
+            vh_rows.append((k, j))
+        dtype = a.data.dtype
+        return (BlockSparseData(u_blocks, np.array(u_rows, np.intp).reshape(-1, 2),
+                                dtype),
+                DiagonalBlockData(s_blocks, np.array(s_rows, np.intp), dtype.to_real),
+                BlockSparseData(vh_blocks, np.array(vh_rows, np.intp).reshape(-1, 2),
+                                dtype))
+
+    def qr(self, a, new_leg):
+        bb = self.block_backend
+        q_blocks, q_rows, r_blocks, r_rows = [], [], [], []
+        for k, i, j, block in self._matched(a, new_leg):
+            m = int(a.codomain.multiplicities[i])
+            n_ = int(a.domain.multiplicities[j])
+            kdim = int(new_leg.multiplicities[k])
+            if block is None:
+                q = bb.eye_matrix(m, a.data.dtype)[:, :kdim]
+                r = bb.zeros((kdim, n_), a.data.dtype)
+            else:
+                q, r = bb.matrix_qr(block)
+            q_blocks.append(q)
+            q_rows.append((i, k))
+            r_blocks.append(r)
+            r_rows.append((k, j))
+        return (BlockSparseData(q_blocks, np.array(q_rows, np.intp).reshape(-1, 2),
+                                a.data.dtype),
+                BlockSparseData(r_blocks, np.array(r_rows, np.intp).reshape(-1, 2),
+                                a.data.dtype))
+
+    def lq(self, a, new_leg):
+        bb = self.block_backend
+        l_blocks, l_rows, q_blocks, q_rows = [], [], [], []
+        for k, i, j, block in self._matched(a, new_leg):
+            m = int(a.codomain.multiplicities[i])
+            n_ = int(a.domain.multiplicities[j])
+            kdim = int(new_leg.multiplicities[k])
+            if block is None:
+                l = bb.zeros((m, kdim), a.data.dtype)
+                q = bb.eye_matrix(n_, a.data.dtype)[:kdim, :]
+            else:
+                l, q = bb.matrix_lq(block)
+            l_blocks.append(l)
+            l_rows.append((i, k))
+            q_blocks.append(q)
+            q_rows.append((k, j))
+        return (BlockSparseData(l_blocks, np.array(l_rows, np.intp).reshape(-1, 2),
+                                a.data.dtype),
+                BlockSparseData(q_blocks, np.array(q_rows, np.intp).reshape(-1, 2),
+                                a.data.dtype))
+
+    def eigh(self, a, new_leg, sort):
+        bb = self.block_backend
+        w_blocks, w_rows, v_blocks, v_rows = [], [], [], []
+        for k, i, j, block in self._matched(a, new_leg):
+            m = int(a.codomain.multiplicities[i])
+            if block is None:
+                w = bb.zeros((m,), a.data.dtype.to_real)
+                v = bb.eye_matrix(m, a.data.dtype)
+            else:
+                w, v = bb.matrix_eigh(block)
+                w, v = _sort_eigh(bb, w, v, sort)
+            w_blocks.append(w)
+            w_rows.append(k)
+            v_blocks.append(v)
+            v_rows.append((i, k))
+        return (DiagonalBlockData(w_blocks, np.array(w_rows, np.intp),
+                                  a.data.dtype.to_real),
+                BlockSparseData(v_blocks, np.array(v_rows, np.intp).reshape(-1, 2),
+                                a.data.dtype))
+
+    # --- diagonal / mask -------------------------------------------------------------------------
+
+    def diagonal_from_sector_block_func(self, func, leg):
+        blocks = [func((int(leg.multiplicities[i]),), leg.sector_decomposition[i])
+                  for i in range(leg.num_sectors)]
+        dtype = self.block_backend.get_dtype(blocks[0]) if blocks else Dtype.float64
+        return DiagonalBlockData(blocks, np.arange(leg.num_sectors, dtype=np.intp),
+                                 dtype, is_sorted=True)
+
+    def diagonal_from_block(self, block, leg, tol):
+        raise SymmetryError('diagonal_from_block requires can_be_dropped; use '
+                            'from_sector_block_func')
+
+    def diagonal_to_block(self, a):
+        raise SymmetryError('diagonal_to_block requires can_be_dropped')
+
+    def diagonal_data_from_full_tensor(self, a, check_offdiagonal):
+        bb = self.block_backend
+        blocks = [bb.get_diagonal(b, check_offdiagonal) for b in a.data.blocks]
+        block_inds = a.data.block_inds[:, 0]
+        return DiagonalBlockData(blocks, block_inds, a.data.dtype, is_sorted=True)
+
+    def full_data_from_diagonal_tensor(self, a):
+        bb = self.block_backend
+        blocks = [bb.block_from_diagonal(b) for b in a.data.blocks]
+        block_inds = np.repeat(a.data.block_inds[:, None], 2, axis=1)
+        return BlockSparseData(blocks, block_inds, a.data.dtype, is_sorted=True)
+
+    def diagonal_elementwise_unary(self, a, func, func_kwargs, maps_zero_to_zero):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.diagonal_elementwise_unary(
+            self, a, func, func_kwargs, maps_zero_to_zero)
+
+    def diagonal_elementwise_binary(self, a, b, func, func_kwargs,
+                                    partial_zero_is_zero):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.diagonal_elementwise_binary(
+            self, a, b, func, func_kwargs, partial_zero_is_zero)
+
+    def diagonal_all(self, a):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.diagonal_all(self, a)
+
+    def diagonal_any(self, a):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.diagonal_any(self, a)
+
+    def diagonal_sum_all(self, a):
+        # trace weighting: sum over sector values times qdim
+        bb = self.block_backend
+        leg = a.leg
+        res = None
+        for b, i in zip(a.data.blocks, a.data.block_inds):
+            term = float(leg.sector_qdims[int(i)]) * bb.block_sum_all(b)
+            res = term if res is None else bb.add(res, term)
+        if res is None:
+            return a.data.dtype.zero_scalar
+        return bb.block_item(res)
+
+    def diagonal_to_mask(self, a):
+        bb = self.block_backend
+        leg = a.leg
+        blocks, rows, sectors, mults = [], [], [], []
+        for b, i in zip(a.data.blocks, a.data.block_inds):
+            mask_np = bb.to_numpy(b).astype(bool)
+            if not mask_np.any():
+                continue
+            sectors.append(leg.sector_decomposition[int(i)])
+            mults.append(int(mask_np.sum()))
+            blocks.append(bb.as_block(mask_np, Dtype.bool))
+            rows.append(int(i))
+        if sectors:
+            small_leg = ElementarySpace.from_sector_decomposition(
+                leg.symmetry, np.array(sectors, int), np.array(mults, int),
+                is_dual=leg.is_dual, unique_sectors=True)
+        else:
+            small_leg = ElementarySpace.from_null_space(leg.symmetry, leg.is_dual)
+        small_leg._basis_perm = None
+        small_leg._inverse_basis_perm = None
+        mask_rows = []
+        for i, sector in zip(rows, sectors):
+            i_small = small_leg.sector_decomposition_where(np.asarray(sector))
+            mask_rows.append((i_small, i))
+        data = MaskBlockData(blocks,
+                             np.array(mask_rows, np.intp).reshape(len(blocks), 2))
+        return data, small_leg
+
+    def diagonal_transpose(self, a):
+        return a.leg.dual, a.data
+
+    def scale_axis(self, a, diag, leg_idx):
+        """Multiply a diagonal acting on one (co)domain factor into the blocks."""
+        bb = self.block_backend
+        dtype = Dtype.common(a.data.dtype, diag.data.dtype)
+        K = a.num_codomain_legs
+        in_codomain = leg_idx < K
+        side = a.codomain if in_codomain else a.domain
+        flat_pos = leg_idx if in_codomain else a.num_legs - 1 - leg_idx
+        d_lookup = {int(i): n for n, i in enumerate(diag.data.block_inds)}
+        blocks, rows = [], []
+        for n, (i, j) in enumerate(a.data.block_inds):
+            c = a.codomain.sector_decomposition[i]
+            factors = _row_scale_factors(side, c, flat_pos, diag, d_lookup, bb)
+            if factors is None:
+                continue
+            block = bb.to_dtype(a.data.blocks[n], dtype)
+            if in_codomain:
+                block = block * bb.reshape(factors, (-1, 1))
+            else:
+                block = block * bb.reshape(factors, (1, -1))
+            blocks.append(block)
+            rows.append((int(i), int(j)))
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
+
+    def mask_from_block(self, block, large_leg):
+        sym = large_leg.symmetry
+        if not sym.can_be_dropped:
+            raise SymmetryError('mask_from_block requires can_be_dropped; use '
+                                'Mask.from_DiagonalTensor')
+        bb = self.block_backend
+        mask_np = bb.to_numpy(block).astype(bool)
+        if large_leg._basis_perm is not None:
+            mask_np = mask_np[large_leg.basis_perm]
+        blocks = []
+        for i in range(large_leg.num_sectors):
+            seg = mask_np[int(large_leg.slices[i, 0]):int(large_leg.slices[i, 1])]
+            d = int(large_leg.sector_dims[i])
+            per_mult = seg.reshape(-1, d)
+            assert np.all(per_mult == per_mult[:, :1]), \
+                'mask must keep or drop whole multiplets'
+            blocks.append(bb.as_block(per_mult[:, 0], Dtype.bool))
+        diag = DiagonalBlockData(blocks,
+                                 np.arange(large_leg.num_sectors, dtype=np.intp),
+                                 Dtype.bool, is_sorted=True)
+
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.data = diag
+        shim.leg = large_leg
+        return self.diagonal_to_mask(shim)
+
+    def mask_to_block(self, a):
+        raise SymmetryError('mask_to_block requires can_be_dropped')
+
+    def mask_to_diagonal(self, a, leg):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.mask_to_diagonal(self, a, leg)
+
+    def mask_dagger(self, a):
+        return MaskBlockData(list(a.data.blocks), a.data.block_inds[:, ::-1])
+
+    def mask_binary_operand(self, a, b, func):
+        # align per large-leg sector
+        bb = self.block_backend
+        a_lookup = {int(il): n for n, (i_s, il) in enumerate(a.data.block_inds)}
+        b_lookup = {int(il): n for n, (i_s, il) in enumerate(b.data.block_inds)}
+        large = a.large_leg
+        vals = []
+        for i in range(large.num_sectors):
+            m = int(large.multiplicities[i])
+            blk_a = (bb.to_numpy(a.data.blocks[a_lookup[i]]).astype(bool)
+                     if i in a_lookup else np.zeros(m, bool))
+            blk_b = (bb.to_numpy(b.data.blocks[b_lookup[i]]).astype(bool)
+                     if i in b_lookup else np.zeros(m, bool))
+            vals.append(np.asarray(func(blk_a, blk_b)).astype(bool))
+        diag = DiagonalBlockData(
+            [bb.as_block(v, Dtype.bool) for v in vals],
+            np.arange(large.num_sectors, dtype=np.intp), Dtype.bool, is_sorted=True)
+
+        class _Shim:
+            data = diag
+            leg = large
+
+        return self.diagonal_to_mask(_Shim())
+
+    def mask_unary_operand(self, a, func):
+        bb = self.block_backend
+
+        def binary(x, y):
+            return func(x)
+
+        return self.mask_binary_operand(a, a, binary)
+
+    def full_data_from_mask(self, a, dtype):
+        bb = self.block_backend
+        blocks = [bb.block_from_mask(b, dtype) for b in a.data.blocks]
+        return BlockSparseData(blocks, a.data.block_inds.copy(), dtype)
+
+    def apply_mask_to_DiagonalTensor(self, a, mask):
+        from .abelian import AbelianBackend
+
+        return AbelianBackend.apply_mask_to_DiagonalTensor(self, a, mask)
+
+    def apply_mask_to_Tensor(self, a, mask, leg_idx, new_codomain, new_domain):
+        """Only for masks on a lone (co)domain leg of a <=1-per-side tensor, or on
+        any flat leg via row/col index masks."""
+        bb = self.block_backend
+        K = a.num_codomain_legs
+        in_codomain = leg_idx < K
+        side = a.codomain if in_codomain else a.domain
+        new_side = new_codomain if in_codomain else new_domain
+        flat_pos = leg_idx if in_codomain else a.num_legs - 1 - leg_idx
+        m_lookup = {int(il): n for n, (i_s, il) in enumerate(mask.data.block_inds)}
+        blocks, rows = [], []
+        for n, (i, j) in enumerate(a.data.block_inds):
+            c = a.codomain.sector_decomposition[i]
+            row_mask = _row_mask(side, c, flat_pos, mask, m_lookup, bb)
+            if row_mask is None or not row_mask.any():
+                continue
+            block = a.data.blocks[n]
+            if in_codomain:
+                block = bb.apply_mask(block, bb.as_block(row_mask, Dtype.bool), 0)
+                i_new = _sector_index(new_codomain, c)
+                j_new = int(j) if new_domain is a.domain else \
+                    _sector_index(new_domain, c)
+            else:
+                block = bb.apply_mask(block, bb.as_block(row_mask, Dtype.bool), 1)
+                i_new = int(i) if new_codomain is a.codomain else \
+                    _sector_index(new_codomain, c)
+                j_new = _sector_index(new_domain, c)
+            if i_new is None or j_new is None:
+                continue
+            blocks.append(block)
+            rows.append((i_new, j_new))
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2),
+                               a.data.dtype)
+
+    def enlarge_leg_of_Tensor(self, a, mask, leg_idx, new_codomain, new_domain):
+        bb = self.block_backend
+        K = a.num_codomain_legs
+        in_codomain = leg_idx < K
+        new_side = new_codomain if in_codomain else new_domain
+        flat_pos = leg_idx if in_codomain else a.num_legs - 1 - leg_idx
+        m_lookup = {int(il): n for n, (i_s, il) in enumerate(mask.data.block_inds)}
+        blocks, rows = [], []
+        for n, (i, j) in enumerate(a.data.block_inds):
+            c = a.codomain.sector_decomposition[i]
+            i_new = _sector_index(new_codomain, c)
+            j_new = _sector_index(new_domain, c)
+            if i_new is None or j_new is None:
+                continue
+            # build the row mask of the *new* (enlarged) side; scatter old into it
+            row_mask = _row_mask(new_side, c, flat_pos, mask, m_lookup, bb)
+            if row_mask is None:
+                continue
+            block = a.data.blocks[n]
+            if in_codomain:
+                shape = (len(row_mask), bb.get_shape(block)[1])
+                slices = (np.nonzero(row_mask)[0], slice(None))
+            else:
+                shape = (bb.get_shape(block)[0], len(row_mask))
+                slices = (slice(None), np.nonzero(row_mask)[0])
+            blocks.append(bb.enlarge_block(block, shape, slices))
+            rows.append((i_new, j_new))
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2),
+                               a.data.dtype)
 
 
-# allow instantiation despite abstract methods: the skeleton defers to __getattr__
-FusionTreeBackend.__abstractmethods__ = frozenset()
+def _sector_index(space, sector) -> int | None:
+    return space.sector_decomposition_where(np.asarray(sector))
+
+
+def _row_scale_factors(side: TensorProduct, c, flat_pos: int, diag, d_lookup, bb):
+    """Per-row factors for multiplying a diagonal into the tree-block layout.
+
+    `flat_pos` indexes the flat legs of `side` (in factor order); the diagonal's
+    values for each sector of that leg are broadcast over the row layout.
+    """
+    flat_legs = side.flat_legs
+    leg = flat_legs[flat_pos]
+    total = side.block_size(np.asarray(c))
+    vals = np.zeros(total, dtype=complex)
+    any_nonzero = False
+    start = 0
+    sym = side.symmetry
+    for uncoupled, mults in side.iter_uncoupled():
+        n_trees = len(fusion_trees(sym, uncoupled, np.asarray(c),
+                                   [l.is_dual for l in flat_legs]))
+        if n_trees == 0:
+            continue
+        tree_block = int(np.prod(mults)) if len(mults) else 1
+        sec_idx = flat_legs[flat_pos].sector_decomposition_where(
+            uncoupled[flat_pos])
+        n = d_lookup.get(int(sec_idx)) if sec_idx is not None else None
+        width = n_trees * tree_block
+        if n is not None:
+            dvals = bb.to_numpy(diag.data.blocks[n])
+            # rows within a tree block are C-style over mults; tile accordingly
+            inner = int(np.prod(mults[flat_pos + 1:])) if flat_pos + 1 <= len(mults) \
+                else 1
+            outer = tree_block // (len(dvals) * inner)
+            pattern = np.tile(np.repeat(dvals, inner), outer)
+            vals[start:start + width] = np.tile(pattern, n_trees)
+            any_nonzero = True
+        start += width
+    if not any_nonzero:
+        return None
+    if np.allclose(vals.imag, 0):
+        vals = vals.real
+    return bb.as_block(vals)
+
+
+def _row_mask(side: TensorProduct, c, flat_pos: int, mask, m_lookup, bb):
+    """Boolean row mask selecting kept multiplicity indices of one flat leg."""
+    flat_legs = side.flat_legs
+    sym = side.symmetry
+    total = side.block_size(np.asarray(c))
+    res = np.zeros(total, dtype=bool)
+    start = 0
+    for uncoupled, mults in side.iter_uncoupled():
+        n_trees = len(fusion_trees(sym, uncoupled, np.asarray(c),
+                                   [l.is_dual for l in flat_legs]))
+        if n_trees == 0:
+            continue
+        tree_block = int(np.prod(mults)) if len(mults) else 1
+        width = n_trees * tree_block
+        sec_idx = flat_legs[flat_pos].sector_decomposition_where(
+            uncoupled[flat_pos])
+        n = m_lookup.get(int(sec_idx)) if sec_idx is not None else None
+        if n is not None:
+            mvals = bb.to_numpy(mask.data.blocks[n]).astype(bool)
+            inner = int(np.prod(mults[flat_pos + 1:])) if flat_pos + 1 <= len(mults) \
+                else 1
+            outer = tree_block // (len(mvals) * inner)
+            pattern = np.tile(np.repeat(mvals, inner), outer)
+            res[start:start + width] = np.tile(pattern, n_trees)
+        start += width
+    return res
+
+
+# --- dense-conversion helpers ---------------------------------------------------------------
+
+
+def _mult_kron(C, trees, n_row_legs, n_col_legs):
+    """Interleave multiplicity axes (C) with sector-dimension axes (trees).
+
+    C axes: [m_1..m_J, n_1..n_M]; trees axes: [d_1..d_J, e_1..e_M].
+    Result axes: [(m_1 d_1).., (n_1 e_1)..] — each leg's internal basis is
+    (multiplicity index major, sector-state index minor), matching
+    ``ElementarySpace.slices`` layout.
+    """
+    J, M = n_row_legs, n_col_legs
+    res = np.multiply.outer(C, trees)
+    # axes: [m1..mJ, n1..nM, d1..dJ, e1..eM] -> [m1,d1, .., n1,e1, ..]
+    perm = []
+    for k in range(J):
+        perm.extend([k, J + M + k])
+    for k in range(M):
+        perm.extend([J + k, J + M + J + k])
+    res = np.transpose(res, perm)
+    shape = []
+    for k in range(J):
+        shape.append(res.shape[2 * k] * res.shape[2 * k + 1])
+    for k in range(M):
+        shape.append(res.shape[2 * J + 2 * k] * res.shape[2 * J + 2 * k + 1])
+    return res.reshape(shape)
+
+
+def _mult_unkron(sub, trees, row_mults, col_mults):
+    """Inverse pairing of :func:`_mult_kron`: project `sub` onto `trees`.
+
+    sub axes: [(m d)_1.., (n e)_1..]; trees axes: [d.., e..].
+    Returns C with axes [m.., n..] = sum over d/e of sub * conj(trees).
+    """
+    J = len(row_mults)
+    M = len(col_mults)
+    d_dims = trees.shape[:J]
+    e_dims = trees.shape[J:]
+    shape = []
+    for m, d in zip(row_mults, d_dims):
+        shape.extend([int(m), int(d)])
+    for n, e in zip(col_mults, e_dims):
+        shape.extend([int(n), int(e)])
+    x = sub.reshape(shape)
+    # move d/e axes to the back
+    perm = [2 * k for k in range(J + M)] + [2 * k + 1 for k in range(J + M)]
+    x = np.transpose(x, perm)
+    return np.tensordot(x, np.conj(trees), (tuple(range(J + M, 2 * (J + M))),
+                                            tuple(range(J + M))))
+
+
+def _leg_slices(legs, uncoupled):
+    return [slice(int(l.slices[l.sector_decomposition_where(a), 0]),
+                  int(l.slices[l.sector_decomposition_where(a), 1]))
+            for l, a in zip(legs, uncoupled)]
+
+
+def _scatter_tree_contribution(res, contrib, cod_legs, dom_legs, Y, X):
+    """Add contrib (axes [cod flat.., dom flat (factor order)..]) into the dense
+    array (axes [cod flat.., reversed dom flat..])."""
+    J = len(cod_legs)
+    M = len(dom_legs)
+    # reorder domain axes to reversed order
+    perm = list(range(J)) + [J + M - 1 - k for k in range(M)]
+    contrib = np.transpose(contrib, perm)
+    slices = _leg_slices(cod_legs, Y.uncoupled) \
+        + list(reversed(_leg_slices(dom_legs, X.uncoupled)))
+    res[tuple(slices)] += contrib
+
+
+def _gather_tree_contribution(arr, cod_legs, dom_legs, Y, X):
+    J = len(cod_legs)
+    M = len(dom_legs)
+    slices = _leg_slices(cod_legs, Y.uncoupled) \
+        + list(reversed(_leg_slices(dom_legs, X.uncoupled)))
+    sub = arr[tuple(slices)]
+    # reorder domain axes from reversed to factor order
+    perm = list(range(J)) + [J + M - 1 - k for k in range(M)]
+    return np.transpose(sub, perm)

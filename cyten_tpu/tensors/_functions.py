@@ -81,10 +81,10 @@ def permute_legs(tensor: Tensor, codomain=None, domain=None, levels=None,
             raise ValueError('duplicate legs')
         if len(specified) != tensor.num_legs:
             raise ValueError('missing legs')
-    # trivial case
+    # trivial case: identity arrangement (domain listed left-to-right = descending)
     if codomain == list(range(tensor.num_codomain_legs)) \
             and domain == list(range(tensor.num_legs - 1,
-                                     tensor.num_codomain_legs - 1, -1))[::-1]:
+                                     tensor.num_codomain_legs - 1, -1)):
         return tensor
 
     if isinstance(tensor, (DiagonalTensor, Mask)):
@@ -847,61 +847,127 @@ def eye(legs, backend=None, labels=None, dtype=Dtype.float64):
     return SymmetricTensor.from_eye(legs, backend, labels, dtype)
 
 
-def tensor_from_grid(grid, labels=None) -> SymmetricTensor:
-    """Stack a 2D grid of tensors (direct sum on codomain[0] and domain[0]).
+def tensor_from_grid(grid, labels=None, row_leg=0, col_leg=None) -> SymmetricTensor:
+    """Stack a 2D grid of tensors (direct sum on a codomain leg and a domain leg).
 
-    ``grid[i][j]`` contributes to block-row i of codomain[0] and block-column j of
-    domain[0]; ``None`` entries are zero. All other legs must match.
-    Cf. reference _tensors.py:6166. Used to build MPO-style operators.
+    ``grid[i][j]`` contributes to block-row i of the `row_leg` (a codomain leg) and
+    block-column j of the `col_leg` (a domain leg, default ``domain[0]``); ``None``
+    entries are zero. All other legs must match. Cf. reference _tensors.py:6166.
+
+    For droppable symmetries the grid is assembled densely and re-projected; for
+    anyonic symmetries, entries are embedded via inclusion masks and summed —
+    both paths are exact.
     """
     rows = len(grid)
     cols = len(grid[0])
     assert all(len(r) == cols for r in grid)
-    # find prototypes
     proto = next(t for row in grid for t in row if t is not None)
     backend = proto.backend
-    bb = backend.block_backend
-    # row spaces: codomain[0] of each row; col spaces: domain[0] of each column
+    row_pos = proto.get_leg_idx(row_leg)
+    col_pos = proto.get_leg_idx(col_leg) if col_leg is not None else \
+        proto.num_legs - 1
+    assert row_pos < proto.num_codomain_legs
+    assert col_pos >= proto.num_codomain_legs
+    col_factor_idx = proto.num_legs - 1 - col_pos
+
     row_spaces = []
     for i in range(rows):
         t = next((t for t in grid[i] if t is not None), None)
         assert t is not None, f'empty grid row {i}'
-        row_spaces.append(t.codomain.factors[0])
+        row_spaces.append(t.codomain.factors[row_pos])
     col_spaces = []
     for j in range(cols):
         t = next((grid[i][j] for i in range(rows) if grid[i][j] is not None), None)
         assert t is not None, f'empty grid column {j}'
-        col_spaces.append(t.domain.factors[0])
+        col_spaces.append(t.domain.factors[col_factor_idx])
+    # harmonize dualities (trivial legs may come with either flag)
+    row_dual = next((sp.is_dual for sp in row_spaces if not sp.is_trivial),
+                    row_spaces[0].is_dual)
+    col_dual = next((sp.is_dual for sp in col_spaces if not sp.is_trivial),
+                    col_spaces[0].is_dual)
+    row_spaces = [sp.as_ElementarySpace(is_dual=row_dual) for sp in row_spaces]
+    col_spaces = [sp.as_ElementarySpace(is_dual=col_dual) for sp in col_spaces]
     new_row = row_spaces[0].direct_sum(*row_spaces[1:]) if rows > 1 else row_spaces[0]
     new_col = col_spaces[0].direct_sum(*col_spaces[1:]) if cols > 1 else col_spaces[0]
-    # build dense and re-project (correct, not fast; fine for small MPO grids)
-    codomain = TensorProduct([new_row, *proto.codomain.factors[1:]],
-                             symmetry=proto.symmetry)
-    domain = TensorProduct([new_col, *proto.domain.factors[1:]],
-                           symmetry=proto.symmetry)
-    shape = tuple(int(sp.dim) for sp in codomain.factors) \
-        + tuple(int(sp.dim) for sp in reversed(domain.factors))
-    block = np.zeros(shape, dtype=np.complex128)
-    row_offsets = np.cumsum([0] + [int(sp.dim) for sp in row_spaces])
-    col_offsets = np.cumsum([0] + [int(sp.dim) for sp in col_spaces])
-    any_complex = False
+    cod_factors = list(proto.codomain.factors)
+    cod_factors[row_pos] = new_row
+    dom_factors = list(proto.domain.factors)
+    dom_factors[col_factor_idx] = new_col
+    codomain = TensorProduct(cod_factors, symmetry=proto.symmetry)
+    domain = TensorProduct(dom_factors, symmetry=proto.symmetry)
+    labels = labels if labels is not None else proto.labels
+
+    if proto.symmetry.can_be_dropped:
+        shape = tuple(int(sp.dim) for sp in codomain.factors) \
+            + tuple(int(sp.dim) for sp in reversed(domain.factors))
+        block = np.zeros(shape, dtype=np.complex128)
+        row_offsets = np.cumsum([0] + [int(sp.dim) for sp in row_spaces])
+        col_offsets = np.cumsum([0] + [int(sp.dim) for sp in col_spaces])
+        any_complex = False
+        for i in range(rows):
+            for j in range(cols):
+                t = grid[i][j]
+                if t is None:
+                    continue
+                arr = t.to_numpy()
+                any_complex = any_complex or (np.iscomplexobj(arr)
+                                              and np.any(np.abs(arr.imag) > 0))
+                sl = [slice(None)] * block.ndim
+                sl[row_pos] = slice(row_offsets[i], row_offsets[i + 1])
+                sl[col_pos] = slice(col_offsets[j], col_offsets[j + 1])
+                block[tuple(sl)] = arr
+        if not any_complex:
+            block = block.real
+        return SymmetricTensor.from_dense_block(block, codomain, domain, backend,
+                                                labels)
+    # symmetric path: embed each entry via inclusion masks, then sum
+    row_masks = _direct_sum_masks(new_row, row_spaces, backend)
+    col_masks = _direct_sum_masks(new_col, col_spaces, backend)
+    res = None
     for i in range(rows):
         for j in range(cols):
             t = grid[i][j]
             if t is None:
                 continue
-            arr = t.to_numpy()
-            any_complex = any_complex or np.iscomplexobj(arr) and \
-                np.any(np.abs(arr.imag) > 0)
-            sl = [slice(None)] * block.ndim
-            sl[0] = slice(row_offsets[i], row_offsets[i + 1])
-            sl[-1] = slice(col_offsets[j], col_offsets[j + 1])
-            block[tuple(sl)] = arr
-    if not any_complex:
-        block = block.real
-    return SymmetricTensor.from_dense_block(block, codomain, domain, backend,
-                                            labels if labels is not None
-                                            else proto.labels)
+            emb = t
+            if rows > 1:
+                emb = enlarge_leg(emb, row_masks[i], row_pos)
+            if cols > 1:
+                emb = enlarge_leg(emb, col_masks[j], col_pos)
+            res = emb if res is None else res + emb
+    res.labels = labels
+    return res
+
+
+def _direct_sum_masks(sum_leg: ElementarySpace, parts, backend) -> list[Mask]:
+    """Projection masks from a direct-sum leg onto each constituent."""
+    from ..dtypes import Dtype
+
+    bb = backend.block_backend
+    # per defining sector of sum_leg: running offset (direct_sum keeps stable order)
+    offsets: dict = {}
+    masks = []
+    for part in parts:
+        sel = {}
+        for a, m in zip(part.defining_sectors, part.multiplicities):
+            key = tuple(a)
+            sel[key] = (offsets.get(key, 0), int(m))
+            offsets[key] = offsets.get(key, 0) + int(m)
+        part_sel = dict(sel)
+
+        def func(shape, sector, _sel=part_sel):
+            keep = np.zeros(shape[0], dtype=bool)
+            # sector is the sector_decomposition entry; defining = dual if is_dual
+            key = tuple(sum_leg.symmetry.dual_sector(np.asarray(sector))) \
+                if sum_leg.is_dual else tuple(np.asarray(sector))
+            hit = _sel.get(key)
+            if hit is not None:
+                keep[hit[0]:hit[0] + hit[1]] = True
+            return bb.as_block(keep, Dtype.bool)
+
+        diag = DiagonalTensor.from_sector_block_func(func, sum_leg, backend=backend)
+        masks.append(Mask.from_DiagonalTensor(diag))
+    return masks
 
 
 # --- elementwise functions ---------------------------------------------------------------------

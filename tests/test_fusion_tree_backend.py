@@ -1,0 +1,137 @@
+"""Tests for the fusion-tree backend: SU(2), fermions, anyons.
+
+Oracles: dense numpy conversion for droppable symmetries (SU(2), U(1) forced through
+the fusion-tree backend), categorical identities (rotation roundtrips, double
+transpose, Yang-Baxter) for anyons, and the MPSKit.jl golden-chain energies as the
+end-to-end anyonic benchmark (BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import ElementarySpace, SymmetricTensor
+from cyten_tpu import fibonacci_anyon_category as fib
+from cyten_tpu import su2_symmetry, u1_symmetry
+
+
+@pytest.fixture(params=['u1', 'su2'])
+def droppable_setup(request, np_random):
+    if request.param == 'u1':
+        be = ct.get_backend(u1_symmetry, symmetry_backend='fusion_tree',
+                            block_backend='numpy')
+        V = ElementarySpace(u1_symmetry, [[-1], [0], [1]], [1, 2, 1])
+        W = ElementarySpace(u1_symmetry, [[0], [1]], [2, 1])
+    else:
+        be = ct.get_backend(su2_symmetry, block_backend='numpy')
+        V = ElementarySpace(su2_symmetry, [[0], [1], [2]], [2, 2, 1])
+        W = ElementarySpace(su2_symmetry, [[1]])
+    A = SymmetricTensor.from_random_normal([V, W], [V, W], backend=be,
+                                           labels=['a', 'b', 'c', 'd'], rng=np_random)
+    return A
+
+
+def test_roundtrip_compose_dagger(droppable_setup):
+    A = droppable_setup
+    A.test_sanity()
+    arr = A.to_numpy()
+    A2 = SymmetricTensor.from_dense_block(arr, list(A.codomain.factors),
+                                          list(A.domain.factors), backend=A.backend)
+    np.testing.assert_allclose(A2.to_numpy(), arr, rtol=1e-10, atol=1e-10)
+    D = ct.dagger(A)
+    D.test_sanity()
+    np.testing.assert_allclose(D.to_numpy(), arr.conj().transpose(3, 2, 1, 0),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(ct.norm(A), np.linalg.norm(arr.reshape(-1)),
+                               rtol=1e-10)
+
+
+@pytest.mark.parametrize('cod', [[0, 3], [1, 0], [0, 1, 2, 3], [2], [3, 1],
+                                 [1, 2, 3, 0], [3, 0, 1, 2], [3, 0], [2, 3], []])
+def test_permute_vs_dense(droppable_setup, cod):
+    A = droppable_setup
+    arr = A.to_numpy()
+    dom = [i for i in reversed(range(4)) if i not in cod]
+    P = ct.permute_legs(A, codomain=cod, domain=dom)
+    P.test_sanity()
+    perm = list(cod) + dom[::-1]
+    np.testing.assert_allclose(P.to_numpy(), arr.transpose(perm), rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_svd_fusion_tree(droppable_setup):
+    A = droppable_setup
+    U, S, Vh = ct.svd(A)
+    U.test_sanity(), S.test_sanity(), Vh.test_sanity()
+    rec = ct.compose(ct.compose(U, S.as_SymmetricTensor()), Vh)
+    assert ct.norm(rec - A) < 1e-10 * ct.norm(A)
+    np.testing.assert_allclose(ct.norm(S), ct.norm(A), rtol=1e-10)
+
+
+def test_anyon_identities(np_random):
+    be = ct.get_backend(fib, block_backend='numpy')
+    tau = ElementarySpace(fib, [[1]])
+    V = ElementarySpace(fib, [[0], [1]], [2, 2])
+    A = SymmetricTensor.from_random_normal([V, tau], [V, tau], backend=be,
+                                           labels=['a', 'b', 'c', 'd'],
+                                           rng=np_random)
+    nA = ct.norm(A)
+    # rotation roundtrips (planar moves incl. left bends with twists)
+    R = ct.permute_legs(A, codomain=[1, 2, 3], domain=[0])
+    assert abs(ct.norm(R) - nA) < 1e-12  # planar moves are isometric
+    R2 = ct.permute_legs(R, codomain=[3, 0], domain=[2, 1])
+    assert ct.norm(R2 - A) < 1e-12 * nA
+    L = ct.permute_legs(A, codomain=[3, 0], domain=[2, 1])
+    L2 = ct.permute_legs(L, codomain=[1, 2], domain=[0, 3])
+    assert ct.norm(L2 - A) < 1e-12 * nA
+    # double transpose
+    T2 = ct.transpose(ct.transpose(A))
+    assert ct.norm(T2 - A) < 1e-12 * nA
+    # bend roundtrip
+    B2 = ct.bend_legs(ct.bend_legs(A, num_codomain_legs=4), num_codomain_legs=2)
+    assert ct.norm(B2 - A) < 1e-12 * nA
+    # dagger is an antilinear isometry
+    assert abs(ct.norm(ct.dagger(A)) - nA) < 1e-12
+
+
+def test_fermion_backend(np_random):
+    sym = ct.fermion_parity
+    be = ct.get_backend(sym, block_backend='numpy')
+    assert type(be).__name__ == 'FusionTreeBackend'
+    V = ElementarySpace(sym, [[0], [1]], [2, 2])
+    A = SymmetricTensor.from_random_normal([V, V], [V], backend=be, rng=np_random)
+    A.test_sanity()
+    # roundtrip through dense (fermionic tensors are droppable)
+    arr = A.to_numpy()
+    A2 = SymmetricTensor.from_dense_block(arr, [V, V], [V], backend=be)
+    np.testing.assert_allclose(A2.to_numpy(), arr, rtol=1e-10, atol=1e-10)
+    # braiding two fermionic legs gives signs: permute then permute back == id
+    P = ct.permute_legs(A, codomain=[1, 0], domain=[2])
+    P2 = ct.permute_legs(P, codomain=[1, 0], domain=[2])
+    assert ct.norm(P2 - A) < 1e-12 * ct.norm(A)
+
+
+@pytest.mark.slow
+def test_golden_chain_dmrg():
+    """The anyonic end-to-end benchmark: energies from MPSKit.jl (BASELINE.md)."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import GoldenChainModel
+
+    L = 6
+    m = GoldenChainModel(L=L, J=1., block_backend='numpy')
+    psi = SimpleMPS.from_fusion_pairs(m.site_leg, L, backend=m.backend)
+    E = DMRGEngine(psi, m, chi_max=16, eps=1e-13).run(n_sweeps=10)
+    assert abs(E - m.exact_finite_gs_energy()) < 1e-9
+
+
+@pytest.mark.slow
+def test_su2_heisenberg_dmrg():
+    from cyten_tpu.algorithms import (
+        DMRGEngine, HeisenbergModel, SimpleMPS, heisenberg_exact_finite_gs_energy,
+    )
+
+    L = 8
+    m = HeisenbergModel(L=L, conserve='SU2', block_backend='numpy')
+    psi = SimpleMPS.from_singlet_pairs(m.site_leg, L, backend=m.backend)
+    E = DMRGEngine(psi, m, chi_max=32, eps=1e-13).run(n_sweeps=8)
+    assert abs(E - heisenberg_exact_finite_gs_energy(L, 1.)) < 1e-9
