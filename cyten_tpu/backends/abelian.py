@@ -161,7 +161,8 @@ class AbelianBackend(TensorBackend):
             blocks.append(b)
             kept_sq += self.block_backend.norm(b) ** 2
         if tol is not None and total_sq > 0:
-            if (total_sq - kept_sq) / total_sq > tol ** 2:
+            # allowance for float accumulation noise in the norms
+            if (total_sq - kept_sq) > (tol ** 2 + 1e-13) * total_sq:
                 raise ValueError('Block is not symmetric up to tolerance.')
         return BlockSparseData(blocks, block_inds, dtype, is_sorted=True)
 

@@ -214,7 +214,7 @@ class FusionTreeBackend(TensorBackend):
                 blocks.append(coeffs)
                 rows.append((int(i), int(j)))
         if tol is not None and total_sq > 0:
-            if abs(total_sq - kept_sq) / total_sq > tol ** 2 + tol:
+            if abs(total_sq - kept_sq) > (tol ** 2 + 1e-12) * total_sq:
                 raise ValueError('Block is not symmetric up to tolerance: '
                                  f'{abs(total_sq - kept_sq) / total_sq}')
         blocks = [bb.as_block(b, dtype) for b in blocks]

@@ -1045,8 +1045,9 @@ class ChargedTensor(Tensor):
 
     def __init__(self, invariant_part: SymmetricTensor, charged_state=None):
         assert invariant_part.num_domain_legs >= 1
-        assert invariant_part.labels[invariant_part.num_codomain_legs] \
-            == self._CHARGE_LEG_LABEL, 'charge leg must be invariant_part.domain[0]'
+        # domain[0] is the charge leg; it sits at the *last* legs position
+        assert invariant_part.labels[-1] == self._CHARGE_LEG_LABEL, \
+            'charge leg must be invariant_part.domain[0] (last legs position)'
         self.invariant_part = invariant_part
         self.charge_leg = invariant_part.domain.factors[0]
         if charged_state is not None:
@@ -1056,8 +1057,7 @@ class ChargedTensor(Tensor):
         codomain = invariant_part.codomain
         domain = TensorProduct(invariant_part.domain.factors[1:],
                                symmetry=invariant_part.symmetry)
-        labels = invariant_part.labels[:invariant_part.num_codomain_legs] \
-            + invariant_part.labels[invariant_part.num_codomain_legs + 1:]
+        labels = invariant_part.labels[:-1]
         Tensor.__init__(self, codomain, domain, invariant_part.backend, labels,
                         invariant_part.dtype)
 
@@ -1073,8 +1073,7 @@ class ChargedTensor(Tensor):
         charge_leg = _as_charge_leg(charge, symmetry)
         inv_domain = TensorProduct([charge_leg, *domain.factors], symmetry=symmetry)
         labels = cls._init_parse_labels(labels, codomain, domain)
-        inv_labels = labels[:codomain.num_factors] + [cls._CHARGE_LEG_LABEL] \
-            + labels[codomain.num_factors:]
+        inv_labels = labels + [cls._CHARGE_LEG_LABEL]
         inv = SymmetricTensor.from_zero(codomain, inv_domain, backend, inv_labels,
                                         dtype)
         return cls(inv, charged_state)
@@ -1140,7 +1139,7 @@ class ChargedTensor(Tensor):
 
         if self.charge_leg.dim == 1:
             inv = self.invariant_part
-            res = squeeze_legs(inv, inv.num_codomain_legs)
+            res = squeeze_legs(inv, inv.num_legs - 1)
             if self.charged_state is not None:
                 factor = self.backend.block_backend.block_item(self.charged_state)
                 res = factor * res

@@ -172,13 +172,18 @@ def lexsorted(a: np.ndarray) -> bool:
 
 
 def _merge_columns(a: np.ndarray, b: np.ndarray):
-    """Merge the columns of two 2D int arrays into single sortable integers (shared strides)."""
+    """Merge the columns of two 2D int arrays into single sortable integers (shared strides).
+
+    Entries may be negative (e.g. U(1) charges): columns are shifted to be
+    non-negative before the stride merge.
+    """
     if a.shape[1] == 0:
         return np.zeros(len(a), np.intp), np.zeros(len(b), np.intp)
-    hi = np.concatenate([a, b], axis=0)
-    maxima = np.max(hi, axis=0, initial=0) + 1
-    strides = make_stride(maxima, cstyle=False)
-    return a @ strides, b @ strides
+    both = np.concatenate([a, b], axis=0)
+    lo = np.min(both, axis=0, initial=0)
+    ranges = np.max(both, axis=0, initial=0) - lo + 1
+    strides = make_stride(ranges, cstyle=False)
+    return (a - lo) @ strides, (b - lo) @ strides
 
 
 def common_rows_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -1,0 +1,149 @@
+"""Tests for sites, couplings and their conserve-option logic."""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu.models import (
+    ClockSite, FibonacciAnyonSite, GoldenSite, IsingAnyonSite, SpinHalfFermionSite,
+    SpinHalfSite, SpinlessBosonSite, SpinlessFermionSite, SpinSite, SU2kSpin1Site,
+)
+from cyten_tpu.models.couplings import (
+    Coupling, aklt_coupling, clock_coupling, density_density_interaction,
+    gold_coupling, heisenberg_coupling, hopping, onsite_interaction,
+    sector_projection_coupling, spin_spin_coupling,
+)
+from cyten_tpu.tensors import ChargedTensor, SymmetricTensor
+
+
+@pytest.fixture(autouse=True)
+def _numpy_blocks():
+    old = ct.config.default_block_backend
+    ct.config.default_block_backend = 'numpy'
+    yield
+    ct.config.default_block_backend = old
+
+
+@pytest.mark.parametrize('cls,args,expect_ops', [
+    (SpinHalfSite, ('Sz',), {'Sz', 'Sp', 'Sm'}),
+    (SpinHalfSite, ('None',), {'Sx', 'Sy', 'Sz'}),
+    (SpinHalfSite, ('parity',), {'Sx', 'Sz'}),
+    (SpinSite, (1, 'Sz'), {'Sz', 'Sz2'}),
+    (SpinHalfSite, ('SU(2)',), set()),
+    (SpinlessBosonSite, (3, 'N'), {'N', 'B', 'Bd'}),
+    (SpinlessFermionSite, ('N',), {'C', 'Cd', 'N', 'JW'}),
+    (SpinlessFermionSite, ('parity',), {'C', 'Cd'}),
+    (SpinHalfFermionSite, ('N', 'Sz'), {'Cu', 'Cdn', 'Sz', 'Ntot'}),
+    (ClockSite, (3, 'Z'), {'X', 'Z'}),
+    (FibonacciAnyonSite, (), set()),
+    (IsingAnyonSite, (), set()),
+    (SU2kSpin1Site, (3,), set()),
+])
+def test_site_construction(cls, args, expect_ops):
+    site = cls(*args)
+    assert expect_ops <= set(site.ops)
+    assert site.has_op('Id')
+
+
+def test_charged_operators():
+    site = SpinHalfSite('Sz')
+    Sp = site.get_op('Sp')
+    assert isinstance(Sp, ChargedTensor)
+    np.testing.assert_allclose(Sp.to_numpy(), [[0, 1], [0, 0]], atol=1e-12)
+    Sz = site.get_op('Sz')
+    assert isinstance(Sz, SymmetricTensor)
+
+
+def test_coupling_roundtrip_heisenberg():
+    sites = [SpinHalfSite('Sz')] * 2
+    c = heisenberg_coupling(sites, J=1.)
+    t = c.to_tensor()
+    t.test_sanity()
+    Sz = np.diag([0.5, -0.5])
+    Sp = np.array([[0, 1], [0, 0.]])
+    Sm = Sp.T
+    h = np.kron(Sz, Sz) + 0.5 * (np.kron(Sp, Sm) + np.kron(Sm, Sp))
+    np.testing.assert_allclose(
+        t.to_numpy(), h.reshape(2, 2, 2, 2).transpose(0, 1, 3, 2), atol=1e-12)
+
+
+def test_coupling_roundtrip_su2():
+    sites = [SpinHalfSite('SU(2)')] * 2
+    c = heisenberg_coupling(sites, J=1.)
+    t = c.to_tensor()
+    t.test_sanity()
+    Sz = np.diag([0.5, -0.5])
+    Sp = np.array([[0, 1], [0, 0.]])
+    Sm = Sp.T
+    h = np.kron(Sz, Sz) + 0.5 * (np.kron(Sp, Sm) + np.kron(Sm, Sp))
+    np.testing.assert_allclose(
+        t.to_numpy(), h.reshape(2, 2, 2, 2).transpose(0, 1, 3, 2), atol=1e-10)
+
+
+def test_gold_coupling_anyonic():
+    from cyten_tpu.models.degrees_of_freedom import AnyonDOF
+
+    gs = [GoldenSite(), GoldenSite()]
+    gt = gold_coupling(gs, J=1.).to_tensor()
+    gt.test_sanity()
+    direct = AnyonDOF.sector_projector(
+        (gs[0].leg, gs[1].leg), gs[0].symmetry.trivial_sector, gs[0].backend,
+        coeff=-1.)
+    assert ct.norm(gt - direct) < 1e-12
+
+
+def test_aklt_three_site_chiral():
+    sites = [SpinSite(1, 'Sz')] * 2
+    c = aklt_coupling(sites, J=1.)
+    t = c.to_tensor()
+    t.test_sanity()
+    # AKLT bond op has eigenvalues {0 (5x), 2/3 (...)}-ish; check projector property
+    # P = 3/4 h + 1/4 proj-ish; simpler: compare against dense construction
+    Sz = np.diag([1., 0., -1.])
+    Sp = np.sqrt(2) * np.diag([1., 1.], 1)
+    Sm = Sp.T
+    SS = np.kron(Sz, Sz) + 0.5 * (np.kron(Sp, Sm) + np.kron(Sm, Sp))
+    h = SS + SS @ SS / 3.
+    np.testing.assert_allclose(
+        t.to_numpy(), h.reshape(3, 3, 3, 3).transpose(0, 1, 3, 2), atol=1e-10)
+
+
+def test_fermion_hopping_dmrg():
+    """Free-fermion chain: graded-symmetry statistics must give the exact energy."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import mpo_from_bond_op
+
+    L, t_hop = 6, 1.0
+    site = SpinlessFermionSite('N')
+    h_bond = hopping([site, site], t=t_hop).to_tensor()
+
+    class FermionChain:
+        site_leg = site.leg
+        backend = site.backend
+        H_bonds = [h_bond] * (L - 1)
+        H_mpo = mpo_from_bond_op(h_bond, L)
+
+    psi = SimpleMPS.from_product_state([site.leg] * L, [1, 0] * (L // 2),
+                                       backend=site.backend)
+    E = DMRGEngine(psi, FermionChain(), chi_max=24, eps=1e-13).run(n_sweeps=10)
+    eps = -2 * t_hop * np.cos(np.pi * np.arange(1, L + 1) / (L + 1))
+    E_exact = eps[eps < 0].sum()
+    assert abs(E - E_exact) < 1e-10
+
+
+def test_hubbard_interactions():
+    site = SpinHalfFermionSite('N', 'Sz')
+    u = onsite_interaction([site], U=4.)
+    t = u.to_tensor()
+    t.test_sanity()
+    np.testing.assert_allclose(np.diag(t.to_numpy()), [0, 0, 0, 4.], atol=1e-12)
+    dd = density_density_interaction([site, site], V=1.)
+    dd.to_tensor().test_sanity()
+
+
+def test_clock_coupling():
+    sites = [ClockSite(3, 'Z')] * 2
+    c = clock_coupling(sites, J=1.)
+    t = c.to_tensor()
+    t.test_sanity()
+    assert ct.norm(t) > 0
