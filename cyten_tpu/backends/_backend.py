@@ -61,6 +61,14 @@ class TensorBackend(metaclass=ABCMeta):
     def __repr__(self):
         return f'{type(self).__name__}({self.block_backend.name})'
 
+    def __reduce__(self):
+        from .factory import get_backend
+
+        names = {'NoSymmetryBackend': 'no_symmetry', 'AbelianBackend': 'abelian',
+                 'FusionTreeBackend': 'fusion_tree'}
+        return (get_backend, (None, self.block_backend.name,
+                              names[type(self).__name__]))
+
     def test_tensor_sanity(self, a: SymmetricTensor, is_diagonal: bool = False):
         assert isinstance(a.data, self.DataCls)
 

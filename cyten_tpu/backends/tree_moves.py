@@ -267,7 +267,10 @@ def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
         for j in range(len(cod_tags) - 2, -1, -1):
             do_braid_cod(j, over=False)  # moving leg at j + 1 in front
 
-    # --- planar fast path: the permutation is a cyclic rotation -> bends only --------
+    # --- planar fast path: the permutation is a cyclic rotation -> bends only.
+    # Only used when legs actually switch sides: in-side reorderings are *braids*
+    # (crossings as drawn), not rotations — for twisted sectors (fermions, anyons)
+    # the two differ by twist factors (cf. reference TwistInstruction notes).
     new_order = list(codomain_idcs) + list(domain_idcs)[::-1]
     flat_new_order = []
     for i in new_order:
@@ -276,7 +279,8 @@ def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
     # old circular (legs) order expressed in tags
     circ_old = list(range(Jf)) + list(range(Jf + Mf - 1, Jf - 1, -1))
     rot = None
-    if flat_new_order and n_flat > 0:
+    sides_change = set(target_cod) != set(range(Jf))
+    if sides_change and flat_new_order and n_flat > 0:
         try:
             start = circ_old.index(flat_new_order[0])
         except ValueError:

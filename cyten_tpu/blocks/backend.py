@@ -49,6 +49,10 @@ class BlockBackend:
     def __repr__(self):
         return f'{type(self).__name__}()'
 
+    def __reduce__(self):
+        # backends hold module references (self.xp); restore via the factory
+        return (get_block_backend, (self.name,))
+
     def test_block_sanity(self, block, expect_shape=None, expect_dtype=None):
         assert self.is_block(block), 'not a block'
         if expect_shape is not None:

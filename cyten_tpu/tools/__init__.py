@@ -1,6 +1,9 @@
 """Cross-cutting utilities (host-side)."""
 
-from . import cost_polynomials, mappings, misc
+from . import cost_polynomials, flops, hdf5_io, mappings, math, misc, random_matrix
+from .hdf5_io import load, load_hdf5, save, save_hdf5
+from .math import speigs, speigsh
+from .flops import compose_flops, tdot_flops
 from .cost_polynomials import BigOMonomial, BigOPolynomial
 from .mappings import IdentityMapping, SparseMapping
 from .misc import (

@@ -1,0 +1,125 @@
+"""Tests for tools (io, checkpoint, math, random matrices) and testing utilities."""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import ElementarySpace, SymmetricTensor, DiagonalTensor, Mask
+from cyten_tpu.tools import hdf5_io
+from cyten_tpu.tools import random_matrix as rm
+from cyten_tpu.tools.math import speigs, speigsh
+
+
+@pytest.fixture
+def u1_tensor(np_random):
+    leg = ElementarySpace(ct.u1_symmetry, [[-1], [0], [1]], [1, 2, 1])
+    be = ct.get_backend(ct.u1_symmetry, 'numpy')
+    return SymmetricTensor.from_random_normal([leg, leg], [leg], backend=be,
+                                              labels=['a', 'b', 'c'],
+                                              rng=np_random)
+
+
+def test_hdf5_roundtrip(u1_tensor, tmp_path):
+    fn = str(tmp_path / 'tensor.h5')
+    hdf5_io.save(u1_tensor, fn)
+    t2 = hdf5_io.load(fn)
+    t2.test_sanity()
+    np.testing.assert_allclose(t2.to_numpy(), u1_tensor.to_numpy(), atol=1e-14)
+    assert t2.labels == u1_tensor.labels
+    # pickle path
+    fn2 = str(tmp_path / 'tensor.pkl')
+    hdf5_io.save(u1_tensor, fn2)
+    t3 = hdf5_io.load(fn2)
+    np.testing.assert_allclose(t3.to_numpy(), u1_tensor.to_numpy(), atol=1e-14)
+
+
+def test_hdf5_diagonal_and_mask(tmp_path, np_random):
+    leg = ElementarySpace(ct.u1_symmetry, [[-1], [0], [1]], [2, 3, 2])
+    be = ct.get_backend(ct.u1_symmetry, 'numpy')
+    D = DiagonalTensor.from_random_normal(leg, backend=be, rng=np_random)
+    fn = str(tmp_path / 'diag.h5')
+    hdf5_io.save(D, fn)
+    D2 = hdf5_io.load(fn)
+    np.testing.assert_allclose(D2.diag_numpy, D.diag_numpy, atol=1e-14)
+    mask = Mask.from_blockmask(np_random.integers(2, size=7).astype(bool), leg,
+                               backend=be)
+    fn2 = str(tmp_path / 'mask.h5')
+    hdf5_io.save(mask, fn2)
+    m2 = hdf5_io.load(fn2)
+    np.testing.assert_array_equal(m2.blockmask(), mask.blockmask())
+
+
+def test_hdf5_misc_objects(tmp_path):
+    fn = str(tmp_path / 'misc.h5')
+    obj = {'a': [1, 2.5, 'x', None, True], 'b': np.arange(6).reshape(2, 3),
+           'sym': ct.u1_symmetry * ct.z3_symmetry.factors[0],
+           'c': complex(1, 2)}
+    hdf5_io.save(obj, fn)
+    obj2 = hdf5_io.load(fn)
+    assert obj2['a'] == obj['a']
+    np.testing.assert_array_equal(obj2['b'], obj['b'])
+    assert obj2['sym'] == obj['sym']
+    assert obj2['c'] == obj['c']
+
+
+def test_checkpoint_roundtrip(u1_tensor, tmp_path):
+    from cyten_tpu.tools.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / 'ckpt')
+    save_checkpoint(path, {'psi': u1_tensor, 'step': np.array(3)})
+    restored = load_checkpoint(path)
+    np.testing.assert_allclose(np.asarray(restored['psi'].to_numpy()),
+                               u1_tensor.to_numpy(), atol=1e-14)
+
+
+def test_speigs(np_random):
+    A = rm.GUE((10, 10), np_random)
+    w, v = speigsh(A, k=3, which='SA')
+    w_full = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(sorted(w), w_full[:3], atol=1e-10)
+    # dense fallback for k close to dim
+    w2, v2 = speigsh(A, k=9, which='SA')
+    np.testing.assert_allclose(sorted(w2), w_full[:9], atol=1e-10)
+
+
+def test_random_matrix_ensembles(np_random):
+    H = rm.GOE((8, 8), np_random)
+    np.testing.assert_allclose(H, H.T)
+    H = rm.GUE((8, 8), np_random)
+    np.testing.assert_allclose(H, H.conj().T)
+    for U in [rm.CUE((8, 8), np_random), rm.CRE((8, 8), np_random),
+              rm.COE((8, 8), np_random), rm.U_close_1((8, 8), rng=np_random),
+              rm.O_close_1((8, 8), rng=np_random)]:
+        np.testing.assert_allclose(U @ U.conj().T, np.eye(8), atol=1e-12)
+
+
+def test_random_generation(np_random):
+    from cyten_tpu.testing import random_ElementarySpace, random_tensor, \
+        randomly_drop_blocks
+
+    sym = ct.u1_symmetry
+    be = ct.get_backend(sym, 'numpy')
+    V = random_ElementarySpace(sym, np_random)
+    V.test_sanity()
+    t = random_tensor([V, V], [V], backend=be, rng=np_random)
+    assert len(t.data.blocks) > 0
+    t2 = randomly_drop_blocks(t, 0.5, np_random)
+    assert 1 <= len(t2.data.blocks) <= len(t.data.blocks)
+
+
+def test_swap_gate_oracle_fermions(np_random):
+    """Fermionic permute_legs must match the dense swap-gate oracle (incl. signs)."""
+    from cyten_tpu.testing import swap_gate_numpy
+
+    sym = ct.fermion_parity
+    be = ct.get_backend(sym, 'numpy')
+    V = ElementarySpace(sym, [[0], [1]], [2, 2])
+    A = SymmetricTensor.from_random_normal([V, V, V], [], backend=be,
+                                           rng=np_random)
+    arr = A.to_numpy()
+    P = ct.permute_legs(A, codomain=[1, 0, 2], domain=[])
+    expect = swap_gate_numpy(arr, A.legs, [1, 0, 2])
+    np.testing.assert_allclose(P.to_numpy(), expect, atol=1e-12)
+    P2 = ct.permute_legs(A, codomain=[2, 0, 1], domain=[])
+    expect2 = swap_gate_numpy(arr, A.legs, [2, 0, 1])
+    np.testing.assert_allclose(P2.to_numpy(), expect2, atol=1e-12)
