@@ -33,7 +33,8 @@ __all__ = [
     'apply_mask_DiagonalTensor', 'bend_legs', 'combine_legs', 'combine_to_matrix',
     'complex_conj', 'compose', 'cutoff_inverse', 'dagger', 'eigh', 'enlarge_leg',
     'entropy', 'exp', 'eye', 'imag', 'inner', 'is_scalar', 'item',
-    'linear_combination', 'lq', 'move_leg', 'norm', 'outer', 'partial_trace',
+    'linear_combination', 'lq', 'move_leg', 'norm', 'on_device', 'outer',
+    'partial_compose', 'partial_trace', 'tensor',
     'permute_legs', 'pinv', 'qr', 'real', 'real_if_close', 'scalar_multiply',
     'scale_axis', 'split_legs', 'sqrt', 'squeeze_legs', 'stable_log', 'svd',
     'svd_apply_mask', 'tdot', 'tensor_from_grid', 'trace', 'transpose',
@@ -599,6 +600,89 @@ def tdot(tensor1: Tensor, tensor2: Tensor, legs1=-1, legs2=0, relabel1=None,
     t2 = permute_legs(tensor2, codomain=legs2, domain=open2[::-1])
     res = compose(t1, t2, relabel1=relabel1, relabel2=relabel2)
     return res
+
+
+def partial_compose(tensor1: Tensor, tensor2: Tensor, tensor1_first_leg,
+                    relabel1=None, relabel2=None) -> Tensor:
+    """Compose on a *part* of the (co)domain (reference _tensors.py:5206).
+
+    If `tensor1_first_leg` is in the codomain of `tensor1`, the full domain of
+    `tensor2` attaches there (tensor2 sits on top); otherwise the full codomain of
+    `tensor2` attaches to part of tensor1's domain (tensor2 sits below). The result's
+    legs are those of `tensor1` with the contracted ones replaced by the open legs
+    of `tensor2`.
+    """
+    i0 = tensor1.get_leg_idx(tensor1_first_leg)
+    K = tensor1.num_codomain_legs
+    n1 = tensor1.num_legs
+    if i0 < K:
+        # tensor2 sits on top: its full domain attaches to codomain legs i0..i0+m-1;
+        # tensor1.codomain[i0] pairs with tensor2.domain[0] (legs position n2-1)
+        m = tensor2.num_domain_legs
+        n2 = tensor2.num_legs
+        legs1 = list(range(i0, i0 + m))
+        legs2 = list(range(n2 - 1, n2 - 1 - m, -1))
+        res = tdot(tensor2, tensor1, legs2, legs1,
+                   relabel1=relabel2, relabel2=relabel1)
+        # res legs: [t2 codomain..., t1 codomain others..., rev(t1 domain)]
+        n2_open = tensor2.num_codomain_legs
+        new_cod = []
+        pos1 = n2_open
+        for i in range(K):
+            if i == i0:
+                new_cod.extend(range(n2_open))
+            elif i0 < i < i0 + m:
+                continue
+            else:
+                new_cod.append(pos1)
+                pos1 += 1
+        new_dom_lr = list(reversed([i for i in range(res.num_legs)
+                                    if i not in new_cod]))
+        return permute_legs(res, codomain=new_cod, domain=new_dom_lr)
+    # tensor2 sits below: its full codomain attaches to domain legs i0..i0+m-1;
+    # tensor1 leg i0 pairs with tensor2.codomain[-1]
+    m = tensor2.num_codomain_legs
+    legs1 = list(range(i0, i0 + m))
+    legs2 = list(range(m - 1, -1, -1))
+    res = tdot(tensor1, tensor2, legs1, legs2,
+               relabel1=relabel1, relabel2=relabel2)
+    # res legs: [t1 codomain..., t1 other domain legs (legs order), rev(t2 domain)]
+    n1_open = n1 - m
+    t2_dom = tensor2.num_domain_legs
+    target_tail = []  # legs order positions (in res) for the result's tail
+    for i in range(K, n1):
+        if i == i0:
+            # t2's open legs, in res they are positions n1_open.. (t2 domain rev)
+            target_tail.extend(range(n1_open, n1_open + t2_dom))
+        elif i0 < i < i0 + m:
+            continue
+        else:
+            # position of this t1 leg in res: count t1 open legs before it
+            shift = sum(1 for j in range(i0, min(i, i0 + m)))
+            target_tail.append(i - (shift if i > i0 else 0))
+    new_cod = list(range(K))
+    new_dom_lr = list(reversed(target_tail))
+    return permute_legs(res, codomain=new_cod, domain=new_dom_lr)
+
+
+def tensor(obj, codomain, domain=None, backend=None, labels=None, dtype=None
+           ) -> SymmetricTensor:
+    """Convert an object (Tensor or array-like) to a SymmetricTensor
+    (reference _tensors.py:3613)."""
+    if isinstance(obj, Tensor):
+        res = obj.as_SymmetricTensor()
+        if labels is not None:
+            res = res.copy(deep=False)
+            res.labels = labels
+        return res
+    return SymmetricTensor.from_dense_block(obj, codomain, domain, backend=backend,
+                                            labels=labels, dtype=dtype)
+
+
+def on_device(tensor: Tensor, device: str, copy: bool = True) -> Tensor:
+    """Move a tensor to the given device (jax device string, e.g. 'tpu:0')."""
+    res = tensor.copy(deep=False) if copy else tensor
+    return res.move_to_device(device)
 
 
 def outer(tensor1: Tensor, tensor2: Tensor, relabel1=None, relabel2=None) -> Tensor:
