@@ -66,6 +66,49 @@ def _row_lookup(block_inds: np.ndarray) -> dict[tuple, int]:
     return {tuple(row): n for n, row in enumerate(block_inds)}
 
 
+@functools.lru_cache(maxsize=4096)
+def _cached_compose_plan(a_bytes, a_shape, a_contr_cols, a_keep_cols,
+                         b_bytes, b_shape, b_contr_cols, b_keep_cols):
+    """Memoized GEMM-pair plan: merged int keys -> (ia, ib, out_id, n_out).
+
+    Runs in the native extension when built (cyten_tpu._core.compose_plan);
+    pure-python fallback otherwise.
+    """
+    from .._native import compose_plan
+
+    a_bi = np.frombuffer(a_bytes, dtype=np.intp).reshape(a_shape)
+    b_bi = np.frombuffer(b_bytes, dtype=np.intp).reshape(b_shape)
+
+    def strides_for(maxima):
+        strides = np.ones(len(maxima), np.int64)
+        for k in range(len(maxima) - 2, -1, -1):
+            strides[k] = strides[k + 1] * maxima[k + 1]
+        return strides
+
+    def merged(sub, strides):
+        if sub.shape[1] == 0:
+            return np.zeros(len(sub), np.int64)
+        return sub @ strides
+
+    a_sub_c = a_bi[:, list(a_contr_cols)].astype(np.int64)
+    b_sub_c = b_bi[:, list(b_contr_cols)].astype(np.int64)
+    # contracted keys are matched across tensors -> shared strides
+    if a_sub_c.shape[1]:
+        maxima_c = np.maximum(np.max(a_sub_c, axis=0, initial=0),
+                              np.max(b_sub_c, axis=0, initial=0)) + 1
+        s_c = strides_for(maxima_c)
+    else:
+        s_c = np.ones(0, np.int64)
+    a_sub_k = a_bi[:, list(a_keep_cols)].astype(np.int64)
+    b_sub_k = b_bi[:, list(b_keep_cols)].astype(np.int64)
+    s_ka = strides_for(np.max(a_sub_k, axis=0, initial=0) + 1) \
+        if a_sub_k.shape[1] else np.ones(0, np.int64)
+    s_kb = strides_for(np.max(b_sub_k, axis=0, initial=0) + 1) \
+        if b_sub_k.shape[1] else np.ones(0, np.int64)
+    return compose_plan(merged(a_sub_c, s_c), merged(a_sub_k, s_ka),
+                        merged(b_sub_c, s_c), merged(b_sub_k, s_kb))
+
+
 class AbelianBackend(TensorBackend):
     """Backend for abelian symmetries with symmetric trivial braiding."""
 
@@ -245,12 +288,10 @@ class AbelianBackend(TensorBackend):
         b_contr_cols = list(range(Kb))
         b_keep_cols = list(range(Kb, b.num_legs))
 
-        a_groups: dict[tuple, list[int]] = {}
-        for n, row in enumerate(a_bi):
-            a_groups.setdefault(tuple(row[a_contr_cols]), []).append(n)
-        b_groups: dict[tuple, list[int]] = {}
-        for n, row in enumerate(b_bi):
-            b_groups.setdefault(tuple(row[b_contr_cols]), []).append(n)
+        # GEMM-pair plan (native when built; memoized per block structure)
+        ia, ib, out_id, n_out = _cached_compose_plan(
+            a_bi.tobytes(), a_bi.shape, tuple(a_contr_cols), tuple(a_keep_cols),
+            b_bi.tobytes(), b_bi.shape, tuple(b_contr_cols), tuple(b_keep_cols))
 
         bb = self.block_backend
         # reshape blocks to matrices lazily, caching
@@ -282,31 +323,23 @@ class AbelianBackend(TensorBackend):
                 b_mats[n] = m
             return m
 
-        out: dict[tuple, object] = {}
-        out_shapes: dict[tuple, tuple] = {}
         a_spaces = [a.codomain.factors[i] for i in range(Ka)]
         b_spaces = [sp for sp in list(conventional_leg_order(b.codomain, b.domain))[Kb:]]
-        for key, a_ns in a_groups.items():
-            b_ns = b_groups.get(key)
-            if b_ns is None:
-                continue
-            for n1 in a_ns:
-                row1 = tuple(a_bi[n1][a_keep_cols])
-                for n2 in b_ns:
-                    row2 = tuple(b_bi[n2][b_keep_cols])
-                    res_key = row1 + row2
-                    prod = bb.matrix_dot(a_mat(n1), b_mat(n2))
-                    if res_key in out:
-                        out[res_key] = bb.add(out[res_key], prod)
-                    else:
-                        out[res_key] = prod
-                        out_shapes[res_key] = tuple(
-                            int(sp.multiplicities[i]) for sp, i in
-                            zip(a_spaces + b_spaces, res_key))
+        accum: list = [None] * n_out
+        out_rows: list = [None] * n_out
+        for n1, n2, oid in zip(ia, ib, out_id):
+            prod = bb.matrix_dot(a_mat(int(n1)), b_mat(int(n2)))
+            if accum[oid] is None:
+                accum[oid] = prod
+                out_rows[oid] = tuple(a_bi[n1][a_keep_cols]) \
+                    + tuple(b_bi[n2][b_keep_cols])
+            else:
+                accum[oid] = bb.add(accum[oid], prod)
         blocks = []
         rows = []
-        for res_key, mat in out.items():
-            shape = out_shapes[res_key]
+        for res_key, mat in zip(out_rows, accum):
+            shape = tuple(int(sp.multiplicities[i])
+                          for sp, i in zip(a_spaces + b_spaces, res_key))
             blocks.append(bb.reshape(mat, shape if shape else ()))
             rows.append(res_key)
         n_legs = Ka + len(b_keep_cols)
