@@ -175,3 +175,10 @@ class DMRGEngine:
                 break
             E_old = E
         return self.E
+
+
+# The engine above uses exclusively planar rearrangements (rotations + bends), so it
+# doubles as the reference's PlanarDMRGEngine (toycodes/d_dmrg.py:285); the aliases
+# exist for drop-in parity.
+PlanarHEffective = HEffective
+PlanarDMRGEngine = DMRGEngine

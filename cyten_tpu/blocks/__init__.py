@@ -10,4 +10,12 @@ from .backend import (
 )
 
 __all__ = ['Block', 'BlockBackend', 'JaxBlockBackend', 'NumpyBlockBackend',
-           'get_block_backend']
+           'TorchBlockBackend', 'get_block_backend']
+
+
+def __getattr__(name):
+    if name == 'TorchBlockBackend':  # lazy: avoid importing torch eagerly
+        from .torch_backend import TorchBlockBackend
+
+        return TorchBlockBackend
+    raise AttributeError(name)

@@ -619,6 +619,10 @@ def get_block_backend(name: str = None) -> BlockBackend:
             res = JaxBlockBackend()
         elif name == 'numpy':
             res = NumpyBlockBackend()
+        elif name == 'torch':
+            from .torch_backend import TorchBlockBackend
+
+            res = TorchBlockBackend()
         else:
             raise ValueError(f'unknown block backend: {name}')
         _BACKENDS[name] = res

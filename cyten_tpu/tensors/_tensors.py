@@ -391,7 +391,47 @@ class Tensor(metaclass=ABCMeta):
                 f'{self.num_domain_legs}, shape={self.shape}, labels=[{labels}], '
                 f'dtype={self.dtype}, backend={self.backend!r}>')
 
+    @property
+    def ascii_diagram(self) -> str:
+        """ASCII rendering of the tensor with numbered legs (cf. reference
+        _tensors.py:167-174)."""
+        K, M = self.num_codomain_legs, self.num_domain_legs
+        width = max(K, M, 1) * 4 + 3
+        name = type(self).__name__[:width - 2]
+
+        def leg_row(count, offset, numbers):
+            cells = [' '] * width
+            for k in range(count):
+                pos = 2 + 4 * k
+                cells[pos] = '|'
+            return ''.join(cells)
+
+        def num_row(numbers):
+            cells = [' '] * width
+            for k, n in enumerate(numbers):
+                pos = 2 + 4 * k
+                s = str(n)
+                cells[pos:pos + len(s)] = s
+            return ''.join(cells)
+
+        top_nums = list(range(self.num_legs - 1, K - 1, -1))
+        rows = []
+        if M:
+            rows.append(num_row(top_nums[::-1]))
+            rows.append(leg_row(M, 0, None))
+        body = '+' + '-' * (width - 2) + '+'
+        rows.append(body)
+        pad = (width - 2 - len(name)) // 2
+        rows.append('|' + ' ' * pad + name + ' ' * (width - 2 - pad - len(name))
+                    + '|')
+        rows.append(body)
+        if K:
+            rows.append(leg_row(K, 0, None))
+            rows.append(num_row(range(K)))
+        return '\n'.join(rows)
+
     def dbg(self):
+        print(self.ascii_diagram)
         print(repr(self))
 
     def move_to_device(self, device: str):
