@@ -204,8 +204,9 @@ class AbelianBackend(TensorBackend):
             blocks.append(b)
             kept_sq += self.block_backend.norm(b) ** 2
         if tol is not None and total_sq > 0:
-            # allowance for float accumulation noise in the norms
-            if (total_sq - kept_sq) > (tol ** 2 + 1e-13) * total_sq:
+            # allowance for float accumulation noise in the norms (dtype-aware)
+            eps = dtype.eps if not dtype.is_bool else 1e-15
+            if (total_sq - kept_sq) > (tol ** 2 + 64 * eps) * total_sq:
                 raise ValueError('Block is not symmetric up to tolerance.')
         return BlockSparseData(blocks, block_inds, dtype, is_sorted=True)
 
@@ -328,13 +329,21 @@ class AbelianBackend(TensorBackend):
         accum: list = [None] * n_out
         out_rows: list = [None] * n_out
         for n1, n2, oid in zip(ia, ib, out_id):
-            prod = bb.matrix_dot(a_mat(int(n1)), b_mat(int(n2)))
-            if accum[oid] is None:
-                accum[oid] = prod
+            if out_rows[oid] is None:
                 out_rows[oid] = tuple(a_bi[n1][a_keep_cols]) \
                     + tuple(b_bi[n2][b_keep_cols])
-            else:
-                accum[oid] = bb.add(accum[oid], prod)
+        if bb.can_jit and len(ia) >= 8:
+            # bucketed batched GEMMs: group same-shape pairs into one einsum +
+            # segment-sum (SURVEY.md §7.2 — turns many small MXU calls into few
+            # batched ones)
+            self._compose_batched(bb, ia, ib, out_id, a_mat, b_mat, accum)
+        else:
+            for n1, n2, oid in zip(ia, ib, out_id):
+                prod = bb.matrix_dot(a_mat(int(n1)), b_mat(int(n2)))
+                if accum[oid] is None:
+                    accum[oid] = prod
+                else:
+                    accum[oid] = bb.add(accum[oid], prod)
         blocks = []
         rows = []
         for res_key, mat in zip(out_rows, accum):
@@ -345,6 +354,43 @@ class AbelianBackend(TensorBackend):
         n_legs = Ka + len(b_keep_cols)
         block_inds = np.array(rows, dtype=np.intp).reshape((len(rows), n_legs))
         return BlockSparseData(blocks, block_inds, dtype)
+
+    @staticmethod
+    def _compose_batched(bb, ia, ib, out_id, a_mat, b_mat, accum):
+        """Group GEMM pairs by shape; one batched matmul + segment-sum per group."""
+        import jax
+        import jax.numpy as jnp
+
+        groups: dict[tuple, list[int]] = {}
+        shapes_a = {}
+        shapes_b = {}
+        for p, (n1, n2) in enumerate(zip(ia, ib)):
+            m1 = a_mat(int(n1))
+            m2 = b_mat(int(n2))
+            key = (bb.get_shape(m1), bb.get_shape(m2))
+            groups.setdefault(key, []).append(p)
+        for key, pair_idcs in groups.items():
+            if len(pair_idcs) == 1:
+                p = pair_idcs[0]
+                prod = bb.matrix_dot(a_mat(int(ia[p])), b_mat(int(ib[p])))
+                oid = int(out_id[p])
+                accum[oid] = prod if accum[oid] is None \
+                    else bb.add(accum[oid], prod)
+                continue
+            A = jnp.stack([a_mat(int(ia[p])) for p in pair_idcs])
+            B = jnp.stack([b_mat(int(ib[p])) for p in pair_idcs])
+            # map this group's out ids to a dense local numbering
+            local = {}
+            seg = []
+            for p in pair_idcs:
+                seg.append(local.setdefault(int(out_id[p]), len(local)))
+            prods = jnp.einsum('gmk,gkn->gmn', A, B)
+            summed = jax.ops.segment_sum(prods, jnp.array(seg, dtype=jnp.int32),
+                                         num_segments=len(local))
+            for oid, li in local.items():
+                part = summed[li]
+                accum[oid] = part if accum[oid] is None \
+                    else bb.add(accum[oid], part)
 
     def permute_legs(self, a, codomain_idcs, domain_idcs, levels, new_codomain,
                      new_domain):

@@ -214,7 +214,8 @@ class FusionTreeBackend(TensorBackend):
                 blocks.append(coeffs)
                 rows.append((int(i), int(j)))
         if tol is not None and total_sq > 0:
-            if abs(total_sq - kept_sq) > (tol ** 2 + 1e-12) * total_sq:
+            eps = dtype.eps if not dtype.is_bool else 1e-15
+            if abs(total_sq - kept_sq) > (tol ** 2 + 256 * eps) * total_sq:
                 raise ValueError('Block is not symmetric up to tolerance: '
                                  f'{abs(total_sq - kept_sq) / total_sq}')
         blocks = [bb.as_block(b, dtype) for b in blocks]

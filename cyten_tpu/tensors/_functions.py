@@ -779,12 +779,37 @@ def partial_trace(tensor: Tensor, *pairs, levels=None):
     new_domain = TensorProduct(
         [sp for k, sp in enumerate(tensor.domain.factors)
          if (n - 1 - k) not in traced], symmetry=tensor.symmetry)
-    data, is_scalar_ = tensor.backend.partial_trace(tensor, pairs, levels,
-                                                    new_codomain, new_domain)
+    try:
+        data, is_scalar_ = tensor.backend.partial_trace(tensor, pairs, levels,
+                                                        new_codomain, new_domain)
+    except NotImplementedError:
+        # generic fallback: contract each pair with an explicit cap (bent identity);
+        # bends are implemented by every backend (anyons included)
+        return _partial_trace_via_caps(tensor, pairs)
     if is_scalar_:
         return data
     labels = [l for i, l in enumerate(tensor._labels) if i not in traced]
     return SymmetricTensor(data, new_codomain, new_domain, tensor.backend, labels)
+
+
+def _partial_trace_via_caps(tensor: Tensor, pairs):
+    res = tensor
+    remaining = [tuple(p) for p in pairs]
+    while remaining:
+        i, j = remaining.pop(0)
+        V = res._as_codomain_leg(i)
+        eye_t = SymmetricTensor.from_eye([V], backend=res.backend,
+                                         dtype=res.dtype)
+        # cap: bend the identity into a codomain-only 2-leg tensor [V, V*];
+        # contracting it realizes the categorical (quantum) trace of the pair
+        cap = bend_legs(eye_t, num_codomain_legs=2)
+        res = tdot(res, cap, [i, j], [1, 0])
+        remaining = [(a - sum(x < a for x in (i, j)),
+                      b - sum(x < b for x in (i, j))) for a, b in remaining]
+    if isinstance(res, Tensor):
+        if all(l.is_trivial for l in res.legs):
+            return item(res)
+    return res
 
 
 def trace(tensor: Tensor):

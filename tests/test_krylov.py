@@ -1,0 +1,108 @@
+"""Tests for LinearOperators and Krylov-based solvers."""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import ElementarySpace, SymmetricTensor
+from cyten_tpu.tensors import (
+    LanczosEvolution, ProjectedLinearOperator, ShiftedLinearOperator,
+    SumLinearOperator, TensorLinearOperator, gram_schmidt, lanczos,
+)
+from cyten_tpu.tensors.krylov_based import Arnoldi, lanczos_arpack
+
+
+@pytest.fixture
+def hermitian_op(np_random):
+    leg = ElementarySpace(ct.u1_symmetry, [[-1], [0], [1]], [2, 3, 2])
+    be = ct.get_backend(ct.u1_symmetry, 'numpy')
+    A = SymmetricTensor.from_random_normal([leg], [leg], backend=be,
+                                           rng=np_random)
+    H = 0.5 * (A + ct.dagger(A))
+    vec0 = SymmetricTensor.from_random_normal([leg], [], backend=be,
+                                              rng=np_random)
+    return H, vec0
+
+
+def _sector0_eigs(H):
+    """Eigenvalues of H restricted to the trivial-charge sector of the leg."""
+    h = H.to_numpy()
+    leg = H.codomain.factors[0]
+    idx = np.where(np.all(leg.sectors_of_basis == 0, axis=1))[0]
+    return np.linalg.eigvalsh(h[np.ix_(idx, idx)])
+
+
+def test_lanczos_ground_state(hermitian_op):
+    H, vec0 = hermitian_op
+    op = TensorLinearOperator(H)
+    E, psi, n = lanczos(op, vec0, {'N_max': 30, 'P_tol': 1e-14})
+    # a symmetric vector lives in the total-charge-0 sector only -> compare
+    # against the exact ground energy of that sector's subblock
+    w0 = _sector0_eigs(H)
+    assert abs(E - w0[0]) < 1e-9
+    # residual
+    resid = ct.norm(op.matvec(psi) - E * psi)
+    assert resid < 1e-6
+
+
+def test_lanczos_arpack_agrees(hermitian_op):
+    H, vec0 = hermitian_op
+    op = TensorLinearOperator(H)
+    E1, _, _ = lanczos(op, vec0, {'N_max': 30, 'P_tol': 1e-14})
+    E2, _, _ = lanczos_arpack(op, vec0)
+    assert abs(E1 - E2) < 1e-8
+
+
+def test_lanczos_evolution(hermitian_op):
+    H, vec0 = hermitian_op
+    op = TensorLinearOperator(H)
+    delta = -0.3
+    psi, n = LanczosEvolution(op, vec0, {'N_max': 25, 'P_tol': 1e-16}).run(delta)
+    import scipy.linalg
+
+    h = H.to_numpy()
+    expect = scipy.linalg.expm(delta * h) @ vec0.to_numpy()
+    np.testing.assert_allclose(psi.to_numpy(), expect, rtol=1e-8, atol=1e-10)
+
+
+def test_arnoldi(hermitian_op):
+    H, vec0 = hermitian_op
+    op = TensorLinearOperator(H)
+    E, psi, n = Arnoldi(op, vec0, {'N_max': 30, 'which': 'LM',
+                                   'P_tol': 1e-14}).run()
+    w = _sector0_eigs(H)
+    assert abs(abs(E) - np.max(np.abs(w))) < 1e-7
+
+
+def test_operator_wrappers(hermitian_op, np_random):
+    H, vec0 = hermitian_op
+    op = TensorLinearOperator(H)
+    shifted = ShiftedLinearOperator(op, 2.5)
+    np.testing.assert_allclose(
+        shifted.matvec(vec0).to_numpy(),
+        op.matvec(vec0).to_numpy() + 2.5 * vec0.to_numpy(), atol=1e-12)
+    summed = SumLinearOperator(op, op)
+    np.testing.assert_allclose(summed.matvec(vec0).to_numpy(),
+                               2 * op.matvec(vec0).to_numpy(), atol=1e-12)
+    # projected: ground state orthogonal to first GS gives first excited energy
+    E0, psi0, _ = lanczos(op, vec0, {'N_max': 40, 'P_tol': 1e-16})
+    proj = ProjectedLinearOperator(op, [psi0])
+    vec1 = SymmetricTensor.from_random_normal(list(vec0.codomain.factors), [],
+                                              backend=vec0.backend,
+                                              rng=np_random)
+    E1, psi1, _ = lanczos(proj, proj.project(vec1), {'N_max': 40,
+                                                     'P_tol': 1e-16})
+    assert abs(ct.inner(psi0, psi1)) < 1e-8
+
+
+def test_gram_schmidt(hermitian_op, np_random):
+    H, vec0 = hermitian_op
+    vecs = [SymmetricTensor.from_random_normal(list(vec0.codomain.factors), [],
+                                               backend=vec0.backend,
+                                               rng=np_random)
+            for _ in range(3)]
+    ortho = gram_schmidt(vecs)
+    for i, a in enumerate(ortho):
+        for j, b in enumerate(ortho):
+            expect = 1. if i == j else 0.
+            assert abs(ct.inner(a, b) - expect) < 1e-10
