@@ -332,10 +332,12 @@ class AbelianBackend(TensorBackend):
             if out_rows[oid] is None:
                 out_rows[oid] = tuple(a_bi[n1][a_keep_cols]) \
                     + tuple(b_bi[n2][b_keep_cols])
-        if bb.can_jit and len(ia) >= 8:
+        from ..config import config
+
+        threshold = config.compose_batch_threshold
+        if bb.can_jit and threshold is not None and len(ia) >= threshold:
             # bucketed batched GEMMs: group same-shape pairs into one einsum +
-            # segment-sum (SURVEY.md §7.2 — turns many small MXU calls into few
-            # batched ones)
+            # segment-sum (SURVEY.md §7.2). Off by default — see config note.
             self._compose_batched(bb, ia, ib, out_id, a_mat, b_mat, accum)
         else:
             for n1, n2, oid in zip(ia, ib, out_id):

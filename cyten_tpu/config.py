@@ -40,6 +40,11 @@ class Config:
     use_pallas: bool = True
     #: minimum total FLOPs in a bucket before a pallas batched GEMM kernel is preferred
     pallas_gemm_min_flops: int = 2**24
+    #: group same-shape GEMM pairs into batched einsums when a compose has at least
+    #: this many pairs; None disables. Measured on TPU v5e (U(1)xU(1), 25 sectors,
+    #: chi=1024): XLA's unrolled per-block GEMMs were ~10% faster and compiled 2x
+    #: faster, so batching is off by default; revisit for mult ~ O(1) workloads.
+    compose_batch_threshold: int | None = None
 
 
 config = Config()
