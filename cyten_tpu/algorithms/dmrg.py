@@ -75,11 +75,14 @@ class DMRGEngine:
     """Two-site DMRG sweeps with Lanczos ground-state search per bond."""
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
-                 lanczos_options: dict = None):
+                 lanczos_options: dict = None, pad_chi_multiple: int = None):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
         self.eps = eps
+        #: round kept multiplicities per sector up to this multiple (chi bucketing:
+        #: bounded jit recompiles + MXU-aligned shapes on TPU)
+        self.pad_chi_multiple = pad_chi_multiple
         self.lanczos_options = lanczos_options or {'N_max': 20, 'P_tol': 1e-14}
         self.backend = psi.backend
         L = psi.L
@@ -152,7 +155,8 @@ class DMRGEngine:
         theta0 = psi.get_theta2(i)
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         self.E = E
-        A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps)
+        A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps,
+                                            pad_to_multiple=self.pad_chi_multiple)
         self.trunc_err = max(self.trunc_err, err)
         # restore B form on site i: B_i = S_i^{-1} A S_new
         Sinv = pinv(psi.Ss[i], cutoff=1e-14)

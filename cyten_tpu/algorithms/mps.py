@@ -229,7 +229,8 @@ def _as_scalar(res):
     return res
 
 
-def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True):
+def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True,
+                         pad_to_multiple: int = None):
     """Split a two-site wavefunction and truncate.
 
     Parameters
@@ -248,7 +249,8 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
     """
     theta = permute_legs(theta, codomain=['vL', 'p0'], domain=['vR', 'p1'])
     U, S, Vh = svd(theta, new_labels=['vR', 'vL'])
-    mask, err, new_norm = truncate_singular_values(S, chi_max=chi_max, svd_min=eps)
+    mask, err, new_norm = truncate_singular_values(
+        S, chi_max=chi_max, svd_min=eps, pad_to_multiple=pad_to_multiple)
     U, S, Vh = svd_apply_mask(U, S, Vh, mask)
     if normalize:
         S = (1. / new_norm) * S

@@ -371,6 +371,7 @@ def truncation_mask_from_S(S_sectors: list[np.ndarray], qdims: np.ndarray,
                            trunc_cut: float | None = None,
                            svd_min: float | None = None,
                            minimize_error: bool = True,
+                           pad_to_multiple: int | None = None,
                            ) -> tuple[list[np.ndarray], float, float]:
     """Global truncation decision across sectors, weighted by quantum dimension.
 
@@ -465,6 +466,19 @@ def truncation_mask_from_S(S_sectors: list[np.ndarray], qdims: np.ndarray,
         m = np.zeros(len(s), dtype=bool)
         sel = (sector_idx == i)
         m[inner_idx[sel]] = keep[sel]
+        if pad_to_multiple and m.any():
+            # chi bucketing: round the kept count per sector UP to a multiple, so
+            # that block shapes repeat across truncations (bounded jit recompiles,
+            # MXU-aligned shapes; SURVEY.md §7 "chi bucketing"). Extra kept values
+            # are the largest of the discarded ones — harmless variationally.
+            want = -(-int(m.sum()) // pad_to_multiple) * pad_to_multiple
+            want = min(want, len(s))
+            if want > m.sum():
+                extra = np.argsort(-np.where(m, -np.inf, np.asarray(s, float)))
+                for idx2 in extra:
+                    if m.sum() >= want:
+                        break
+                    m[idx2] = True
         masks.append(m)
     err_sq = float(disc[k]) / norm_sq
     new_norm = float(np.sqrt(max(norm_sq - disc[k], 0.)))

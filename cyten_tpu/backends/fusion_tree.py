@@ -391,7 +391,75 @@ class FusionTreeBackend(TensorBackend):
                                a.data.dtype)
 
     def outer(self, a, b, new_codomain, new_domain):
-        raise NotImplementedError('outer for FusionTreeBackend: planned (stage S4b)')
+        """Tensor product: decompose (Y_A ⊗ Y_B) and (X_A ⊗ X_B) into canonical
+        trees via FusionTree.outer; the splitting side contributes conjugated
+        coefficients. Row layout of the product = A-major kron of the factors."""
+        bb = self.block_backend
+        dtype = Dtype.common(a.data.dtype, b.data.dtype)
+        sym = a.symmetry
+        new_blocks: dict[tuple, object] = {}
+
+        def tree_items(tensor, side, c):
+            tp = tensor.codomain if side == 'cod' else tensor.domain
+            return list(tp.iter_tree_blocks([np.asarray(c)]))
+
+        for na, (ia_, ja_) in enumerate(a.data.block_inds):
+            cA = a.codomain.sector_decomposition[ia_]
+            blockA = a.data.blocks[na]
+            rowsA = tree_items(a, 'cod', cA)
+            colsA = tree_items(a, 'dom', cA)
+            for nb, (ib_, jb_) in enumerate(b.data.block_inds):
+                cB = b.codomain.sector_decomposition[ib_]
+                blockB = b.data.blocks[nb]
+                rowsB = tree_items(b, 'cod', cB)
+                colsB = tree_items(b, 'dom', cB)
+                for YA, slA, mA, _ in rowsA:
+                    for YB, slB, mB, _ in rowsB:
+                        decompY = YA.outer(YB)
+                        for XA, tlA, nA_, _ in colsA:
+                            for XB, tlB, nB_, _ in colsB:
+                                decompX = XA.outer(XB)
+                                subA = blockA[slA, tlA]
+                                subB = blockB[slB, tlB]
+                                # kron with A-major rows and cols
+                                sub = _kron2(bb, subA, subB)
+                                for Yp, cy in decompY.items():
+                                    for Xp, cx in decompX.items():
+                                        if not np.all(Yp.coupled == Xp.coupled):
+                                            continue
+                                        coeff = np.conj(cy) * cx
+                                        if abs(coeff) < EPS:
+                                            continue
+                                        self._outer_scatter(
+                                            bb, new_blocks, new_codomain,
+                                            new_domain, Yp, Xp, coeff, sub, dtype)
+        rows = list(new_blocks.keys())
+        blocks = [new_blocks[r] for r in rows]
+        return BlockSparseData(blocks, np.array(rows, np.intp).reshape(len(rows), 2),
+                               dtype)
+
+    @staticmethod
+    def _outer_scatter(bb, new_blocks, new_codomain, new_domain, Yp, Xp, coeff,
+                       sub, dtype):
+        c = Yp.coupled
+        i = _sector_index(new_codomain, c)
+        j = _sector_index(new_domain, c)
+        if i is None or j is None:
+            return
+        key = (int(i), int(j))
+        target = new_blocks.get(key)
+        if target is None:
+            target = bb.zeros((int(new_codomain.multiplicities[i]),
+                               int(new_domain.multiplicities[j])), dtype)
+        r_slc = new_codomain.tree_block_slice(Yp)
+        c_slc = new_domain.tree_block_slice(Xp)
+        cur = target[r_slc, c_slc]
+        target = bb._setitem(target, (r_slc, c_slc),
+                             bb.add(cur, bb.mul(complex(coeff) if
+                                                abs(complex(coeff).imag) > 0
+                                                else float(np.real(coeff)),
+                                                bb.to_dtype(sub, dtype))))
+        new_blocks[key] = target
 
     def partial_trace(self, a, pairs, levels, new_codomain, new_domain):
         raise NotImplementedError(
@@ -817,6 +885,15 @@ class FusionTreeBackend(TensorBackend):
 
 def _sector_index(space, sector) -> int | None:
     return space.sector_decomposition_where(np.asarray(sector))
+
+
+def _kron2(bb, subA, subB):
+    """kron of two matrices with A-major rows and columns."""
+    ra, ca = bb.get_shape(subA)
+    rb, cb = bb.get_shape(subB)
+    x = bb.tensordot(subA, [], subB, [])  # outer product: [ra, ca, rb, cb]
+    x = bb.permute_axes(x, [0, 2, 1, 3])
+    return bb.reshape(x, (ra * rb, ca * cb))
 
 
 def _row_scale_factors(side: TensorProduct, c, flat_pos: int, diag, d_lookup, bb):

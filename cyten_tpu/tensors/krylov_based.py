@@ -16,7 +16,7 @@ from typing import Sequence
 
 import numpy as np
 
-from ._functions import inner, norm, scalar_multiply
+from ._functions import inner, linear_combination, norm, scalar_multiply
 from ._tensors import Tensor
 from .sparse import LinearOperator
 
@@ -51,6 +51,45 @@ class KrylovBased:
         raise NotImplementedError
 
 
+_JIT_LANCZOS_TAIL = None
+
+
+def _get_jit_lanczos_tail():
+    """jit the orthogonalize-and-measure tail of a Lanczos step: given (w, v, v_prev,
+    beta_prev), return (alpha, w_ortho, beta). One fused XLA call instead of ~6
+    eager dispatches per iteration."""
+    global _JIT_LANCZOS_TAIL
+    if _JIT_LANCZOS_TAIL is None:
+        import jax
+
+        def tail(w, v, v_prev, beta_prev):
+            alpha = inner(v, w, do_dagger=True)
+            alpha_re = alpha.real if hasattr(alpha, 'real') else alpha
+            w = linear_combination(1., w, -alpha_re, v)
+            if v_prev is not None:
+                w = linear_combination(1., w, -beta_prev, v_prev)
+            return alpha_re, w, norm(w)
+
+        _JIT_LANCZOS_TAIL = jax.jit(tail, static_argnames=())
+    return _JIT_LANCZOS_TAIL
+
+
+def _lanczos_step(H, v, v_prev, beta_prev, use_jit):
+    w = H.matvec(v)
+    if use_jit:
+        try:
+            alpha, w, beta = _get_jit_lanczos_tail()(
+                w, v, v_prev, 0.0 if beta_prev is None else beta_prev)
+            return float(alpha), w, float(beta)
+        except Exception:
+            pass
+    alpha = float(np.real(inner(v, w)))
+    w = w - scalar_multiply(alpha, v)
+    if v_prev is not None:
+        w = w - scalar_multiply(beta_prev, v_prev)
+    return alpha, w, None  # beta computed by caller
+
+
 class LanczosGroundState(KrylovBased):
     """Lanczos ground-state search for hermitian operators."""
 
@@ -65,17 +104,27 @@ class LanczosGroundState(KrylovBased):
         betas: list[float] = []
         E_old = None
         theta = None
+        use_jit = getattr(psi.backend.block_backend, 'can_jit', False) \
+            and not self.reortho
         for k in range(self.N_max):
-            w = H.matvec(basis[-1])
-            alpha = float(np.real(inner(basis[-1], w)))
-            alphas.append(alpha)
-            w = w - scalar_multiply(alpha, basis[-1])
-            if len(basis) > 1:
-                w = w - scalar_multiply(betas[-1], basis[-2])
-            if self.reortho:
-                for b in basis[:-1]:
-                    w = w - scalar_multiply(inner(b, w), b)
-            beta = norm(w)
+            if use_jit:
+                v_prev = basis[-2] if len(basis) > 1 else None
+                beta_prev = betas[-1] if betas else None
+                alpha, w, beta_j = _lanczos_step(H, basis[-1], v_prev, beta_prev,
+                                                 True)
+                alphas.append(alpha)
+                beta = beta_j if beta_j is not None else norm(w)
+            else:
+                w = H.matvec(basis[-1])
+                alpha = float(np.real(inner(basis[-1], w)))
+                alphas.append(alpha)
+                w = w - scalar_multiply(alpha, basis[-1])
+                if len(basis) > 1:
+                    w = w - scalar_multiply(betas[-1], basis[-2])
+                if self.reortho:
+                    for b in basis[:-1]:
+                        w = w - scalar_multiply(inner(b, w), b)
+                beta = norm(w)
             # solve the small tridiagonal problem
             T = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
             evals, evecs = np.linalg.eigh(T)
