@@ -68,22 +68,39 @@ def numpy_run(chi, n_iter=3):
     return (time.perf_counter() - t0) / n_iter, flops
 
 
-def jax_run(chi, n_iter=20):
+def jax_run(chi, n_iter=20, repeats=3):
+    """Time the jitted matvec chain.
+
+    The whole `n_iter` loop runs on-device inside one jit (lax.scan over the matvec,
+    feeding theta back as the carry) so a single dispatch covers all iterations —
+    essential when the device sits behind an RPC tunnel, where per-call dispatch
+    overhead otherwise dominates and adds run-to-run noise. Best of `repeats`.
+    """
     import jax
 
     import cyten_tpu as ct
     from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
 
     backend = ct.get_backend(ct.u1_symmetry, 'jax')
-    args = build_workload(backend, chi=chi)
-    fn = jax.jit(_heff_matvec_impl)
-    out = fn(*args)
+    LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
+
+    @jax.jit
+    def run_many(LP, RP, W1, W2, theta):
+        def body(th, _):
+            return _heff_matvec_impl(LP, RP, W1, W2, th), None
+
+        th, _ = jax.lax.scan(body, theta, None, length=n_iter)
+        return th
+
+    out = run_many(LP, RP, W1, W2, theta)  # warmup/compile
     jax.block_until_ready(out.data.blocks)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    jax.block_until_ready(out.data.blocks)
-    return (time.perf_counter() - t0) / n_iter
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run_many(LP, RP, W1, W2, theta)
+        jax.block_until_ready(out.data.blocks)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
 
 
 def main():

@@ -31,6 +31,32 @@ from .symmetries import (
     z8_symmetry, z9_symmetry,
 )
 from .tensors import *  # noqa: F401,F403
+from . import models
+from . import algorithms
+from . import parallel
+from . import testing
+from ._native import HAS_NATIVE
+from ._native import add  # smoke-test binding, parity with reference _core.add
+from .blocks import Block, NumpyBlockBackend
+from .models import Coupling, Site, couplings, sites
+
+
+def __getattr__(name):
+    if name == 'TorchBlockBackend':  # lazy: avoid importing torch eagerly
+        from .blocks import TorchBlockBackend
+
+        return TorchBlockBackend
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
+
+
+# reference-parity aliases (cyten exposes these names at top level)
+block_backends = blocks
+dummy_config = _config_module
+bool = Dtype.bool  # noqa: A001 — shadows builtins at module scope, like the reference
+float32 = Dtype.float32
+float64 = Dtype.float64
+complex64 = Dtype.complex64
+complex128 = Dtype.complex128
 
 
 def show_config() -> None:

@@ -628,11 +628,46 @@ class FusionTreeBackend(TensorBackend):
                                  dtype, is_sorted=True)
 
     def diagonal_from_block(self, block, leg, tol):
-        raise SymmetryError('diagonal_from_block requires can_be_dropped; use '
-                            'from_sector_block_func')
+        """Reference: cyten/backends/fusion_tree_backend.py:579 (diagonal_from_block).
+
+        Per sector of dim d, mult m the internal dense segment is state-major: index
+        ``s * m + mu`` holds ``vals[mu]``; symmetry requires all d states equal.
+        """
+        if not leg.symmetry.can_be_dropped:
+            raise SymmetryError('diagonal_from_block requires can_be_dropped; use '
+                                'from_sector_block_func')
+        bb = self.block_backend
+        vec = np.asarray(bb.to_numpy(bb.as_block(block)))
+        dtype = Dtype.from_numpy(vec.dtype)
+        if leg._basis_perm is not None:
+            vec = vec[leg.basis_perm]
+        blocks = []
+        for i in range(leg.num_sectors):
+            d = leg.symmetry.sector_dim(leg.sector_decomposition[i])
+            seg = vec[int(leg.slices[i, 0]):int(leg.slices[i, 1])]
+            per_state = seg.reshape(d, -1)  # state-major layout
+            if np.max(np.abs(per_state - per_state[:1, :])) > tol * max(
+                    1., float(np.max(np.abs(vec)))):
+                raise ValueError('Block is not symmetric up to tolerance.')
+            blocks.append(bb.as_block(per_state[0], dtype))
+        return DiagonalBlockData(blocks, np.arange(leg.num_sectors, dtype=np.intp),
+                                 dtype, is_sorted=True)
 
     def diagonal_to_block(self, a):
-        raise SymmetryError('diagonal_to_block requires can_be_dropped')
+        """Reference: cyten/backends/fusion_tree_backend.py:626 (diagonal_tensor_to_block)."""
+        leg = a.leg
+        if not leg.symmetry.can_be_dropped:
+            raise SymmetryError('diagonal_to_block requires can_be_dropped')
+        bb = self.block_backend
+        res = np.zeros((leg.dim,), a.data.dtype.to_numpy)
+        for block, i in zip(a.data.blocks, a.data.block_inds):
+            d = leg.symmetry.sector_dim(leg.sector_decomposition[i])
+            vals = np.asarray(bb.to_numpy(block))
+            # state-major: repeat the mult-vector once per sector state
+            res[int(leg.slices[i, 0]):int(leg.slices[i, 1])] = np.tile(vals, d)
+        if leg._basis_perm is not None:
+            res = res[leg.inverse_basis_perm]
+        return bb.as_block(res, a.data.dtype)
 
     def diagonal_data_from_full_tensor(self, a, check_offdiagonal):
         bb = self.block_backend
@@ -749,10 +784,10 @@ class FusionTreeBackend(TensorBackend):
         for i in range(large_leg.num_sectors):
             seg = mask_np[int(large_leg.slices[i, 0]):int(large_leg.slices[i, 1])]
             d = int(large_leg.sector_dims[i])
-            per_mult = seg.reshape(-1, d)
-            assert np.all(per_mult == per_mult[:, :1]), \
+            per_state = seg.reshape(d, -1)  # state-major layout
+            assert np.all(per_state == per_state[:1, :]), \
                 'mask must keep or drop whole multiplets'
-            blocks.append(bb.as_block(per_mult[:, 0], Dtype.bool))
+            blocks.append(bb.as_block(per_state[0], Dtype.bool))
         diag = DiagonalBlockData(blocks,
                                  np.arange(large_leg.num_sectors, dtype=np.intp),
                                  Dtype.bool, is_sorted=True)
@@ -971,18 +1006,18 @@ def _mult_kron(C, trees, n_row_legs, n_col_legs):
     """Interleave multiplicity axes (C) with sector-dimension axes (trees).
 
     C axes: [m_1..m_J, n_1..n_M]; trees axes: [d_1..d_J, e_1..e_M].
-    Result axes: [(m_1 d_1).., (n_1 e_1)..] — each leg's internal basis is
-    (multiplicity index major, sector-state index minor), matching
-    ``ElementarySpace.slices`` layout.
+    Result axes: [(d_1 m_1).., (e_1 n_1)..] — each leg's internal basis is
+    *state-major* (sector-state index major, multiplicity minor), matching the
+    reference convention and ``ElementarySpace.slices`` layout.
     """
     J, M = n_row_legs, n_col_legs
     res = np.multiply.outer(C, trees)
-    # axes: [m1..mJ, n1..nM, d1..dJ, e1..eM] -> [m1,d1, .., n1,e1, ..]
+    # axes: [m1..mJ, n1..nM, d1..dJ, e1..eM] -> [d1,m1, .., e1,n1, ..]
     perm = []
     for k in range(J):
-        perm.extend([k, J + M + k])
+        perm.extend([J + M + k, k])
     for k in range(M):
-        perm.extend([J + k, J + M + J + k])
+        perm.extend([J + M + J + k, J + k])
     res = np.transpose(res, perm)
     shape = []
     for k in range(J):
@@ -995,7 +1030,7 @@ def _mult_kron(C, trees, n_row_legs, n_col_legs):
 def _mult_unkron(sub, trees, row_mults, col_mults):
     """Inverse pairing of :func:`_mult_kron`: project `sub` onto `trees`.
 
-    sub axes: [(m d)_1.., (n e)_1..]; trees axes: [d.., e..].
+    sub axes: [(d m)_1.., (e n)_1..] (state-major); trees axes: [d.., e..].
     Returns C with axes [m.., n..] = sum over d/e of sub * conj(trees).
     """
     J = len(row_mults)
@@ -1004,12 +1039,12 @@ def _mult_unkron(sub, trees, row_mults, col_mults):
     e_dims = trees.shape[J:]
     shape = []
     for m, d in zip(row_mults, d_dims):
-        shape.extend([int(m), int(d)])
+        shape.extend([int(d), int(m)])
     for n, e in zip(col_mults, e_dims):
-        shape.extend([int(n), int(e)])
+        shape.extend([int(e), int(n)])
     x = sub.reshape(shape)
-    # move d/e axes to the back
-    perm = [2 * k for k in range(J + M)] + [2 * k + 1 for k in range(J + M)]
+    # move d/e axes (even positions) to the back, mult axes (odd) to the front
+    perm = [2 * k + 1 for k in range(J + M)] + [2 * k for k in range(J + M)]
     x = np.transpose(x, perm)
     return np.tensordot(x, np.conj(trees), (tuple(range(J + M, 2 * (J + M))),
                                             tuple(range(J + M))))

@@ -508,6 +508,20 @@ class ElementarySpace(Space, Leg):
         multiplicities, rem = np.divmod(occurrences, dims)
         if np.any(rem > 0):
             raise ValueError('Sectors must appear in whole multiplets.')
+        # within a sector, the m-th public occurrence is state m % d of multiplet
+        # m // d; the internal layout is *state-major* (index = state * mult + mu),
+        # so reorder the per-sector segments of basis_perm accordingly.
+        if np.any(dims > 1):
+            basis_perm = basis_perm.copy()
+            for i in range(len(sectors)):
+                d = int(dims[i])
+                if d == 1:
+                    continue
+                m = int(multiplicities[i])
+                seg = basis_perm[diffs[i]:diffs[i + 1]]
+                # internal position s * m + mu takes public occurrence mu * d + s
+                occ = (np.arange(d)[:, None] + d * np.arange(m)[None, :]).reshape(-1)
+                basis_perm[diffs[i]:diffs[i + 1]] = seg[occ]
         return cls(symmetry, sectors, multiplicities, is_dual=False,
                    basis_perm=basis_perm)
 
@@ -749,8 +763,8 @@ class ElementarySpace(Space, Leg):
         sectors, mults = [], []
         for a, d_a, slc in zip(self.defining_sectors, self.sector_dims, self.slices):
             sector_mask = blockmask[slc[0]:slc[1]]
-            per_state = np.reshape(sector_mask, (-1, d_a))
-            if not np.all(per_state == per_state[:, :1]):
+            per_state = np.reshape(sector_mask, (d_a, -1))  # state-major layout
+            if not np.all(per_state == per_state[:1, :]):
                 raise ValueError('Multiplets must be kept or discarded as a whole.')
             mult = int(np.sum(sector_mask)) // d_a
             if mult > 0:
@@ -1279,18 +1293,16 @@ def swap_gate(V: Leg, W: Leg) -> np.ndarray:
     res = np.zeros((dW, dV, dW, dV))
     i = 0
     for a, ma in zip(V.defining_sectors, V.multiplicities):
+        da = V.symmetry.sector_dim(a)
         j = 0
-        da = db = 1
         for b, mb in zip(W.defining_sectors, W.multiplicities):
-            swap = V.symmetry.swap_gate(a, b)
-            db, da = swap.shape[:2]
-            i2 = i
-            for _ in range(ma):
-                j2 = j
-                for _ in range(mb):
-                    res[j2:j2 + db, i2:i2 + da, j2:j2 + db, i2:i2 + da] = swap
-                    j2 += db
-                i2 += da
+            swap = V.symmetry.swap_gate(a, b)  # axes [b, a, b*, a*]
+            db = swap.shape[0]
+            # state-major layout: sector index = state * mult + mu; the gate acts
+            # on the state indices, identity on the multiplicity indices
+            blk = np.einsum('uvxy,bc,ad->ubvaxcyd', swap, np.eye(mb), np.eye(ma))
+            blk = blk.reshape(db * mb, da * ma, db * mb, da * ma)
+            res[j:j + db * mb, i:i + da * ma, j:j + db * mb, i:i + da * ma] = blk
             j += db * mb
         i += da * ma
     inv_w, inv_v = W.inverse_basis_perm, V.inverse_basis_perm

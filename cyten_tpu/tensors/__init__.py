@@ -5,31 +5,40 @@ krylov_based.py, planar.py).
 """
 
 from ._tensors import (
-    ChargedTensor, DiagonalTensor, Identity, Mask, SymmetricTensor, Tensor,
+    ChargedTensor, DiagonalTensor, Identity, LabelledLegs, Mask, SymmetricTensor,
+    Tensor, check_same_legs, get_same_device, is_valid_leg_label,
 )
 from ._functions import *  # noqa: F401,F403
 from ._functions import __all__ as _functions_all
 from . import krylov_based, planar, sparse
 from .planar import (
-    PlanarDiagram, PlanarLinearOperator, horizontal_factorization,
+    ContractionTree, PlanarDiagram, PlanarLinearOperator, horizontal_factorization,
     planar_combine_legs, planar_contraction, planar_eigh, planar_lq,
     planar_partial_trace, planar_permute_legs, planar_qr, planar_svd,
     planar_truncated_svd,
 )
 from .sparse import (
-    LinearOperator, NumpyArrayLinearOperator, ProjectedLinearOperator,
-    ShiftedLinearOperator, SumLinearOperator, TensorLinearOperator, gram_schmidt,
+    HermitianNumpyArrayLinearOperator, LinearOperator, NumpyArrayLinearOperator,
+    ProjectedLinearOperator, ShiftedLinearOperator, SumLinearOperator,
+    TensorLinearOperator, gram_schmidt,
 )
-from .krylov_based import Arnoldi, LanczosEvolution, LanczosGroundState, lanczos
+from .krylov_based import (
+    Arnoldi, KrylovBased, LanczosEvolution, LanczosGroundState, lanczos,
+    lanczos_arpack,
+)
 
-__all__ = ['Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity', 'Mask',
-           'ChargedTensor', *_functions_all,
-           'PlanarDiagram', 'PlanarLinearOperator', 'planar_contraction',
+__all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
+           'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
+           'get_same_device', *_functions_all,
+           'ContractionTree', 'PlanarDiagram', 'PlanarLinearOperator',
+           'planar_contraction',
            'planar_permute_legs', 'planar_combine_legs', 'planar_svd', 'planar_qr',
            'planar_lq', 'planar_eigh', 'planar_truncated_svd',
            'planar_partial_trace', 'horizontal_factorization',
            'LinearOperator', 'TensorLinearOperator', 'SumLinearOperator',
            'ShiftedLinearOperator', 'ProjectedLinearOperator',
-           'NumpyArrayLinearOperator', 'gram_schmidt',
-           'Arnoldi', 'LanczosGroundState', 'LanczosEvolution', 'lanczos',
+           'NumpyArrayLinearOperator', 'HermitianNumpyArrayLinearOperator',
+           'gram_schmidt',
+           'Arnoldi', 'KrylovBased', 'LanczosGroundState', 'LanczosEvolution',
+           'lanczos', 'lanczos_arpack',
            'krylov_based', 'planar', 'sparse']

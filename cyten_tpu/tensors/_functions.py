@@ -694,7 +694,14 @@ def outer(tensor1: Tensor, tensor2: Tensor, relabel1=None, relabel2=None) -> Ten
         tensor2 = tensor2.as_SymmetricTensor()
     if isinstance(tensor1, ChargedTensor) or isinstance(tensor2, ChargedTensor):
         if isinstance(tensor1, ChargedTensor) and isinstance(tensor2, ChargedTensor):
-            raise NotImplementedError('outer of two ChargedTensors')
+            bang = ChargedTensor._CHARGE_LEG_LABEL
+            inv = outer(tensor1.invariant_part, tensor2.invariant_part,
+                        relabel1={**(relabel1 or {}), bang: f'{bang}1'},
+                        relabel2={**(relabel2 or {}), bang: f'{bang}2'})
+            # domain is [!1, *dom1, !2, *dom2]; bring !2 next to !1
+            inv = move_leg(inv, f'{bang}2', domain_pos=1)
+            return ChargedTensor.from_two_charge_legs(
+                inv, tensor1.charged_state, tensor2.charged_state)
         if isinstance(tensor1, ChargedTensor):
             inv = outer(tensor1.invariant_part, tensor2, relabel1, relabel2)
             inv = move_leg(inv, ChargedTensor._CHARGE_LEG_LABEL, domain_pos=0)

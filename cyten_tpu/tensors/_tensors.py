@@ -30,8 +30,9 @@ from ..symmetries import (
 )
 from ..tools.misc import duplicate_entries, to_iterable
 
-__all__ = ['Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity', 'Mask',
-           'ChargedTensor']
+__all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
+           'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
+           'get_same_device']
 
 
 # --- label utilities -------------------------------------------------------------------
@@ -101,7 +102,71 @@ def _get_matching_labels(labels1, labels2):
 # --- base class ---------------------------------------------------------------------------
 
 
-class Tensor(metaclass=ABCMeta):
+class LabelledLegs:
+    """Base class implementing handling of labelled legs.
+
+    Reference: cyten/tensors/_tensors.py:69. :class:`Tensor` inherits the label API
+    from here; the class is also usable standalone for non-tensor objects with
+    labelled legs.
+    """
+
+    def __init__(self, labels):
+        labels = list(labels)
+        dup = duplicate_entries(labels, ignore=[None])
+        if len(dup) > 0:
+            raise ValueError(f'Duplicate leg labels: {dup}')
+        self._labels = labels
+        self.num_legs = len(labels)
+
+    @property
+    def is_fully_labelled(self) -> bool:
+        return None not in self._labels
+
+    @property
+    def labels(self) -> list[str | None]:
+        return self._labels[:]
+
+    @labels.setter
+    def labels(self, labels):
+        labels = list(labels)
+        assert len(labels) == self.num_legs
+        assert not duplicate_entries(labels, ignore=[None])
+        self._labels = labels
+
+    def get_leg_idx(self, which_leg) -> int:
+        if isinstance(which_leg, str):
+            try:
+                return self._labels.index(which_leg)
+            except ValueError:
+                raise ValueError(f'No leg with label {which_leg!r}. '
+                                 f'Labels: {self._labels}') from None
+        idx = int(which_leg)
+        if idx < 0:
+            idx += self.num_legs
+        if not 0 <= idx < self.num_legs:
+            raise ValueError(f'Leg index out of bounds: {which_leg}')
+        return idx
+
+    def get_leg_idcs(self, which_legs) -> list[int]:
+        return [self.get_leg_idx(l) for l in to_iterable(which_legs)]
+
+    def has_label(self, label: str, *more) -> bool:
+        return all(l in self._labels for l in (label, *more))
+
+    def labels_are(self, *labels) -> bool:
+        return set(labels) == set(l for l in self._labels if l is not None) \
+            and len(labels) == self.num_legs
+
+    def set_label(self, pos: int, label: str | None):
+        self._labels[self.get_leg_idx(pos)] = label
+        return self
+
+    def set_labels(self, labels):
+        self.labels = labels
+        return self
+
+
+class Tensor(LabelledLegs, metaclass=ABCMeta):
     """Base class for tensors as morphisms ``domain -> codomain``.
 
     ``legs == [*codomain, *reversed(domain)]``; index ``n`` and ``n - num_legs`` refer
@@ -685,6 +750,24 @@ class DiagonalTensor(SymmetricTensor):
     def diag_numpy(self) -> np.ndarray:
         return self.backend.block_backend.to_numpy(self.diag_block())
 
+    def diagonal(self) -> DiagonalTensor:
+        """API parity with reference cyten/tensors/_tensors.py:2072."""
+        return self
+
+    def diagonal_as_block(self, dtype=None):
+        """API parity with reference cyten/tensors/_tensors.py:2075."""
+        block = self.diag_block()
+        if dtype is not None:
+            block = self.backend.block_backend.to_dtype(block, dtype)
+        return block
+
+    def diagonal_as_numpy(self, numpy_dtype=None) -> np.ndarray:
+        """API parity with reference cyten/tensors/_tensors.py:2084."""
+        res = self.diag_numpy
+        if numpy_dtype is not None:
+            res = res.astype(numpy_dtype)
+        return res
+
     def to_dense_block(self):
         return self.as_SymmetricTensor(warning=None).to_dense_block()
 
@@ -1106,6 +1189,38 @@ class ChargedTensor(Tensor):
         return cls(invariant_part, charged_state)
 
     @classmethod
+    def from_two_charge_legs(cls, invariant_part: SymmetricTensor, state1=None,
+                             state2=None) -> ChargedTensor:
+        """Combine the two charge legs of `invariant_part` into a single one.
+
+        The invariant part must have charge legs (labels starting with ``'!'``) at its
+        last two legs positions, i.e. at domain positions 0 and 1; they are combined
+        into one pipe. If both `state1` (on domain[0], from tensor 1) and `state2` (on
+        domain[1], from tensor 2) are given, the combined ``charged_state`` is their
+        product state on the pipe. Reference: cyten/tensors/_tensors.py:3334 — where
+        the state product is left unimplemented in all backends; here it works for
+        all symmetries with ``can_be_dropped``.
+        """
+        from ._functions import combine_legs
+
+        bang = cls._CHARGE_LEG_LABEL
+        assert invariant_part.labels[-1].startswith(bang)
+        assert invariant_part.labels[-2].startswith(bang)
+        inv = combine_legs(invariant_part, [-2, -1])
+        inv = inv.relabelled({inv.labels[-1]: bang})
+        if state1 is None and state2 is None:
+            state = None
+        elif state1 is None or state2 is None:
+            raise ValueError('Must specify either both or none of the states')
+        else:
+            # public combined basis of the pipe = C-flatten in legs order, i.e. the
+            # leg at legs position -2 (domain[1], holding state2) is the major axis
+            bb = invariant_part.backend.block_backend
+            state = bb.reshape(
+                bb.outer(bb.as_block(state2), bb.as_block(state1)), (-1,))
+        return cls(inv, state)
+
+    @classmethod
     def from_zero(cls, codomain, domain, charge, charged_state=None, backend=None,
                   labels=None, dtype=Dtype.float64):
         codomain, domain, backend, symmetry = cls._init_parse_args(codomain, domain,
@@ -1198,6 +1313,41 @@ class ChargedTensor(Tensor):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1])
+
+
+def check_same_legs(t1: Tensor, t2: Tensor) -> None:
+    """Check that two tensors have the same (co)domain; raise ValueError otherwise.
+
+    If matching labels sit at mismatched positions (leg order likely mixed up by
+    accident), the error/warning message says so. Reference: _tensors.py:4017.
+    """
+    if not t1.symmetry.is_equivalent_to(t2.symmetry):
+        raise ValueError('Incompatible symmetries')
+    permuted_labels = any(
+        l1 is not None and l1 in t2._labels and t2._labels.index(l1) != n1
+        for n1, l1 in enumerate(t1._labels))
+    if t1.domain != t2.domain or t1.codomain != t2.codomain:
+        msg = 'Incompatible legs. '
+        if permuted_labels:
+            msg += (f'Should you permute_legs first? '
+                    f'labels1={t1.labels}  labels2={t2.labels}')
+        raise ValueError(msg)
+    if permuted_labels:
+        warnings.warn('Compatible legs with permuted labels detected. '
+                      'Double check your leg order!', stacklevel=3)
+
+
+def get_same_device(*tensors: Tensor, error_msg: str = 'Incompatible devices.') -> str:
+    """If the given tensors live on the same device, return it; raise otherwise.
+
+    Reference: _tensors.py:4772.
+    """
+    if len(tensors) == 0:
+        raise ValueError('Need at least one tensor')
+    device = tensors[0].device
+    if not all(t.device == device for t in tensors[1:]):
+        raise ValueError(error_msg)
+    return device
 
 
 def _as_charge_leg(charge, symmetry: Symmetry) -> ElementarySpace:

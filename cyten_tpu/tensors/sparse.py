@@ -18,7 +18,8 @@ from ._tensors import Tensor
 
 __all__ = ['LinearOperator', 'TensorLinearOperator', 'SumLinearOperator',
            'ShiftedLinearOperator', 'ProjectedLinearOperator',
-           'NumpyArrayLinearOperator', 'gram_schmidt']
+           'NumpyArrayLinearOperator', 'HermitianNumpyArrayLinearOperator',
+           'gram_schmidt']
 
 
 class LinearOperator(metaclass=ABCMeta):
@@ -185,6 +186,41 @@ class NumpyArrayLinearOperator(LinearOperator):
 
     def some_vector(self) -> Tensor:
         return self.example_vec
+
+    def eigenvectors(self, num_ev: int = 1, which: str = 'SA', v0: Tensor = None,
+                     hermitian: bool = False, **kwargs):
+        """Extremal eigenpairs via ``scipy.sparse.linalg.eigsh``/``eigs``.
+
+        Returns ``(vals, vecs)`` with `vecs` a list of tensors.
+        Cf. reference sparse.py:330-710 (eigenvectors on NumpyArrayLinearOperator).
+        """
+        import scipy.sparse.linalg as ssl
+
+        op = self.as_scipy_operator()
+        if v0 is not None:
+            kwargs['v0'] = self.tensor_to_flat(v0)
+        if hermitian:
+            vals, vecs = ssl.eigsh(op, k=num_ev, which=which, **kwargs)
+        else:
+            which_map = {'SA': 'SR', 'LA': 'LR'}
+            vals, vecs = ssl.eigs(op, k=num_ev, which=which_map.get(which, which),
+                                  **kwargs)
+        return vals, [self.flat_to_tensor(np.ascontiguousarray(vecs[:, i]))
+                      for i in range(vecs.shape[1])]
+
+
+class HermitianNumpyArrayLinearOperator(NumpyArrayLinearOperator):
+    """Hermitian variant of :class:`NumpyArrayLinearOperator`.
+
+    Hermiticity of `matvec` is not checked. Cf. reference sparse.py:697.
+    """
+
+    def _adjoint(self):
+        return self
+
+    def eigenvectors(self, *args, **kwargs):
+        kwargs['hermitian'] = True
+        return NumpyArrayLinearOperator.eigenvectors(self, *args, **kwargs)
 
 
 def gram_schmidt(vecs: list[Tensor], rcond: float = 1e-14) -> list[Tensor]:

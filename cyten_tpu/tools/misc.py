@@ -21,6 +21,8 @@ __all__ = [
     'common_rows_sorted', 'common_noncommon_rows_sorted', 'iter_common_sorted',
     'iter_common_sorted_arrays', 'iter_common_noncommon_sorted', 'combine_permutations',
     'iter_common_noncommon_sorted_arrays', 'find_subclass', 'UNSPECIFIED',
+    'argsort', 'np_argsort', 'combine_constraints', 'is_iterable', 'to_valid_idx',
+    'permutation_as_swaps',
 ]
 
 _MAX_INT = np.iinfo(np.int64).max
@@ -352,3 +354,82 @@ def find_subclass(base_class: type, subclass_name):
     if not found:
         raise ValueError(f'no subclass of {base_class.__name__} named {subclass_name!r}')
     raise ValueError(f'multiple subclasses of {base_class.__name__} named {subclass_name!r}: {found}')
+
+
+def is_iterable(a) -> bool:
+    """Whether the given object is iterable. Reference: tools/misc.py:20."""
+    try:
+        iter(a)
+    except TypeError:
+        return False
+    return True
+
+
+def to_valid_idx(idx: int, length: int) -> int:
+    """Convert to a valid non-negative index for the given `length`.
+
+    Reference: tools/misc.py:38.
+    """
+    if not -length <= idx < length:
+        raise IndexError(f'Index {idx} out of bounds for length {length}')
+    if idx < 0:
+        idx += length
+    return idx
+
+
+def argsort(a, sort=None, **kwargs) -> np.ndarray:
+    """``np.argsort`` with ascending/descending/magnitude sort modes.
+
+    `sort` options (scipy-eigensolver style): ``'m>'``/``'LM'`` largest magnitude
+    first, ``'m<'``/``'SM'`` smallest magnitude, ``'>'``/``'LR'``/``'LA'`` largest real
+    part, ``'<'``/``'SR'``/``'SA'`` smallest real part, ``'LI'``/``'SI'`` largest /
+    smallest imaginary part, ``None`` = numpy default. Reference: tools/misc.py:86.
+    """
+    if sort is not None:
+        if sort in ('m<', 'SM'):
+            a = np.abs(a)
+        elif sort in ('m>', 'LM'):
+            a = -np.abs(a)
+        elif sort in ('<', 'SR', 'SA'):
+            a = np.real(a)
+        elif sort in ('>', 'LR', 'LA'):
+            a = -np.real(a)
+        elif sort == 'SI':
+            a = np.imag(a)
+        elif sort == 'LI':
+            a = -np.imag(a)
+        else:
+            raise ValueError(f'unknown sort option {sort!r}')
+    return np.argsort(a, **kwargs)
+
+
+def np_argsort(a, stable: bool = True) -> np.ndarray:
+    """``np.argsort`` with a stable default. Reference: tools/misc.py:238."""
+    if stable:
+        return np.argsort(a, kind='stable')
+    return np.argsort(a)
+
+
+def combine_constraints(good1: np.ndarray, good2: np.ndarray, warn: str) -> np.ndarray:
+    """``good1 & good2`` if any entry remains True, else warn and return `good1`.
+
+    Used to relax conflicting truncation constraints. Reference: tools/misc.py:141.
+    """
+    assert good1.shape == good2.shape, f'{good1.shape} != {good2.shape}'
+    res = np.logical_and(good1, good2)
+    if np.any(res):
+        return res
+    warnings.warn(f"truncation: can't satisfy constraint for {warn}", stacklevel=3)
+    return good1
+
+
+def permutation_as_swaps(perm) -> list[int]:
+    """Decompose a permutation into adjacent transpositions (bubble sort).
+
+    Returns positions j, meaning swap ``(j, j+1)``, applied left to right, such that
+    ``arr[perm]`` results from applying the swaps to ``arr``.
+    Reference: tools/misc.py:54.
+    """
+    from ..testing.swap_gate_numpy import permutation_as_swaps as _impl
+
+    return _impl(perm)

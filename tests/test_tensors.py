@@ -370,3 +370,56 @@ def test_jit_compose(make_compatible_backend, spaces, np_random):
     # second call hits the cache
     C3 = f(A, B)
     np.testing.assert_allclose(C3.to_numpy(), C2.to_numpy(), rtol=1e-10, atol=1e-10)
+
+
+def test_charged_outer_two_charge_legs():
+    """outer of two ChargedTensors combines charge legs (from_two_charge_legs)."""
+    import cyten_tpu as ct
+    from cyten_tpu.tensors import outer
+
+    sym = ct.u1_symmetry
+    leg = ct.ElementarySpace(sym, [[-1], [0], [1]], [1, 2, 1])
+    be = ct.get_backend(sym, 'numpy')
+
+    def random_charged(charge_sectors, prefix, seed):
+        r = np.random.default_rng(seed)
+        charge_leg = ct.ElementarySpace.from_defining_sectors(
+            sym, charge_sectors, [1] * len(charge_sectors))
+        inv = ct.SymmetricTensor.from_random_normal(
+            [leg], [charge_leg, leg], backend=be, rng=r,
+            labels=[[f'{prefix}c'], ['!', f'{prefix}d']])
+        state = r.normal(size=(charge_leg.dim,))
+        return ct.ChargedTensor(inv, state)
+
+    for cs1, cs2 in [([[1]], [[-1]]), ([[1], [2]], [[-1], [-2]])]:
+        t1 = random_charged(cs1, 'x', 5)
+        t2 = random_charged(cs2, 'y', 6)
+        res = outer(t1, t2)
+        res.test_sanity()
+        d1 = np.asarray(t1.to_dense_block())
+        d2 = np.asarray(t2.to_dense_block())
+        expect = np.einsum('ab,cd->acdb', d1, d2)
+        np.testing.assert_allclose(np.asarray(res.to_dense_block()), expect,
+                                   atol=1e-12)
+
+
+def test_diagonal_accessor_parity():
+    """diagonal()/diagonal_as_block/diagonal_as_numpy (reference API parity) and the
+    fusion-tree dense diagonal path with the state-major layout."""
+    import cyten_tpu as ct
+
+    be = ct.get_backend(ct.su2_symmetry, 'numpy')
+    leg = ct.ElementarySpace(ct.su2_symmetry, [[1]], [2])  # spin-1/2, mult 2
+
+    def f(shape, coupled):
+        return np.array([1., 2.])
+
+    d = ct.DiagonalTensor.from_sector_block_func(f, leg, backend=be)
+    dn = d.diagonal_as_numpy()
+    # state-major dense layout: multiplet values repeat per sector state
+    np.testing.assert_allclose(dn, [1., 2., 1., 2.])
+    assert d.diagonal() is d
+    d_rt = ct.DiagonalTensor.from_diag(dn, leg, backend=be)
+    np.testing.assert_allclose(d_rt.diagonal_as_numpy(), dn)
+    with pytest.raises(ValueError):
+        ct.DiagonalTensor.from_diag(np.array([1., 2., 3., 4.]), leg, backend=be)

@@ -123,3 +123,23 @@ def test_swap_gate_oracle_fermions(np_random):
     P2 = ct.permute_legs(A, codomain=[2, 0, 1], domain=[])
     expect2 = swap_gate_numpy(arr, A.legs, [2, 0, 1])
     np.testing.assert_allclose(P2.to_numpy(), expect2, atol=1e-12)
+
+
+def test_profiling():
+    import cyten_tpu as ct
+    from cyten_tpu.tools.profiling import OpProfile, annotate, profile_op
+
+    be = ct.get_backend(ct.u1_symmetry, 'numpy')
+    leg = ct.ElementarySpace(ct.u1_symmetry, [[-1], [0], [1]], [4, 8, 4])
+    rng = np.random.default_rng(0)
+    a = ct.SymmetricTensor.from_random_normal([leg], [leg], backend=be, rng=rng)
+    from cyten_tpu.tools.flops import compose_flops
+
+    fl = compose_flops(a, a)
+    assert fl > 0
+    with annotate('compose'):
+        prof = profile_op(ct.compose, a, a, flops=fl, n_iter=2)
+    assert isinstance(prof, OpProfile)
+    assert prof.wall_seconds > 0
+    assert prof.tflops_per_sec > 0
+    assert 'TFLOP/s' in repr(prof)
