@@ -71,12 +71,19 @@ def numpy_run(chi, n_iter=3):
 def jax_run(chi, n_iter=20, repeats=3):
     """Time the jitted matvec chain.
 
-    The whole `n_iter` loop runs on-device inside one jit (lax.scan over the matvec,
-    feeding theta back as the carry) so a single dispatch covers all iterations —
-    essential when the device sits behind an RPC tunnel, where per-call dispatch
-    overhead otherwise dominates and adds run-to-run noise. Best of `repeats`.
+    Two measurement pitfalls on TPU-behind-a-tunnel, both handled here:
+
+    - per-call dispatch is an RPC and would dominate: the whole `n_iter` loop runs
+      on-device inside one jit (lax.scan over the matvec, theta fed back as the
+      carry, normalized each step so it cannot overflow);
+    - ``jax.block_until_ready`` does NOT wait on the tunnel transport (arrays are
+      marked ready at dispatch): the jitted function returns a *scalar* depending on
+      the full result, and fetching it to the host is the synchronization.
+
+    Best of `repeats`.
     """
     import jax
+    import jax.numpy as jnp
 
     import cyten_tpu as ct
     from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
@@ -87,18 +94,22 @@ def jax_run(chi, n_iter=20, repeats=3):
     @jax.jit
     def run_many(LP, RP, W1, W2, theta):
         def body(th, _):
-            return _heff_matvec_impl(LP, RP, W1, W2, th), None
+            # 'float32' matmul precision measures FASTER than 'default' on v5e for
+            # this workload (6.3 vs 9.0 ms/iter) while also being more accurate
+            with jax.default_matmul_precision('float32'):
+                out = _heff_matvec_impl(LP, RP, W1, W2, th)
+            nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2) for b in out.data.blocks))
+            out.data.blocks = [b / nrm for b in out.data.blocks]
+            return out, nrm
 
-        th, _ = jax.lax.scan(body, theta, None, length=n_iter)
-        return th
+        th, nrms = jax.lax.scan(body, theta, None, length=n_iter)
+        return nrms[-1]
 
-    out = run_many(LP, RP, W1, W2, theta)  # warmup/compile
-    jax.block_until_ready(out.data.blocks)
+    float(run_many(LP, RP, W1, W2, theta))  # warmup/compile; fetch = real sync
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = run_many(LP, RP, W1, W2, theta)
-        jax.block_until_ready(out.data.blocks)
+        float(run_many(LP, RP, W1, W2, theta))
         best = min(best, (time.perf_counter() - t0) / n_iter)
     return best
 
