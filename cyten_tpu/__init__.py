@@ -65,3 +65,8 @@ def show_config() -> None:
 
     print(version_summary())
     print(config)
+
+# attach reference-parity HDF5 hooks (save_hdf5/from_hdf5) to all persistable classes
+from .tools.hdf5_io import _install_hdf5_hooks as _ih
+_ih()
+del _ih

@@ -185,6 +185,24 @@ class AbelianBackend(TensorBackend):
             blocks.append(self.block_backend.permute_axes(block, perm))
         return BlockSparseData(blocks, block_inds, dtype)
 
+    def sector_projection_data(self, co_domain, sector, dtype):
+        """Projector onto the given coupled sector: the identity blocks whose fused
+        codomain charge equals `sector`. Reference: _tensors.py:1270."""
+        eye = self.eye_data(co_domain, co_domain, dtype)
+        K = co_domain.num_factors
+        sym = co_domain.symmetry
+        keep = []
+        for n, row in enumerate(eye.block_inds):
+            coupled = sym.multiple_fusion(
+                *(sp.sector_decomposition[i]
+                  for sp, i in zip(co_domain.factors, row[:K])))
+            if np.all(coupled == sector):
+                keep.append(n)
+        return BlockSparseData([eye.blocks[n] for n in keep],
+                               eye.block_inds[keep] if keep
+                               else np.zeros((0, 2 * K), np.intp),
+                               dtype, is_sorted=True)
+
     def from_dense_block(self, block, codomain, domain, tol):
         block, dtype = self.block_backend.as_block(block, return_dtype=True)
         spaces = list(conventional_leg_order(codomain, domain))

@@ -116,6 +116,49 @@ class FusionTreeBackend(TensorBackend):
         dtype = self.block_backend.get_dtype(blocks[0]) if blocks else Dtype.float64
         return BlockSparseData(blocks, np.array(rows, np.intp).reshape(-1, 2), dtype)
 
+    def from_tree_pairs(self, trees, codomain, domain, dtype):
+        """Data from a linear combination of (splitting, fusion) tree pairs.
+
+        ``trees = {(X, Y): coeffs}`` with X the splitting tree (codomain side), Y the
+        fusion tree (domain side), and ``coeffs`` of shape
+        ``[n1..nJ, mK..m1]`` (legs order: codomain mult indices, then domain mult
+        indices reversed). Reference: cyten/tensors/_tensors.py:1300.
+        """
+        bb = self.block_backend
+        sectors, i_cod, j_dom = _coupled_sectors(codomain, domain)
+        blocks = [np.zeros((int(codomain.multiplicities[i]),
+                            int(domain.multiplicities[j])), dtype.to_numpy)
+                  for i, j in zip(i_cod, j_dom)]
+        lookup = {tuple(np.asarray(c).tolist()): n for n, c in enumerate(sectors)}
+        for (X, Y), coeffs in trees.items():
+            assert np.all(X.coupled == Y.coupled), 'mismatched coupled sectors'
+            n = lookup[tuple(np.asarray(X.coupled).tolist())]
+            row = codomain.tree_block_slice(X)
+            col = domain.tree_block_slice(Y)
+            arr = np.asarray(bb.to_numpy(bb.as_block(coeffs)))
+            J, K = X.num_uncoupled, Y.num_uncoupled
+            # legs-order domain axes [mK..m1] -> domain factor order [m1..mK]
+            arr = arr.transpose(list(range(J)) + list(range(J + K - 1, J - 1, -1)))
+            blocks[n][row, col] += arr.reshape(row.stop - row.start,
+                                               col.stop - col.start)
+        rows = np.stack([i_cod, j_dom], axis=1).astype(np.intp) if len(i_cod) \
+            else np.zeros((0, 2), np.intp)
+        return BlockSparseData([bb.as_block(b, dtype) for b in blocks], rows, dtype)
+
+    def sector_projection_data(self, co_domain, sector, dtype):
+        """Projector onto the given coupled sector: eye on that sector's block.
+
+        Reference: cyten/tensors/_tensors.py:1270 (from_sector_projection).
+        """
+        bb = self.block_backend
+
+        def func(shape, coupled):
+            if np.all(coupled == sector):
+                return bb.eye_matrix(shape[0], dtype)
+            return bb.zeros(shape, dtype)
+
+        return self.from_sector_block_func(func, co_domain, co_domain)
+
     def copy_data(self, a):
         return BlockSparseData([self.block_backend.copy_block(b)
                                 for b in a.data.blocks],

@@ -72,6 +72,12 @@ class NoSymmetryBackend(TensorBackend):
         block = func(tuple(shape), codomain.symmetry.trivial_sector)
         return DenseData(block, self.block_backend.get_dtype(block))
 
+    def sector_projection_data(self, co_domain, sector, dtype):
+        """Only the trivial sector exists: projector = identity (or zero)."""
+        if np.all(sector == co_domain.symmetry.trivial_sector):
+            return self.eye_data(co_domain, co_domain, dtype)
+        return self.zero_data(co_domain, co_domain, dtype)
+
     def copy_data(self, a):
         return DenseData(self.block_backend.copy_block(a.data.block), a.data.dtype)
 

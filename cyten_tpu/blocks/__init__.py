@@ -6,11 +6,12 @@ XLA); a numpy backend exists for host-side oracles and tests.
 """
 
 from .backend import (
-    Block, BlockBackend, JaxBlockBackend, NumpyBlockBackend, get_block_backend,
+    ArrayApiBlockBackend, Block, BlockBackend, JaxBlockBackend, NumpyBlockBackend,
+    get_block_backend,
 )
 
-__all__ = ['Block', 'BlockBackend', 'JaxBlockBackend', 'NumpyBlockBackend',
-           'TorchBlockBackend', 'get_block_backend']
+__all__ = ['ArrayApiBlockBackend', 'Block', 'BlockBackend', 'JaxBlockBackend',
+           'NumpyBlockBackend', 'TorchBlockBackend', 'get_block_backend']
 
 
 def __getattr__(name):

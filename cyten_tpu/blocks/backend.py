@@ -29,8 +29,8 @@ import numpy as np
 
 from ..dtypes import Dtype
 
-__all__ = ['Block', 'BlockBackend', 'JaxBlockBackend', 'NumpyBlockBackend',
-           'get_block_backend']
+__all__ = ['ArrayApiBlockBackend', 'Block', 'BlockBackend', 'JaxBlockBackend',
+           'NumpyBlockBackend', 'get_block_backend']
 
 Block = TypeVar('Block')  # jax.Array | np.ndarray
 
@@ -495,6 +495,40 @@ class NumpyBlockBackend(BlockBackend):
         import scipy.linalg
 
         return scipy.linalg.expm(a)
+
+
+class ArrayApiBlockBackend(BlockBackend):
+    """Generic adapter over any numpy-compatible array-API namespace.
+
+    Capability-equivalent to reference ``ArrayApiBlockBackend``
+    (cyten/block_backends/array_api.py:15-40). Pass any namespace implementing the
+    numpy-style surface the base class uses (``asarray``, ``transpose``, ``reshape``,
+    ``tensordot``, ``linalg.svd``/``qr``/``eigh``, elementwise ufuncs); e.g.
+    ``cupy``, ``dask.array``, or ``numpy`` itself.
+    """
+
+    can_jit = False
+
+    def __init__(self, xp, name: str = None):
+        BlockBackend.__init__(self, xp)
+        self.name = name if name is not None \
+            else f'array_api:{getattr(xp, "__name__", "unknown")}'
+
+    def __reduce__(self):
+        # cannot pickle arbitrary namespaces by name; re-import by module name
+        mod = getattr(self.xp, '__name__', None)
+        if mod is None:
+            raise TypeError(f'cannot pickle {self.name}')
+        return (_array_api_backend_from_module, (mod,))
+
+    def is_block(self, obj) -> bool:
+        return hasattr(obj, 'shape') and hasattr(obj, 'dtype')
+
+
+def _array_api_backend_from_module(mod: str) -> ArrayApiBlockBackend:
+    import importlib
+
+    return ArrayApiBlockBackend(importlib.import_module(mod))
 
 
 class JaxBlockBackend(BlockBackend):

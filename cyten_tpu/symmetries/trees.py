@@ -112,6 +112,61 @@ class FusionTree:
         return FusionTree(self.symmetry, self.uncoupled, self.coupled, self.are_dual,
                           self.inner_sectors, self.multiplicities)
 
+    def modify_vertex_labels(self, n: int, a: Sector, b: Sector, mu: int, c: Sector,
+                             copy: bool = True) -> FusionTree:
+        """Update sectors/multiplicity around the n-th vertex; inverse of
+        :meth:`vertex_labels`. ``None`` entries are kept. Reference: trees.py:574."""
+        if copy:
+            return self.copy(deep=True).modify_vertex_labels(n, a, b, mu, c,
+                                                             copy=False)
+        if a is not None:
+            if n == 0:
+                self.uncoupled[0] = a
+            else:
+                self.inner_sectors[n - 1] = a
+        if b is not None:
+            self.uncoupled[n + 1] = b
+        if c is not None:
+            if n == self.num_vertices - 1:
+                self.coupled = np.asarray(c)
+            else:
+                self.inner_sectors[n] = c
+        if mu is not None:
+            self.multiplicities[n] = mu
+        return self
+
+    def ascii_diagram(self, dagger: bool = False) -> str:
+        """Visual ASCII rendering of the tree (cf. reference trees.py:322).
+
+        Drawn with the coupled sector at the bottom (top if `dagger`), uncoupled
+        sectors across the other side, one fusion vertex per inner line.
+        """
+        sym = self.symmetry
+        unc = [f'{sym.sector_str(a)}' + ('*' if d else '')
+               for a, d in zip(self.uncoupled, self.are_dual)]
+        if self.num_uncoupled == 0:
+            return sym.sector_str(self.coupled)
+        if self.num_uncoupled == 1:
+            lines = [unc[0], '|', sym.sector_str(self.coupled)]
+            return '\n'.join(reversed(lines) if dagger else lines)
+        width = max(len(s) for s in unc) + 2
+        top = ''.join(s.center(width) for s in unc)
+        rows = [top, ''.join('|'.center(width) for _ in unc)]
+        # successive fusions left to right: after vertex n the leftmost line carries
+        # inner_sectors[n] (or coupled at the last vertex)
+        for n in range(self.num_vertices):
+            c = self.coupled if n == self.num_vertices - 1 else self.inner_sectors[n]
+            mu = self.multiplicities[n]
+            joint = '\\' + '_' * (width - 2) + '/'
+            pad = ' ' * (n * width // 2)
+            label = sym.sector_str(c) + (f'[{mu}]' if not sym.has_unique_fusion
+                                         else '')
+            rows.append(pad + joint + ''.join(
+                '|'.center(width) for _ in range(self.num_uncoupled - n - 2)))
+            rows.append(pad + label.center(width) + ''.join(
+                '|'.center(width) for _ in range(self.num_uncoupled - n - 2)))
+        return '\n'.join(reversed(rows) if dagger else rows)
+
     def __hash__(self) -> int:
         if self.symmetry.is_abelian:
             parts = (self.are_dual, self.coupled, self.uncoupled)

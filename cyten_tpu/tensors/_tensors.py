@@ -441,6 +441,13 @@ class Tensor(LabelledLegs, metaclass=ABCMeta):
         return dagger(self)
 
     @property
+    def dagger(self) -> Tensor:
+        """The hermitian conjugate (cf. reference _tensors.py:528)."""
+        from ._functions import dagger
+
+        return dagger(self)
+
+    @property
     def T(self) -> Tensor:
         from ._functions import transpose
 
@@ -449,6 +456,46 @@ class Tensor(LabelledLegs, metaclass=ABCMeta):
     @property
     def size(self) -> int:
         return int(np.prod(self.shape)) if self.symmetry.can_be_dropped else 0
+
+    @property
+    def has_pipes(self) -> bool:
+        """Whether any leg is a pipe (cf. reference _tensors.py:537)."""
+        return any(isinstance(l, LegPipe)
+                   for l in (*self.codomain.factors, *self.domain.factors))
+
+    @property
+    def num_codomain_flat_legs(self) -> int:
+        """Number of flat (pipe-expanded) legs in the codomain (reference :580)."""
+        return sum(l.num_flat_legs for l in self.codomain.factors)
+
+    @property
+    def num_domain_flat_legs(self) -> int:
+        return sum(l.num_flat_legs for l in self.domain.factors)
+
+    @property
+    def num_flat_legs(self) -> int:
+        return self.num_codomain_flat_legs + self.num_domain_flat_legs
+
+    @property
+    def num_parameters(self) -> int:
+        """Dimension of the space of symmetric tensors with these legs (reference :595)."""
+        from ..tools.misc import iter_common_sorted_arrays
+
+        res = 0
+        for i, j in iter_common_sorted_arrays(self.codomain.sector_decomposition,
+                                              self.domain.sector_decomposition):
+            res += int(self.codomain.multiplicities[i]) \
+                * int(self.domain.multiplicities[j])
+        return res
+
+    def relabel(self, mapping: dict[str, str]):
+        """Apply mapping to labels, in-place (cf. reference _tensors.py:130)."""
+        return self.relabelled(mapping, inplace=True)
+
+    def verify_dtype(self):
+        """Check the dtype is consistent with the symmetry (reference :878)."""
+        if self.symmetry.has_complex_topological_data and self.dtype.is_real:
+            raise ValueError(f'Tensor with {self.symmetry} must have complex dtype')
 
     def __repr__(self):
         labels = ', '.join(repr(l) for l in self._labels)
@@ -594,7 +641,137 @@ class SymmetricTensor(Tensor):
         data = backend.from_sector_block_func(func, codomain, domain)
         return cls(data, codomain, domain, backend, labels)
 
+    @classmethod
+    def from_block_func(cls, func, codomain, domain=None, backend=None, labels=None,
+                        func_kwargs=None, shape_kw: str = None):
+        """Generate the free-parameter blocks from a function of the block shape.
+
+        ``func(shape, **func_kwargs)``, or ``func(**{shape_kw: shape}, **func_kwargs)``
+        if `shape_kw` is given. Reference: _tensors.py:883.
+        """
+        kwargs = func_kwargs or {}
+
+        def sector_func(shape, coupled):
+            if shape_kw is not None:
+                return func(**{shape_kw: shape}, **kwargs)
+            return func(shape, **kwargs)
+
+        return cls.from_sector_block_func(sector_func, codomain, domain,
+                                          backend=backend, labels=labels)
+
+    @classmethod
+    def from_sector_projection(cls, co_domain, sector, backend=None, labels=None,
+                               dtype=Dtype.float64):
+        """The projector onto a given coupled sector of the domain.
+
+        Reference: _tensors.py:1270.
+        """
+        co_domain, _, backend, symmetry = cls._init_parse_args(co_domain, co_domain,
+                                                               backend)
+        sector = np.asarray(sector, dtype=int)
+        assert symmetry.is_valid_sector(sector)
+        if co_domain.sector_multiplicity(sector) == 0:
+            warnings.warn('Sector does not appear. from_sector_projection yields '
+                          'zero', stacklevel=2)
+        data = backend.sector_projection_data(co_domain, sector, dtype)
+        return cls(data, co_domain, co_domain, backend, labels)
+
+    @classmethod
+    def from_dense_block_trivial_sector(cls, vector, space, backend=None,
+                                        label: str = None) -> SymmetricTensor:
+        """Single-leg tensor from the coefficients in the trivial sector.
+
+        Inverse of :meth:`to_dense_block_trivial_sector`. (The reference declares
+        this API but leaves it unimplemented, _tensors.py:1019.)
+        """
+        if backend is None:
+            backend = get_backend(space.symmetry)
+        bb = backend.block_backend
+        vector = bb.as_block(vector)
+        i = int(np.nonzero(np.all(
+            space.sector_decomposition == space.symmetry.trivial_sector[None, :],
+            axis=1))[0][0])
+        mult = int(space.multiplicities[i])
+        assert bb.get_shape(vector) == (mult,)
+
+        def func(shape, coupled):
+            if np.all(coupled == space.symmetry.trivial_sector):
+                return bb.reshape(vector, shape)
+            return bb.zeros(shape, Dtype.float64)
+
+        return cls.from_sector_block_func(func, [space], [], backend=backend,
+                                          labels=[label])
+
+    @classmethod
+    def from_tree_pairs(cls, trees, codomain, domain=None, backend=None, labels=None,
+                        dtype: Dtype = None) -> SymmetricTensor:
+        """From a linear combination of (splitting, fusion) tree pairs.
+
+        ``trees = {(X, Y): coeffs}``: X a splitting tree with the codomain's
+        uncoupled sectors, Y a fusion tree with the domain's, sharing one coupled
+        sector; ``coeffs[n1..nJ, mK..m1]`` are the multiplicity coefficients in legs
+        order. Requires a fusion-tree-storage backend. Reference: _tensors.py:1300.
+        """
+        codomain, domain, backend, _ = cls._init_parse_args(codomain, domain, backend)
+        if dtype is None:
+            if len(trees) == 0:
+                raise ValueError('Can not infer dtype from empty trees')
+            dtype = Dtype.common(*(backend.block_backend.get_dtype(
+                backend.block_backend.as_block(c)) for c in trees.values()))
+        if not hasattr(backend, 'from_tree_pairs'):
+            raise NotImplementedError(
+                f'from_tree_pairs requires fusion-tree storage, not '
+                f'{type(backend).__name__}')
+        data = backend.from_tree_pairs(trees, codomain, domain, dtype)
+        return cls(data, codomain, domain, backend, labels)
+
     # --- methods ---------------------------------------------------------------------------
+
+    def tree_pairs(self):
+        """Iterate ``((X, Y), coeffs)`` over the tree-pair decomposition of self.
+
+        Inverse of :meth:`from_tree_pairs` (fusion-tree storage only).
+        """
+        bb = self.backend.block_backend
+        for block, (i, j) in zip(self.data.blocks, self.data.block_inds):
+            c = self.codomain.sector_decomposition[int(i)]
+            for X, row, row_mults, _ in self.codomain.iter_tree_blocks([c]):
+                for Y, col, col_mults, _ in self.domain.iter_tree_blocks([c]):
+                    sub = block[row, col]
+                    J, K = len(row_mults), len(col_mults)
+                    arr = bb.reshape(sub, tuple(int(m) for m in row_mults)
+                                     + tuple(int(m) for m in col_mults))
+                    # domain axes from factor order -> legs order (reversed)
+                    arr = bb.permute_axes(arr, list(range(J))
+                                          + list(range(J + K - 1, J - 1, -1)))
+                    yield (X, Y), arr
+
+    def diagonal(self, check_offdiagonal: bool = False) -> DiagonalTensor:
+        """The diagonal part as a :class:`DiagonalTensor` (reference :1425)."""
+        return DiagonalTensor.from_tensor(self, check_offdiagonal=check_offdiagonal)
+
+    def to_dense_block_trivial_sector(self):
+        """For a single-leg tensor: the coefficients in the trivial sector.
+
+        Reference: _tensors.py:1465.
+        """
+        assert self.num_legs == 1
+        leg = self.codomain.factors[0] if self.num_codomain_legs == 1 \
+            else self.domain.factors[0]
+        bb = self.backend.block_backend
+        trivial = self.symmetry.trivial_sector
+        block = self.backend.get_sector_block(self, trivial) \
+            if hasattr(self.backend, 'get_sector_block') else None
+        if block is None:
+            # generic path via the data: find the block of the trivial sector
+            i = int(np.nonzero(np.all(
+                leg.sector_decomposition == trivial[None, :], axis=1))[0][0])
+            mult = int(leg.multiplicities[i])
+            for b, bi in zip(self.data.blocks, np.atleast_2d(self.data.block_inds)):
+                if int(np.atleast_1d(bi)[0]) == i:
+                    return bb.reshape(b, (mult,))
+            return bb.zeros((mult,), self.dtype)
+        return block
 
     def copy(self, deep=True) -> SymmetricTensor:
         data = self.backend.copy_data(self) if deep else self.data
@@ -675,6 +852,26 @@ class DiagonalTensor(SymmetricTensor):
         data = backend.diagonal_from_block(block, leg, tol)
         return cls(data, leg, backend, labels)
 
+    # reference API name (cyten DiagonalTensor.from_diag_block)
+    from_diag_block = from_diag
+
+    @classmethod
+    def from_block_func(cls, func, leg, backend=None, labels=None, func_kwargs=None,
+                        shape_kw: str = None):
+        """Generate the per-sector diagonal blocks from a function of the block shape.
+
+        Reference: _tensors.py:1593.
+        """
+        kwargs = func_kwargs or {}
+
+        def sector_func(shape, coupled):
+            if shape_kw is not None:
+                return func(**{shape_kw: shape}, **kwargs)
+            return func(shape, **kwargs)
+
+        return cls.from_sector_block_func(sector_func, leg, backend=backend,
+                                          labels=labels)
+
     @classmethod
     def from_zero(cls, leg, backend=None, labels=None, dtype=Dtype.float64):
         _, _, backend, _ = cls._init_parse_args([leg], [leg], backend)
@@ -753,6 +950,21 @@ class DiagonalTensor(SymmetricTensor):
     def diagonal(self) -> DiagonalTensor:
         """API parity with reference cyten/tensors/_tensors.py:2072."""
         return self
+
+    def as_DiagonalTensor(self, dtype=None) -> DiagonalTensor:
+        if dtype is None or dtype == self.dtype:
+            return self
+        return self._elementwise_unary(
+            lambda b: self.backend.block_backend.to_dtype(b, dtype),
+            maps_zero_to_zero=True)
+
+    def elementwise_almost_equal(self, other: DiagonalTensor, rtol: float = 1e-5,
+                                 atol: float = 1e-8) -> DiagonalTensor:
+        """Elementwise ``|self - other| <= atol + rtol * |other|`` as a bool diagonal.
+
+        Reference: cyten DiagonalTensor.elementwise_almost_equal.
+        """
+        return abs(self - other) <= (atol + rtol * abs(other))
 
     def diagonal_as_block(self, dtype=None):
         """API parity with reference cyten/tensors/_tensors.py:2075."""
@@ -998,6 +1210,58 @@ class Mask(Tensor):
         blockmask[np.asarray(indices)] = True
         return cls.from_blockmask(blockmask, large_leg, backend, labels)
 
+    # reference API name (cyten Mask.from_block_mask)
+    from_block_mask = from_blockmask
+
+    @classmethod
+    def from_random(cls, large_leg: ElementarySpace, small_leg_dim: int = None,
+                    backend=None, labels=None, p_keep: float = 0.5, rng=None) -> Mask:
+        """A random projection mask (cf. reference _tensors.py Mask.from_random).
+
+        If `small_leg_dim` is given, keeps exactly that many basis states (whole
+        multiplets for dim > 1 sectors where required); else keeps each with
+        probability `p_keep`.
+        """
+        if rng is None:
+            rng = np.random.default_rng()
+        if not large_leg.symmetry.can_be_dropped:
+            # choose per-sector multiplicities to keep
+            diag_blocks = [rng.random(int(m)) < p_keep
+                           for m in large_leg.multiplicities]
+            _, _, backend, _ = cls._init_parse_args([large_leg], [large_leg], backend)
+            diag = DiagonalTensor.from_sector_block_func(
+                lambda shape, c, _it=iter(diag_blocks): next(_it), large_leg,
+                backend=backend)
+            return cls.from_DiagonalTensor(diag).set_labels(
+                cls._init_parse_labels(labels, TensorProduct([large_leg]),
+                                       TensorProduct([large_leg])))
+        dim = int(large_leg.dim)
+        if small_leg_dim is None:
+            blockmask = rng.random(dim) < p_keep
+        else:
+            keep = rng.choice(dim, size=int(small_leg_dim), replace=False)
+            blockmask = np.zeros(dim, dtype=bool)
+            blockmask[keep] = True
+        # dim>1 sectors need whole multiplets: OR over each multiplet
+        if np.any(np.asarray(large_leg.sector_dims) > 1):
+            internal = blockmask[large_leg.basis_perm]
+            for d, m, slc in zip(large_leg.sector_dims, large_leg.multiplicities,
+                                 large_leg.slices):
+                seg = internal[slc[0]:slc[1]].reshape(int(d), -1)
+                internal[slc[0]:slc[1]] = np.tile(np.any(seg, axis=0), int(d))
+            blockmask = internal[large_leg.inverse_basis_perm]
+        return cls.from_blockmask(blockmask, large_leg, backend, labels)
+
+    @classmethod
+    def from_zero(cls, large_leg: ElementarySpace, backend=None, labels=None) -> Mask:
+        """The zero mask: keeps nothing (cf. reference Mask.from_zero)."""
+        if large_leg.symmetry.can_be_dropped:
+            return cls.from_blockmask(np.zeros(int(large_leg.dim), dtype=bool),
+                                      large_leg, backend, labels)
+        _, _, backend, _ = cls._init_parse_args([large_leg], [large_leg], backend)
+        diag = DiagonalTensor.from_zero(large_leg, backend=backend, dtype=Dtype.bool)
+        return cls.from_DiagonalTensor(diag)
+
     @classmethod
     def from_eye(cls, leg: ElementarySpace, is_projection: bool = True, backend=None,
                  labels=None) -> Mask:
@@ -1059,6 +1323,18 @@ class Mask(Tensor):
                 lambda b: self.backend.block_backend.to_dtype(b, dtype),
                 maps_zero_to_zero=True)
         return res
+
+    def as_block_mask(self):
+        """The mask as a 1D bool block in the public basis of the large leg
+        (reference Mask.as_block_mask)."""
+        return self.as_DiagonalTensor(dtype=Dtype.bool).diag_block()
+
+    def as_numpy_mask(self) -> np.ndarray:
+        return self.backend.block_backend.to_numpy(self.as_block_mask())
+
+    def orthogonal_complement(self) -> Mask:
+        """The opposite mask: keeps exactly what self discards (reference :568)."""
+        return self.logical_not()
 
     def to_dense_block(self):
         return self.as_SymmetricTensor().to_dense_block()
@@ -1259,6 +1535,85 @@ class ChargedTensor(Tensor):
                                                labels + [cls._CHARGE_LEG_LABEL],
                                                tol=tol)
         return cls(inv, charged_state=[1.] if d_c == 1 else None)
+
+    @classmethod
+    def from_block_func(cls, func, charge, codomain, domain=None, charged_state=None,
+                        backend=None, labels=None, func_kwargs=None,
+                        shape_kw: str = None):
+        """Invariant part from :meth:`SymmetricTensor.from_block_func`.
+
+        Reference: _tensors.py:3175.
+        """
+        codomain, domain, backend, symmetry = cls._init_parse_args(codomain, domain,
+                                                                   backend)
+        charge_leg = _as_charge_leg(charge, symmetry)
+        inv_domain = TensorProduct([charge_leg, *domain.factors], symmetry=symmetry)
+        labels = cls._init_parse_labels(labels, codomain, domain)
+        inv = SymmetricTensor.from_block_func(
+            func, codomain, inv_domain, backend=backend,
+            labels=labels + [cls._CHARGE_LEG_LABEL], func_kwargs=func_kwargs,
+            shape_kw=shape_kw)
+        return cls(inv, charged_state)
+
+    @classmethod
+    def from_dense_block_single_sector(cls, vector, space, sector, backend=None,
+                                       label: str = None) -> ChargedTensor:
+        """Single-leg charged tensor from the components within one sector.
+
+        Inverse of :meth:`to_dense_block_single_sector`. (The reference declares this
+        API but leaves it unimplemented, _tensors.py:3281.)
+        """
+        if backend is None:
+            backend = get_backend(space.symmetry)
+        if space.symmetry.sector_dim(sector) > 1:
+            raise NotImplementedError(
+                'from_dense_block_single_sector: dim > 1 sectors')
+        bb = backend.block_backend
+        vector = bb.as_block(vector)
+        sector = np.asarray(sector, dtype=int)
+
+        def func(shape, coupled):
+            if np.all(coupled == sector):
+                return bb.reshape(vector, shape)
+            return bb.zeros(shape, Dtype.float64)
+
+        charge_leg = _as_charge_leg(sector, space.symmetry)
+        inv = SymmetricTensor.from_sector_block_func(
+            func, [space], [charge_leg], backend=backend,
+            labels=[label, cls._CHARGE_LEG_LABEL])
+        return cls(inv, charged_state=[1.])
+
+    def to_dense_block_single_sector(self):
+        """For a single-leg, single-sector charged tensor: the components in that
+        sector. Reference: _tensors.py:3482."""
+        if self.charged_state is None:
+            raise ValueError('Unspecified charged_state')
+        if self.num_legs > 1:
+            raise ValueError('Expected a single leg')
+        if self.charge_leg.num_sectors != 1 or int(self.charge_leg.multiplicities[0]) != 1:
+            raise ValueError('Not a single sector.')
+        if self.symmetry.sector_dim(self.charge_leg.sector_decomposition[0]) > 1:
+            raise NotImplementedError(
+                'to_dense_block_single_sector: dim > 1 sectors')
+        bb = self.backend.block_backend
+        inv = self.invariant_part
+        if len(inv.data.blocks) == 0:
+            leg = inv.codomain.factors[0]
+            sector = self.charge_leg.sector_decomposition[0]
+            i = int(np.nonzero(np.all(leg.sector_decomposition == sector[None, :],
+                                      axis=1))[0][0])
+            block = bb.zeros((int(leg.multiplicities[i]),), self.dtype)
+        else:
+            block = bb.reshape(inv.data.blocks[0], (-1,))
+        return bb.block_item(bb.as_block(self.charged_state)) * block
+
+    @classmethod
+    def supports_symmetry(cls, symmetry: Symmetry) -> bool:
+        """Whether the ChargedTensor concept is well defined for the symmetry.
+
+        Reference: _tensors.py:3385.
+        """
+        return symmetry.has_symmetric_braid
 
     def test_sanity(self):
         super().test_sanity()

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..dtypes import Dtype
 
-__all__ = ['save', 'load', 'save_hdf5', 'load_hdf5', 'to_tree', 'from_tree',
+__all__ = ['Hdf5Exportable', 'save', 'load', 'save_hdf5', 'load_hdf5', 'to_tree', 'from_tree',
            'Hdf5Saver', 'Hdf5Loader']
 
 
@@ -345,3 +345,44 @@ def load(filename: str):
         with open(filename, 'rb') as f:
             return from_tree(pickle.load(f))
     raise ValueError(f'unknown file extension: {filename}')
+
+
+class Hdf5Exportable:
+    """Mixin providing the reference's per-class HDF5 hooks.
+
+    The reference implements ``save_hdf5``/``from_hdf5`` on symmetries, spaces,
+    backend data and tensors (reference: cyten/tools/hdf5_io.py, _symmetries.py:
+    715-739, spaces.py:1452-1486). Here all types already round-trip through the
+    typed schema (:func:`to_tree`/:func:`from_tree`), so the hooks simply delegate.
+    """
+
+    def save_hdf5(self, hdf5_saver, h5gr, subpath: str = 'obj'):
+        hdf5_saver._write(h5gr, subpath.strip('/') or 'obj', to_tree(self))
+
+    @classmethod
+    def from_hdf5(cls, hdf5_loader, h5gr, subpath: str = 'obj'):
+        obj = from_tree(hdf5_loader._read(h5gr[subpath.strip('/') or 'obj']))
+        if not isinstance(obj, cls):
+            raise TypeError(f'loaded {type(obj).__name__}, expected {cls.__name__}')
+        return obj
+
+
+def _install_hdf5_hooks():
+    """Attach ``save_hdf5``/``from_hdf5`` to all persistable classes.
+
+    Called once at package-init time (after all modules are loaded, avoiding
+    circular imports). Gives every symmetry/space/tensor/data class the reference's
+    per-class HDF5 hook API.
+    """
+    from ..backends.data import BlockSparseData, DenseData, DiagonalBlockData, \
+        MaskBlockData
+    from ..symmetries import ElementarySpace, LegPipe, TensorProduct
+    from ..symmetries.core import Symmetry
+    from ..tensors import Tensor
+
+    for cls in (Symmetry, ElementarySpace, LegPipe, TensorProduct, Tensor,
+                DenseData, BlockSparseData, DiagonalBlockData, MaskBlockData):
+        if 'save_hdf5' not in cls.__dict__:
+            cls.save_hdf5 = Hdf5Exportable.save_hdf5
+        if 'from_hdf5' not in cls.__dict__:
+            cls.from_hdf5 = classmethod(Hdf5Exportable.from_hdf5.__func__)
