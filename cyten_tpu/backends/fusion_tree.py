@@ -548,14 +548,11 @@ class FusionTreeBackend(TensorBackend):
                 i_new, j_new = key
                 shape = (int(new_codomain.multiplicities[i_new]),
                          int(new_domain.multiplicities[j_new]))
-                target = bb.zeros(shape, dtype)
-            add = bb.mul(coeff, sub)
+                target = bb.accumulator(shape, dtype)
             slc = (entry.new_row_slc, entry.new_col_slc)
-            cur = target[slc]
-            target = bb._setitem(target, slc, bb.add(cur, add))
-            new_blocks[key] = target
+            new_blocks[key] = bb.accum_add(target, slc, bb.mul(coeff, sub))
         rows = list(new_blocks.keys())
-        blocks = [new_blocks[r] for r in rows]
+        blocks = [bb.finalize_accumulator(new_blocks[r]) for r in rows]
         # prune zero blocks (host-side only when concrete)
         return BlockSparseData(blocks, np.array(rows, np.intp).reshape(len(rows), 2),
                                dtype)

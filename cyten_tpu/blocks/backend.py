@@ -236,6 +236,20 @@ class BlockBackend:
         block[idx] = np.asarray(value)
         return self.xp.asarray(block)
 
+    # --- scatter-accumulate (mutable for numpy, functional for jax) -----------------
+
+    def accumulator(self, shape, dtype: Dtype):
+        """A zero block that :meth:`accum_add` may mutate in place."""
+        return np.zeros(tuple(shape), self.to_internal_dtype(dtype))
+
+    def accum_add(self, acc, idx, value):
+        """``acc[idx] += value`` on an accumulator from :meth:`accumulator`."""
+        acc[idx] += np.asarray(value)
+        return acc
+
+    def finalize_accumulator(self, acc):
+        return self.xp.asarray(acc)
+
     def get_block_element(self, block, idx):
         res = block[tuple(idx)]
         return self.block_item(res)
@@ -596,6 +610,15 @@ class JaxBlockBackend(BlockBackend):
 
     def _setitem(self, block, idx, value):
         return block.at[idx].set(value)
+
+    def accumulator(self, shape, dtype: Dtype):
+        return self.xp.zeros(tuple(shape), self.to_internal_dtype(dtype))
+
+    def accum_add(self, acc, idx, value):
+        return acc.at[idx].add(value)
+
+    def finalize_accumulator(self, acc):
+        return acc
 
     def _set_diagonal(self, block, diag):
         d = diag.shape[0]

@@ -944,22 +944,25 @@ class TensorProduct(Space):
         return slice(offset, offset + size)
 
     def tree_block_slice(self, tree) -> slice:
-        """Index range of a tree block within its coupled-sector block."""
-        from .trees import fusion_trees
+        """Index range of a tree block within its coupled-sector block.
 
-        start = 0
-        for unc, mults in self.iter_uncoupled():
-            tree_block_size = prod(mults)
-            if all(np.all(a == b) for a, b in zip(unc, tree.uncoupled)):
-                break
-            start += len(fusion_trees(self.symmetry, unc, tree.coupled)) \
-                * tree_block_size
-        else:
-            raise ValueError('Uncoupled sectors incompatible')
-        tree_idx = fusion_trees(self.symmetry, tree.uncoupled, tree.coupled,
-                                tree.are_dual).index(tree)
-        start += tree_block_size * tree_idx
-        return slice(start, start + tree_block_size)
+        Cached per coupled sector: one :meth:`iter_tree_blocks` pass builds the
+        offsets of every tree at that coupled sector (hot path of tree-move plan
+        construction).
+        """
+        cache = getattr(self, '_tree_slice_cache', None)
+        if cache is None:
+            cache = self._tree_slice_cache = {}
+        key = tuple(np.asarray(tree.coupled).tolist())
+        slices = cache.get(key)
+        if slices is None:
+            slices = cache[key] = {
+                t: slc for t, slc, _, _ in
+                self.iter_tree_blocks([np.asarray(tree.coupled)])}
+        try:
+            return slices[tree]
+        except KeyError:
+            raise ValueError('Uncoupled sectors incompatible') from None
 
     def iter_tree_blocks(self, coupled) -> Generator:
         """Yield (tree, slice, mults, i) over all tree blocks for coupled[i]."""
