@@ -375,6 +375,40 @@ class AbelianBackend(TensorBackend):
         block_inds = np.array(rows, dtype=np.intp).reshape((len(rows), n_legs))
         return BlockSparseData(blocks, block_inds, dtype)
 
+    def tdot_data(self, a, b, legs1, legs2):
+        """Direct block-pair contraction without materialized permutes.
+
+        ``tdot(a, b, legs1, legs2)`` data with output legs order
+        ``[open legs of a ..., open legs of b ...]``. One ``tensordot`` (XLA
+        ``dot_general`` with arbitrary contracting dims) per matching block pair —
+        XLA folds the operand layout into the GEMM instead of the generic
+        permute-then-compose path materializing transposed block copies twice per
+        operand. This is the TPU hot path for contractions: the workload is
+        HBM-bound (see bench.py), so removing the transpose copies is the lever.
+        """
+        a_bi = a.data.block_inds
+        b_bi = b.data.block_inds
+        dtype = Dtype.common(a.data.dtype, b.data.dtype)
+        a_keep = [n for n in range(a.num_legs) if n not in legs1]
+        b_keep = [n for n in range(b.num_legs) if n not in legs2]
+        ia, ib, out_id, n_out = _cached_compose_plan(
+            a_bi.tobytes(), a_bi.shape, tuple(legs1), tuple(a_keep),
+            b_bi.tobytes(), b_bi.shape, tuple(legs2), tuple(b_keep))
+        bb = self.block_backend
+        accum: list = [None] * n_out
+        out_rows: list = [None] * n_out
+        for n1, n2, oid in zip(ia, ib, out_id):
+            if out_rows[oid] is None:
+                out_rows[oid] = tuple(a_bi[n1][a_keep]) + tuple(b_bi[n2][b_keep])
+            prod = bb.tensordot(a.data.blocks[int(n1)], legs1,
+                                b.data.blocks[int(n2)], legs2)
+            accum[oid] = prod if accum[oid] is None else bb.add(accum[oid], prod)
+        blocks = [b_ if bb.get_dtype(b_) == dtype else bb.to_dtype(b_, dtype)
+                  for b_ in accum]
+        block_inds = np.array([r for r in out_rows], dtype=np.intp).reshape(
+            n_out, len(a_keep) + len(b_keep))
+        return BlockSparseData(blocks, block_inds, dtype)
+
     @staticmethod
     def _compose_batched(bb, ia, ib, out_id, a_mat, b_mat, accum):
         """Group GEMM pairs by shape; one batched matmul + segment-sum per group."""

@@ -10,7 +10,7 @@ from ._tensors import (
 )
 from ._functions import *  # noqa: F401,F403
 from ._functions import __all__ as _functions_all
-from . import krylov_based, planar, sparse
+from . import compiled, krylov_based, planar, sparse
 from .planar import (
     ContractionTree, PlanarDiagram, PlanarLinearOperator, horizontal_factorization,
     planar_combine_legs, planar_contraction, planar_eigh, planar_lq,
@@ -26,6 +26,7 @@ from .krylov_based import (
     Arnoldi, KrylovBased, LanczosEvolution, LanczosGroundState, lanczos,
     lanczos_arpack,
 )
+from .compiled import CompiledContractionChain, GatherPlan, compile_heff_chain
 
 __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
            'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
@@ -41,4 +42,5 @@ __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Ident
            'gram_schmidt',
            'Arnoldi', 'KrylovBased', 'LanczosGroundState', 'LanczosEvolution',
            'lanczos', 'lanczos_arpack',
-           'krylov_based', 'planar', 'sparse']
+           'CompiledContractionChain', 'GatherPlan', 'compile_heff_chain',
+           'compiled', 'krylov_based', 'planar', 'sparse']

@@ -596,6 +596,24 @@ def tdot(tensor1: Tensor, tensor2: Tensor, legs1=-1, legs2=0, relabel1=None,
     # uncontracted legs keep their relative order
     open1 = [n for n in range(tensor1.num_legs) if n not in legs1]
     open2 = [n for n in range(tensor2.num_legs) if n not in legs2]
+
+    backend = get_same_backend(tensor1, tensor2)
+    if (hasattr(backend, 'tdot_data') and type(tensor1) is SymmetricTensor
+            and type(tensor2) is SymmetricTensor):
+        # direct path: one dot_general per block pair, no materialized permutes
+        data = backend.tdot_data(tensor1, tensor2, legs1, legs2)
+        codomain = TensorProduct([tensor1._as_codomain_leg(i) for i in open1],
+                                 symmetry=tensor1.symmetry)
+        domain = TensorProduct([tensor2._as_domain_leg(j) for j in open2[::-1]],
+                               symmetry=tensor2.symmetry)
+        labels1 = [tensor1._labels[i] for i in open1]
+        labels2 = [tensor2._labels[j] for j in open2]
+        if relabel1:
+            labels1 = [relabel1.get(l, l) for l in labels1]
+        if relabel2:
+            labels2 = [relabel2.get(l, l) for l in labels2]
+        return SymmetricTensor(data, codomain, domain, backend, labels1 + labels2)
+
     t1 = permute_legs(tensor1, codomain=open1, domain=legs1)
     t2 = permute_legs(tensor2, codomain=legs2, domain=open2[::-1])
     res = compose(t1, t2, relabel1=relabel1, relabel2=relabel2)

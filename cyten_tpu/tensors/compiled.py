@@ -90,7 +90,9 @@ class GatherPlan:
             # verify the trace is consistent (pure permutation-with-coefficients)
             assert np.all(np.abs(bi - pos * safe) < 1e-6), \
                 'op is not an entry permutation'
-            idx.append(np.where(zero, sentinel, pos).astype(np.int64).reshape(-1))
+            # int32 suffices for < 2^31 entries and halves the index-array traffic
+            idx_dtype = np.int32 if sentinel < 2 ** 31 else np.int64
+            idx.append(np.where(zero, sentinel, pos).astype(idx_dtype).reshape(-1))
             c = np.where(zero, 1.0, bc).reshape(-1)
             coeffs.append(None if np.allclose(c, 1.0) else c)
             shapes.append(tuple(int(s) for s in bi.shape))

@@ -243,3 +243,34 @@ def test_check_same_legs_and_device(u1_leg, u1_backend):
     with pytest.raises(ValueError):
         check_same_legs(a, c)
     assert get_same_device(a, b) == a.device
+
+
+def test_compiled_contraction_chain():
+    """Gather-compiled DMRG matvec == generic chain (fusion-tree layout, CPU jax)."""
+    import cyten_tpu as ct
+    from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+    from cyten_tpu.tensors import tdot, permute_legs
+    from cyten_tpu.tensors.compiled import compile_heff_chain
+
+    ftb = FusionTreeBackend(ct.get_block_backend('numpy'))
+    from bench import build_workload
+
+    LP, RP, W1, W2, theta = build_workload(ftb, chi=24)
+    chain = compile_heff_chain(LP, RP, W1, W2, theta)
+
+    # reference: the generic tdot chain
+    x = tdot(theta, LP, 'vL', 'vR')
+    x = tdot(x, W1, ['p0', 'wR'], ['p0*', 'wL'])
+    x = tdot(x, W2, ['p1', 'wR'], ['p1*', 'wL'])
+    x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])
+    x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+    ref = permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+
+    import jax.numpy as jnp
+
+    fn = chain.bind(dtype=ct.Dtype.float64)
+    out_blocks = fn([jnp.asarray(np.asarray(b)) for b in theta.data.blocks])
+    ref_blocks = [np.asarray(b) for b in ref.data.blocks]
+    assert len(out_blocks) == len(ref_blocks)
+    for got, want in zip(out_blocks, ref_blocks):
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
