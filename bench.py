@@ -115,7 +115,7 @@ def jax_run(chi, n_iter=20, repeats=3):
 
 
 def main():
-    chi = int(os.environ.get('BENCH_CHI', '2048'))
+    chi = int(os.environ.get('BENCH_CHI', '4096'))
     t_np, flops = numpy_run(chi)
     t_jax = jax_run(chi)
     result = {

@@ -28,9 +28,23 @@ import cyten_tpu as ct
 from cyten_tpu import ElementarySpace, Symmetry
 
 
+def pytest_addoption(parser):
+    # reference parity (reference conftest.py:160-162)
+    parser.addoption('--block-backends', action='store', default='numpy,jax',
+                     help='Comma-separated block-backend names to test')
+    parser.addoption('--rng-seed', action='store', default=12345, type=int,
+                     help='The rng seed')
+
+
+def pytest_generate_tests(metafunc):
+    if 'block_backend' in metafunc.fixturenames:
+        names = metafunc.config.getoption('--block-backends').split(',')
+        metafunc.parametrize('block_backend', [n.strip() for n in names if n])
+
+
 @pytest.fixture
-def np_random() -> np.random.Generator:
-    return np.random.default_rng(seed=12345)
+def np_random(request) -> np.random.Generator:
+    return np.random.default_rng(seed=request.config.getoption('--rng-seed'))
 
 
 _SYMMETRIES = {
@@ -46,8 +60,9 @@ def any_symmetry(request):
     return _SYMMETRIES[request.param]
 
 
-@pytest.fixture(params=['numpy', 'jax'])
+@pytest.fixture
 def block_backend(request):
+    # parametrized via pytest_generate_tests (--block-backends option)
     return request.param
 
 
