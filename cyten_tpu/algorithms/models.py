@@ -21,7 +21,8 @@ from ..tensors import (
     tdot, truncate_singular_values, svd_apply_mask,
 )
 
-__all__ = ['TFIModel', 'HeisenbergModel', 'spin_half_site',
+__all__ = ['TFIModel', 'HeisenbergModel', 'FermiHubbardModel', 'spin_half_site',
+           'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy']
 
 # Pauli matrices in the (|up>, |down>) basis
@@ -48,16 +49,13 @@ def spin_half_site(conserve: str = 'None', backend=None):
     return leg
 
 
-def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
-    """Uniform nearest-neighbor MPO from a two-site bond operator.
+def _factorize_bond(h_bond: SymmetricTensor, svd_cut: float = 1e-12):
+    """``h = sum_k A_k ⊗ B_k`` by SVD across the bond, in MPO-entry form.
 
-    Factorizes ``h = sum_k A_k ⊗ B_k`` by SVD across the bond (the reference's
-    ``horizontal_factorization`` idea, cyten/tensors/planar.py:1102) and assembles
-    the standard 3-block MPO ``W = [[1, A, 0], [0, 0, B], [0, 0, 1]]`` with
-    :func:`tensor_from_grid`. Works for any symmetry backend (incl. SU(2)).
+    Returns ``(A, B, Id)`` with legs ``[wL, p, wR, p*]`` each (trivial wL on A,
+    trivial wR on B). The reference's ``horizontal_factorization`` idea
+    (cyten/tensors/planar.py:1102); all moves planar.
     """
-    from ..tensors import tensor_from_grid
-
     backend = h_bond.backend
     p = h_bond.codomain.factors[0]
     h = h_bond.relabelled(['p0', 'p1', 'p1*', 'p0*'])
@@ -69,7 +67,6 @@ def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
     sqrt_S = S.sqrt() if not S.dtype.is_complex else S ** 0.5
     A_k = scale_axis(U, sqrt_S, 'wR')   # legs [p0*, p0, wR]
     B_k = scale_axis(Vh, sqrt_S, 'wL')  # legs [wL, p1, p1*]
-    # shape into MPO-entry form: legs [wL, p, wR, p*] (all moves planar)
     A_k = permute_legs(A_k, codomain=['p0'], domain=['p0*', 'wR'])
     A_k = add_trivial_leg(A_k, 0, label='wL')
     A_k = A_k.relabelled({'p0': 'p', 'p0*': 'p*'})
@@ -80,7 +77,18 @@ def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
                                      dtype=h_bond.dtype)
     Id = add_trivial_leg(eye_p, 0, label='wL')
     Id = add_trivial_leg(Id, 2, label='wR', to_domain=True, is_dual=True)
-    # grid rows x cols; None = zero
+    return A_k, B_k, Id
+
+
+def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
+    """Uniform nearest-neighbor MPO from a two-site bond operator.
+
+    Assembles the standard 3-block MPO ``W = [[1, A, 0], [0, 0, B], [0, 0, 1]]``
+    with :func:`tensor_from_grid`. Works for any symmetry backend (incl. SU(2)).
+    """
+    from ..tensors import tensor_from_grid
+
+    A_k, B_k, Id = _factorize_bond(h_bond, svd_cut)
     grid = [[Id, A_k, None],
             [None, None, B_k],
             [None, None, Id]]
@@ -89,6 +97,36 @@ def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
     first = _boundary_selector(W, left=True)
     last = _boundary_selector(W, left=False)
     mpos = [first if i == 0 else (last if i == L - 1 else W) for i in range(L)]
+    return mpos
+
+
+def mpo_from_bond_ops(h_bonds: list, svd_cut: float = 1e-12):
+    """Finite-chain MPO from per-bond two-site operators (non-uniform chains).
+
+    Site ``i``'s tensor combines ``A`` of bond ``i`` with ``B`` of bond ``i-1``;
+    boundary sites contract the standard left/right unit selectors. Currently
+    requires all sites to share one local leg (uniform physical space).
+    """
+    from ..tensors import tensor_from_grid
+
+    L = len(h_bonds) + 1
+    assert L >= 2
+    parts = [_factorize_bond(h, svd_cut) for h in h_bonds]
+    mpos = []
+    for i in range(L):
+        A_i = parts[i][0] if i < L - 1 else parts[-1][0]      # dummy at last site
+        B_prev = parts[i - 1][1] if i > 0 else parts[0][1]    # dummy at first site
+        Id = parts[min(i, L - 2)][2]
+        grid = [[Id, A_i, None],
+                [None, None, B_prev],
+                [None, None, Id]]
+        W = tensor_from_grid(grid, labels=['wL', 'p', 'wR', 'p*'], row_leg='wL',
+                             col_leg='wR')
+        if i == 0:
+            W = _boundary_selector(W, left=True)
+        if i == L - 1:
+            W = _boundary_selector(W, left=False)
+        mpos.append(W)
     return mpos
 
 
@@ -403,3 +441,65 @@ def heisenberg_exact_finite_gs_energy(L: int, J: float) -> float:
     vals = scipy.sparse.linalg.eigsh(H, k=1, which='SA',
                                      return_eigenvectors=False)
     return float(vals[0])
+
+
+class FermiHubbardModel:
+    r"""Fermi-Hubbard chain:
+    :math:`H = -t \sum_{s,i} (c^\dagger_{s,i} c_{s,i+1} + h.c.) + U \sum_i n_{u,i} n_{d,i}`.
+
+    Built from the coupling factories on :class:`SpinHalfFermionSite` with graded
+    fermion statistics (no explicit inter-site JW strings); the §7-S3 validation
+    config: FermionNumber x U1(2Sz) conserved. The reference has no Hubbard model
+    class (its models layer stops at couplings, cyten/models/couplings.py:476,538);
+    the couplings used here are its `hopping` / `onsite_interaction` equivalents.
+    """
+
+    def __init__(self, L: int, t: float = 1., U: float = 4., conserve_N: str = 'N',
+                 conserve_S: str = 'Sz', backend=None, block_backend=None):
+        from ..models.couplings import hopping, onsite_interaction
+        from ..models.sites import SpinHalfFermionSite
+        from ..models.tenpy_models import CouplingModel
+
+        self.L = L
+        self.t = t
+        self.U = U
+        site = SpinHalfFermionSite(conserve_N, conserve_S, backend=backend)
+        self.site = site
+        self.site_leg = site.leg
+        from ..backends import get_backend
+
+        self.backend = backend if backend is not None else (
+            site.backend if block_backend is None
+            else get_backend(site.leg.symmetry, block_backend))
+        site.backend = self.backend
+        cm = CouplingModel([site] * L)
+        for i in range(L - 1):
+            cm.add_coupling(i, hopping([site, site], t=t, species='u'))
+            cm.add_coupling(i, hopping([site, site], t=t, species='dn'))
+        if U != 0:
+            for i in range(L):
+                cm.add_onsite(i, onsite_interaction([site], U=U))
+        self.H_bonds = cm.all_bond_ops()
+        self.H_mpo = mpo_from_bond_ops(self.H_bonds)
+
+    @property
+    def site_legs(self):
+        return [self.site_leg] * self.L
+
+    def exact_finite_gs_energy(self) -> float:
+        """Sparse ED of the same bond-op sum the MPO represents."""
+        import scipy.sparse
+        import scipy.sparse.linalg
+
+        d = int(self.site_leg.dim)
+        L = self.L
+        H = scipy.sparse.csr_matrix((d ** L, d ** L))
+        for i, h in enumerate(self.H_bonds):
+            # dense two-site op in legs order [p0, p1, p1*, p0*]
+            hd = h.to_numpy().transpose(0, 1, 3, 2).reshape(d * d, d * d)
+            left = scipy.sparse.identity(d ** i, format='csr')
+            right = scipy.sparse.identity(d ** (L - i - 2), format='csr')
+            H = H + scipy.sparse.kron(scipy.sparse.kron(left, hd), right)
+        vals = scipy.sparse.linalg.eigsh(H, k=1, which='SA',
+                                         return_eigenvectors=False)
+        return float(vals[0])

@@ -147,3 +147,61 @@ def test_clock_coupling():
     t = c.to_tensor()
     t.test_sanity()
     assert ct.norm(t) > 0
+
+
+def test_hubbard_dmrg():
+    """Fermi-Hubbard chain (FermionNumber x U1(2Sz), graded statistics) vs
+    sector-resolved ED — the SURVEY §7-S3 validation config."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import FermiHubbardModel
+
+    model = FermiHubbardModel(L=4, t=1., U=4., block_backend='numpy')
+    L, d = 4, 4
+    Hd = np.zeros((d ** L, d ** L))
+    for i, h in enumerate(model.H_bonds):
+        hd = h.to_numpy().transpose(0, 1, 3, 2).reshape(d * d, d * d)
+        Hd += np.kron(np.kron(np.eye(d ** i), hd), np.eye(d ** (L - 2 - i)))
+    n_site = np.diag([0., 1., 1., 2.])
+    sz_site = np.diag([0., .5, -.5, 0.])
+
+    def diag_embed(op):
+        return sum(np.kron(np.kron(np.eye(d ** i), op), np.eye(d ** (L - 1 - i)))
+                   for i in range(L))
+
+    N_diag = np.diag(diag_embed(n_site))
+    Sz_diag = np.diag(diag_embed(sz_site))
+
+    # DMRG conserves the initial (N, Sz) sector; compare per sector against ED
+    for state, (n_val, sz_val) in [([1, 2, 1, 2], (4, 0)),   # half filling
+                                   ([1, 2, 0, 0], (2, 0))]:  # quarter filling (GS)
+        sel = np.isclose(N_diag, n_val) & np.isclose(Sz_diag, sz_val)
+        E_exact = np.linalg.eigvalsh(Hd[np.ix_(sel, sel)])[0]
+        psi = SimpleMPS.from_product_state(model.site_legs, state,
+                                           backend=model.backend)
+        E = DMRGEngine(psi, model, chi_max=64, eps=1e-14).run(n_sweeps=10)
+        assert abs(E - E_exact) < 1e-9, (state, E, E_exact)
+
+
+def test_mpo_from_bond_ops_nonuniform():
+    """Non-uniform-chain MPO builder == sum of embedded bond ops (dense check)."""
+    from cyten_tpu.algorithms.models import TFIModel, mpo_from_bond_ops
+    from cyten_tpu.tensors import squeeze_legs, tdot
+
+    L = 4
+    model = TFIModel(L=L, J=1., g=0.7, conserve='None', block_backend='numpy')
+    h_bonds = [float(i + 1) * model.H_bonds[i] for i in range(L - 1)]
+    Ws = mpo_from_bond_ops(h_bonds)
+    x = Ws[0].relabelled({'p': 'p0', 'p*': 'p0*'})
+    for i in range(1, L):
+        x = tdot(x, Ws[i].relabelled({'p': f'p{i}', 'p*': f'p{i}*'}),
+                 ['wR'], ['wL'])
+    x = squeeze_legs(x)
+    labels = x.labels
+    perm = [labels.index(f'p{i}') for i in range(L)] \
+        + [labels.index(f'p{i}*') for i in range(L)]
+    H_mpo = x.to_numpy().transpose(perm).reshape(2 ** L, 2 ** L)
+    Hd = np.zeros((2 ** L, 2 ** L))
+    for i, h in enumerate(h_bonds):
+        hd = h.to_numpy().transpose(0, 1, 3, 2).reshape(4, 4)
+        Hd += np.kron(np.kron(np.eye(2 ** i), hd), np.eye(2 ** (L - i - 2)))
+    np.testing.assert_allclose(H_mpo, Hd, atol=1e-12)
