@@ -7,5 +7,7 @@ truncation decisions).
 """
 
 from .sharding import make_mesh, replicate_tensor, shard_tensor
+from .truncation import device_truncation_masks, global_truncate
 
-__all__ = ['make_mesh', 'shard_tensor', 'replicate_tensor']
+__all__ = ['make_mesh', 'shard_tensor', 'replicate_tensor',
+           'device_truncation_masks', 'global_truncate']

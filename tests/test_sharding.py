@@ -79,3 +79,44 @@ def test_replicate(workload):
     r = replicate_tensor(theta, mesh)
     np.testing.assert_allclose(np.asarray(r.data.blocks[0]),
                                np.asarray(theta.data.blocks[0]))
+
+
+def test_global_truncation():
+    """Device-side global truncation == host constraint solver (chi_max+svd_min),
+    incl. on sharded singular values (XLA inserts the all-gather)."""
+    import jax
+    import numpy as np
+
+    import cyten_tpu as ct
+    from cyten_tpu.backends._backend import truncation_mask_from_S
+    from cyten_tpu.parallel import (
+        device_truncation_masks, global_truncate, make_mesh, shard_tensor,
+    )
+
+    leg = ct.ElementarySpace(ct.u1_symmetry, [[-1], [0], [1]], [8, 16, 8])
+    be = ct.get_backend(ct.u1_symmetry, 'jax')
+    rng = np.random.default_rng(0)
+    vals = [np.sort(rng.uniform(0.01, 1.0, m))[::-1].copy()
+            for m in (8, 16, 8)]
+    from cyten_tpu.tensors import DiagonalTensor
+
+    S = DiagonalTensor.from_sector_block_func(
+        lambda shape, c, _it=iter(vals): next(_it), leg, backend=be)
+    chi = 12
+    mask, err = global_truncate(S, chi_max=chi)
+    assert int(mask.small_leg.dim) == chi
+    # compare kept set against host solver
+    host_masks, host_err, _ = truncation_mask_from_S(
+        [np.asarray(b) for b in S.data.blocks], np.ones(3), chi_max=chi)
+    dev_masks = [np.asarray(b) for b in mask.as_DiagonalTensor().data.blocks]
+    for hm, dm in zip(host_masks, dev_masks):
+        np.testing.assert_array_equal(hm, dm)
+    np.testing.assert_allclose(err, host_err, atol=1e-12)
+
+    # sharded: same masks when the S blocks are sharded over the mesh
+    mesh = make_mesh(4, axis_name='mult')
+    S_sh = shard_tensor(S, mesh, 0)
+    with mesh:
+        mask2, err2 = global_truncate(S_sh, chi_max=chi)
+    assert int(mask2.small_leg.dim) == chi
+    np.testing.assert_allclose(err2, err, atol=1e-12)
