@@ -5,10 +5,15 @@ models b_model.py, DMRGEngine d_dmrg.py:117), promoted to a package of the frame
 """
 
 from .mps import SimpleMPS, split_truncate_theta
-from .models import TFIModel, HeisenbergModel, tfi_exact_finite_gs_energy, \
-    heisenberg_exact_finite_gs_energy
-from .dmrg import DMRGEngine, HEffective
+from .models import (
+    FermiHubbardModel, HeisenbergModel, TFIModel, heisenberg_exact_finite_gs_energy,
+    mpo_from_bond_op, mpo_from_bond_ops, tfi_exact_finite_gs_energy,
+)
+from .models import GoldenChainModel
+from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
+           'FermiHubbardModel', 'GoldenChainModel',
+           'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
-           'DMRGEngine', 'HEffective']
+           'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective']

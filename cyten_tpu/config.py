@@ -41,9 +41,11 @@ class Config:
     #: minimum total FLOPs in a bucket before a pallas batched GEMM kernel is preferred
     pallas_gemm_min_flops: int = 2**24
     #: group same-shape GEMM pairs into batched einsums when a compose has at least
-    #: this many pairs; None disables. Measured on TPU v5e (U(1)xU(1), 25 sectors,
-    #: chi=1024): XLA's unrolled per-block GEMMs were ~10% faster and compiled 2x
-    #: faster, so batching is off by default; revisit for mult ~ O(1) workloads.
+    #: this many pairs; None disables. Measured on TPU v5e with honest (fetch-sync)
+    #: timing: stack+segment_sum grouping is SLOWER than XLA's unrolled dot_generals
+    #: even on an ideal bucketed workload with uniform mults (11.7 vs 5.9 ms/iter,
+    #: chi~4k U(1) DMRG matvec) — the stack copies dominate. Off by default;
+    #: only plausibly useful for mult ~ O(1) many-tiny-sector workloads.
     compose_batch_threshold: int | None = None
 
 
