@@ -36,8 +36,13 @@ class Config:
     # --- TPU execution policy ---
     #: pad per-sector matrix dims up to multiples of this when bucketing batched GEMMs
     mxu_pad_multiple: int = 128
-    #: use pallas kernels where available (else fall back to plain XLA ops)
-    use_pallas: bool = True
+    #: reserved: enable pallas kernels once the flat-buffer block storage lands.
+    #: Current measurements (v5e, honest sync) show XLA's unrolled dot_generals beat
+    #: every alternative we tried on list-of-blocks storage (stacked batching 2x
+    #: slower, gather-lowering 50x slower); a pallas grouped GEMM only makes sense
+    #: reading a single flat buffer with prefetched offsets, which requires the
+    #: storage redesign (SURVEY.md §7.2) scheduled for a later round.
+    use_pallas: bool = False
     #: minimum total FLOPs in a bucket before a pallas batched GEMM kernel is preferred
     pallas_gemm_min_flops: int = 2**24
     #: group same-shape GEMM pairs into batched einsums when a compose has at least
