@@ -11,9 +11,11 @@ from .models import (
 )
 from .models import GoldenChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
+from .tebd import TEBDEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
-           'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective']
+           'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
+           'TEBDEngine']

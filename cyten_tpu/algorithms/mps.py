@@ -205,6 +205,28 @@ class SimpleMPS:
             res.append(entropy(p, n=1))
         return res
 
+    def correlation_function(self, op_i, i: int, op_j, j: int):
+        """<psi| op_i op_j |psi> for symmetric single-site operators, i < j.
+
+        Transfer-matrix contraction left to right (planar rearrangements only).
+        """
+        assert i < j
+        theta = self.get_theta1(i)
+        oi = op_i.relabelled(['p', 'p*'])
+        thp = permute_legs(theta, codomain=['p'], domain=['vL', 'vR'])
+        op_th = permute_legs(compose(oi, thp), codomain=['vL', 'p'], domain=['vR'])
+        E = tdot(dagger(theta), op_th, ['vL*', 'p*'], ['vL', 'p'])  # [vR*; vR]
+        for k in range(i + 1, j):
+            E = tdot(E, self.Bs[k], 'vR', 'vL')
+            E = tdot(dagger(self.Bs[k]), E, ['vL*', 'p*'], ['vR*', 'p'])
+        Bj = self.Bs[j]
+        oj = op_j.relabelled(['p', 'p*'])
+        Bp = permute_legs(Bj, codomain=['p'], domain=['vL', 'vR'])
+        op_B = permute_legs(compose(oj, Bp), codomain=['vL', 'p'], domain=['vR'])
+        E = tdot(E, op_B, 'vR', 'vL')
+        E = tdot(dagger(Bj), E, ['vL*', 'p*', 'vR*'], ['vR*', 'p', 'vR'])
+        return _as_scalar(E)
+
     def norm_squared(self):
         S = self.Ss[0]
         return float(np.sum(np.abs(S.diag_numpy) ** 2))

@@ -61,3 +61,67 @@ def test_mps_measurements():
         backend=model.backend, labels=['p', 'p*'])
     vals = [psi.site_expectation_value(sz, i) for i in range(L)]
     assert all(0 < v < 1 for v in np.real(vals))
+
+
+def test_tebd_imaginary_time():
+    """Imaginary-time TEBD converges to the DMRG/exact ground energy (TFI, Z2)."""
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mps import SimpleMPS
+    from cyten_tpu.algorithms.tebd import TEBDEngine
+
+    L = 10
+    model = TFIModel(L=L, J=1., g=1.5, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    E_exact = model.exact_finite_gs_energy()
+    errs = []
+    for dt, n in [(0.1, 60), (0.05, 60), (0.01, 150)]:
+        eng = TEBDEngine(psi, model, dt=dt, chi_max=32, imaginary=True)
+        eng.run(n)
+        errs.append(abs(eng.energy() - E_exact))
+    # non-unitary gates spoil the canonical form, giving the well-known O(dt)
+    # energy bias of imaginary-time TEBD: check linear-in-dt convergence + accuracy
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 5e-3, errs
+    assert errs[2] < 0.25 * errs[0]
+
+
+def test_correlation_function():
+    """<sz_i sz_j> on the TFI ground state vs exact diagonalization."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg
+
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mps import SimpleMPS
+    from cyten_tpu.algorithms.dmrg import DMRGEngine
+    from cyten_tpu.tensors import SymmetricTensor
+
+    L = 8
+    model = TFIModel(L=L, J=1., g=1.2, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    DMRGEngine(psi, model, chi_max=32).run(n_sweeps=8)
+    sz = np.diag([1., -1.])
+    op = SymmetricTensor.from_dense_block(sz, [model.site_leg], [model.site_leg],
+                                          backend=model.backend, labels=['p', 'p*'])
+    c = psi.correlation_function(op, 1, op, 5)
+    # ED reference
+    sz_sp = sp.csr_matrix(sz)
+    id2 = sp.identity(2, format='csr')
+
+    def embed(op_s, i):
+        res = sp.identity(1, format='csr')
+        for k in range(L):
+            res = sp.kron(res, op_s if k == i else id2, format='csr')
+        return res
+
+    sx = sp.csr_matrix(np.array([[0., 1.], [1., 0.]]))
+    H = sp.csr_matrix((2 ** L, 2 ** L))
+    for i in range(L - 1):
+        H = H - embed(sx, i) @ embed(sx, i + 1)
+    for i in range(L):
+        H = H - 1.2 * embed(sz_sp, i)
+    w, v = scipy.sparse.linalg.eigsh(H, k=1, which='SA')
+    gs = v[:, 0]
+    c_ed = gs @ (embed(sz_sp, 1) @ embed(sz_sp, 5) @ gs)
+    np.testing.assert_allclose(np.real(c), c_ed, atol=1e-8)
