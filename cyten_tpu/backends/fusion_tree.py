@@ -208,6 +208,10 @@ class FusionTreeBackend(TensorBackend):
         for ax, leg in enumerate(cod_legs + list(reversed(dom_legs))):
             if leg._basis_perm is not None:
                 res = np.take(res, leg.inverse_basis_perm, axis=ax)
+        # combine pipe axes: public combined basis = C-flatten in legs order
+        out_shape = tuple(int(sp.dim) for sp in a.codomain.factors) \
+            + tuple(int(sp.dim) for sp in reversed(a.domain.factors))
+        res = res.reshape(out_shape)
         if np.allclose(res.imag, 0, atol=1e-14 * max(1., float(np.abs(res).max() if res.size else 0.))):
             res = res.real.copy()
         return bb.as_block(res)
@@ -221,6 +225,10 @@ class FusionTreeBackend(TensorBackend):
         dtype = Dtype.from_numpy(arr.dtype) if arr.dtype != bool else Dtype.float64
         cod_legs = codomain.flat_legs
         dom_legs = domain.flat_legs
+        # split pipe axes (public combined basis = C-flatten in legs order)
+        flat_shape = tuple(int(l.dim) for l in cod_legs) \
+            + tuple(int(l.dim) for l in reversed(dom_legs))
+        arr = arr.reshape(flat_shape)
         # public -> sector basis
         for ax, leg in enumerate(cod_legs + list(reversed(dom_legs))):
             if leg._basis_perm is not None:
@@ -841,7 +849,25 @@ class FusionTreeBackend(TensorBackend):
         return self.diagonal_to_mask(shim)
 
     def mask_to_block(self, a):
-        raise SymmetryError('mask_to_block requires can_be_dropped')
+        """Dense bool mask over the large leg's public basis (state-major tiling).
+
+        Reference: cyten/backends/fusion_tree_backend.py (mask_to_block); requires
+        ``can_be_dropped``.
+        """
+        large_leg = a.large_leg
+        if not large_leg.symmetry.can_be_dropped:
+            raise SymmetryError('mask_to_block requires can_be_dropped')
+        bb = self.block_backend
+        res = np.zeros(int(large_leg.dim), dtype=bool)
+        for block, (i_small, i_large) in zip(a.data.blocks, a.data.block_inds):
+            d = large_leg.symmetry.sector_dim(
+                large_leg.sector_decomposition[int(i_large)])
+            vals = np.asarray(bb.to_numpy(block)).astype(bool)
+            res[int(large_leg.slices[i_large, 0]):int(large_leg.slices[i_large, 1])] \
+                = np.tile(vals, d)  # state-major: mult vector repeats per state
+        if large_leg._basis_perm is not None:
+            res = res[large_leg.inverse_basis_perm]
+        return bb.as_block(res, Dtype.bool)
 
     def mask_to_diagonal(self, a, leg):
         from .abelian import AbelianBackend

@@ -52,6 +52,7 @@ _SYMMETRIES = {
     'U1': ct.u1_symmetry,
     'Z4': ct.z4_symmetry,
     'U1xZ3': ct.u1_symmetry * ct.z3_symmetry.factors[0],
+    'SU2': ct.su2_symmetry,  # non-abelian: exercises the fusion-tree backend
 }
 
 
@@ -79,11 +80,14 @@ def random_space(symmetry: Symmetry, rng: np.random.Generator, max_sectors=4,
     if symmetry.num_sectors != np.inf and symmetry.num_sectors < 100:
         candidates = symmetry.all_sectors()
     else:
-        # U1-like: sample small charges per factor
+        # sample small sector entries per factor, keeping only valid ones
         cols = []
         for f in symmetry.factors:
             if f.num_sectors == np.inf:
-                cols.append(rng.integers(-2, 3, size=(20, f.sector_ind_len)))
+                raw = rng.integers(-2, 5, size=(40, f.sector_ind_len))
+                raw = raw[[f.is_valid_sector(r) for r in raw]]
+                cols.append(raw[:20] if len(raw) >= 20
+                            else np.repeat(raw, 3, axis=0)[:20])
             else:
                 all_f = f.all_sectors()
                 cols.append(all_f[rng.integers(0, len(all_f), size=20)])

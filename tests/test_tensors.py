@@ -173,9 +173,8 @@ def test_truncated_svd(make_compatible_backend, spaces, np_random):
     assert ct.norm(A) > 0
     U, S, Vh, err, renorm = ct.truncated_svd(A, chi_max=3)
     U.test_sanity(), S.test_sanity(), Vh.test_sanity()
-    total_kept = sum(int(m) * d for m, d in zip(S.leg.multiplicities,
-                                                S.leg.sector_qdims))
-    assert total_kept <= 3
+    # chi counts kept multiplets (singular values), as in the reference solver
+    assert int(np.sum(S.leg.multiplicities)) <= 3
     # error estimate matches actual
     approx = ct.compose(ct.compose(U, S.as_SymmetricTensor()), Vh)
     actual_err = ct.norm(approx - A) / ct.norm(A)
@@ -271,9 +270,21 @@ def test_diagonal(make_compatible_backend, spaces, np_random):
 
 def test_mask(make_compatible_backend, spaces, np_random):
     V, W = spaces[:2]
-    blockmask = np_random.integers(2, size=int(V.dim)).astype(bool)
-    if not blockmask.any():
-        blockmask[0] = True
+    # keep/drop whole multiplets (required for dim > 1 sectors): build internal
+    # state-major mask per sector, then map to the public basis
+    internal = np.zeros(int(V.dim), dtype=bool)
+    for i in range(V.num_sectors):
+        d = int(V.sector_dims[i])
+        m = int(V.multiplicities[i])
+        keep = np_random.integers(2, size=m).astype(bool)
+        internal[int(V.slices[i, 0]):int(V.slices[i, 1])] = np.tile(keep, d)
+    if not internal.any():
+        internal[:int(V.sector_dims[0]) * 1] = True  # keep first multiplet whole
+        internal[int(V.slices[0, 0]):int(V.slices[0, 1])] = np.tile(
+            np.eye(1, int(V.multiplicities[0]), dtype=bool)[0],
+            int(V.sector_dims[0]))
+    blockmask = internal[V.inverse_basis_perm] if V._basis_perm is not None \
+        else internal
     mask = Mask.from_blockmask(blockmask, V, backend=make_compatible_backend)
     mask.test_sanity()
     np.testing.assert_array_equal(mask.blockmask(), blockmask)
