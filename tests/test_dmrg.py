@@ -125,3 +125,37 @@ def test_correlation_function():
     gs = v[:, 0]
     c_ed = gs @ (embed(sz_sp, 1) @ embed(sz_sp, 5) @ gs)
     np.testing.assert_allclose(np.real(c), c_ed, atol=1e-8)
+
+
+def test_tebd_real_time():
+    """Real-time TEBD quench vs exact unitary evolution (TFI, L=6)."""
+    import scipy.sparse as sp
+    import scipy.linalg
+
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mps import SimpleMPS
+    from cyten_tpu.algorithms.tebd import TEBDEngine
+    from cyten_tpu.tensors import SymmetricTensor
+
+    L, g, dt, n_steps = 6, 1.5, 0.05, 10
+    model = TFIModel(L=L, J=1., g=g, conserve='None', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = TEBDEngine(psi, model, dt=dt, chi_max=32, imaginary=False)
+    eng.run(n_steps)
+    sz = np.diag([1., -1.])
+    op = SymmetricTensor.from_dense_block(sz, [model.site_leg], [model.site_leg],
+                                          backend=model.backend, labels=['p', 'p*'])
+    sz_mid = np.real(psi.site_expectation_value(op, L // 2))
+
+    # ED: evolve |up...up> under the same bond-op sum
+    H = np.zeros((2 ** L, 2 ** L))
+    for i, h in enumerate(model.H_bonds):
+        hd = h.to_numpy().transpose(0, 1, 3, 2).reshape(4, 4)
+        H += np.kron(np.kron(np.eye(2 ** i), hd), np.eye(2 ** (L - i - 2)))
+    v0 = np.zeros(2 ** L)
+    v0[0] = 1.  # |up..up> is index 0 in the public basis
+    v_t = scipy.linalg.expm(-1j * H * dt * n_steps) @ v0
+    sz_embed = np.kron(np.kron(np.eye(2 ** (L // 2)), sz), np.eye(2 ** (L - L//2 - 1)))
+    sz_ed = np.real(np.conj(v_t) @ (sz_embed @ v_t))
+    np.testing.assert_allclose(sz_mid, sz_ed, atol=5e-4)  # Trotter dt^2 accuracy
