@@ -606,10 +606,22 @@ class Symmetry(BaseSymmetry):
                    for f, si in zip(self.factors, self._split_many(sectors)))
 
     def fusion_outcomes(self, a: Sector, b: Sector) -> SectorArray:
-        """Cartesian product of factor-wise outcomes (factor 0 varies slowest)."""
-        parts = [f.fusion_outcomes(ai, bi)
-                 for f, ai, bi in zip(self.factors, self._split(a), self._split(b))]
-        return _row_cartesian(parts, self.sector_ind_len)
+        """Cartesian product of factor-wise outcomes (factor 0 varies slowest).
+
+        Memoized per sector pair: this is the innermost call of tree-move plan
+        construction (thousands of hits per structure).
+        """
+        cache = self.__dict__.setdefault('_fusion_outcomes_cache', {})
+        key = (np.asarray(a).tobytes(), np.asarray(b).tobytes())
+        res = cache.get(key)
+        if res is None:
+            parts = [f.fusion_outcomes(ai, bi)
+                     for f, ai, bi in zip(self.factors, self._split(a),
+                                          self._split(b))]
+            res = _row_cartesian(parts, self.sector_ind_len)
+            res.setflags(write=False)
+            cache[key] = res
+        return res
 
     def fusion_outcomes_broadcast(self, a: SectorArray, b: SectorArray) -> SectorArray:
         assert self.is_abelian
