@@ -38,7 +38,14 @@ __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Ident
 # --- label utilities -------------------------------------------------------------------
 
 def is_valid_leg_label(label) -> bool:
-    return label is None or (isinstance(label, str) and '?' not in label)
+    """None, or a string; '?' marks unlabeled slots inside combined labels only."""
+    if label is None:
+        return True
+    if not isinstance(label, str) or label.startswith('?'):
+        return False
+    if '?' in label and not (label.startswith('(') and label.endswith(')')):
+        return False
+    return True
 
 
 def _dual_leg_label(label: str | None) -> str | None:
@@ -54,7 +61,10 @@ def _dual_leg_label(label: str | None) -> str | None:
 
 
 def _combine_leg_labels(labels) -> str:
-    return '(' + '.'.join('?' if l is None else l for l in labels) + ')'
+    """Combined-leg label; unlabeled slots become numbered '?n' placeholders
+    (cf. reference _tensors.py:6839)."""
+    return '(' + '.'.join(f'?{n}' if l is None else l
+                          for n, l in enumerate(labels)) + ')'
 
 
 def _split_leg_label(label: str | None, num: int = None) -> list[str | None]:

@@ -1,0 +1,152 @@
+"""Regression scenarios ported from the reference's bug-fix tests.
+
+These encode tricky cases that once broke the reference implementation
+(reference tests/python_tests/test_tensors.py: test_fixes_124 :420,
+test_fixes_23 :457, test_combine_split_pr_16 :1670, test_fixes_scale_axis_bug
+:2158); re-expressed against our API and oracles.
+"""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import SymmetricTensor, TensorProduct
+from cyten_tpu.symmetries import ElementarySpace
+from cyten_tpu.tensors import (
+    almost_equal, bend_legs, combine_legs, compose, norm, split_legs, svd,
+    truncated_svd,
+)
+
+
+def test_from_tree_pairs_dense_oracle(np_random):
+    """Tree-pair construction vs an independent dense oracle (reference PR #124).
+
+    Dense contribution of pair (X, Y) with coefficients ``block``:
+    kron(symmetry_data, block) per axis — state-major, matching our layout.
+    """
+    symm = ct.su2_symmetry
+    backend = ct.get_backend(symm, 'numpy')
+    a = ElementarySpace(symm, [[1]], [1])
+    b = ElementarySpace(symm, [[1]], [1])
+    c = ElementarySpace(symm, [[2]], [2])
+    codomain = TensorProduct([a, b])
+    domain = TensorProduct([c])
+
+    trees = {}
+    for coupled in codomain.sector_decomposition:
+        for X, _, mults1, _ in codomain.iter_tree_blocks([coupled]):
+            for Y, _, mults2, _ in domain.iter_tree_blocks([coupled]):
+                shape = [*mults1, *reversed(mults2)]
+                if len(trees) == 0 or np_random.choice([True, False]):
+                    trees[X, Y] = np_random.normal(size=shape)
+
+    T = SymmetricTensor.from_tree_pairs(trees, codomain, domain, backend=backend)
+    T.test_sanity()
+
+    T_np = T.to_numpy()
+    expect = np.zeros_like(T_np)
+    K = T.num_codomain_legs
+    for (X, Y), block in trees.items():
+        sym_data = np.tensordot(X.as_block(), np.conj(Y.as_block()), (-1, -1))
+        # axes [a1..aJ, b1..bK] -> legs order [a1..aJ, bK..b1]
+        sym_data = np.transpose(
+            sym_data, [*range(K), *reversed(range(K, T.num_legs))])
+        contribution = np.kron(sym_data, np.asarray(block))
+        idcs = []
+        for l, s in zip(T.codomain.factors, X.uncoupled):
+            i = int(np.nonzero(np.all(
+                l.sector_decomposition == np.asarray(s)[None, :], axis=1))[0][0])
+            idcs.append(slice(int(l.slices[i, 0]), int(l.slices[i, 1])))
+        for l, s in zip(reversed(T.domain.factors), reversed(Y.uncoupled)):
+            i = int(np.nonzero(np.all(
+                l.sector_decomposition == np.asarray(s)[None, :], axis=1))[0][0])
+            idcs.append(slice(int(l.slices[i, 0]), int(l.slices[i, 1])))
+        expect[tuple(idcs)] += contribution
+    np.testing.assert_allclose(T_np, expect, atol=1e-12)
+
+
+def test_zero_dense_block_many_legs():
+    """Zero 6-leg SU(2) tensor survives from_dense_block (reference PR #23)."""
+    sym = ct.su2_symmetry
+    site = ElementarySpace(sym, [[1]])
+    block = np.zeros((2,) * 6, float)
+    tens = SymmetricTensor.from_dense_block(block, [site] * 3, [site] * 3,
+                                            backend=ct.get_backend(sym, 'numpy'))
+    tens.test_sanity()
+    np.testing.assert_allclose(norm(tens), 0, atol=1e-14)
+
+
+def test_combine_split_with_basis_perm_and_duals():
+    """combine/split/bend with nontrivial basis_perm on dual legs of a product
+    symmetry (reference PR #16)."""
+    backend = ct.get_backend(ct.u1_symmetry * ct.z3_symmetry.factors[0], 'numpy')
+    symmetry = ct.u1_symmetry * ct.z3_symmetry.factors[0]
+    a = ElementarySpace(symmetry,
+                        [[-2, 0], [-1, 0], [-2, 1], [-2, 2]],
+                        [1, 2, 4, 4],
+                        basis_perm=[8, 0, 7, 3, 6, 2, 4, 10, 1, 5, 9],
+                        is_dual=True)
+    b = ElementarySpace(symmetry, [[-3, 0], [0, 0], [-3, 1], [-3, 2]],
+                        [1, 1, 1, 1], is_dual=False)
+    c = ElementarySpace(symmetry, [[-4, 0], [-3, 0], [-7, 1], [-6, 1], [-3, 1]],
+                        [5, 5, 5, 5, 5], is_dual=False)
+    d = ElementarySpace(symmetry, [[-2, 0], [1, 0], [2, 1]], [3, 3, 2],
+                        basis_perm=[6, 3, 4, 0, 7, 2, 5, 1], is_dual=True)
+
+    rng = np.random.default_rng(16)
+    T = SymmetricTensor.from_random_normal([a, b], [d, c], backend=backend,
+                                           rng=rng)
+    combined = combine_legs(T, [2, 3])
+    combined.test_sanity()
+    assert combined.codomain.factors == T.codomain.factors
+
+    re_split = split_legs(combined, 2)
+    assert almost_equal(T, re_split)
+
+    bent = bend_legs(combined, num_domain_legs=0)
+    split = split_legs(bent, 2)
+    split.test_sanity()
+    assert split.domain.num_factors == 0
+    expect = bend_legs(T, num_domain_legs=0)
+    assert almost_equal(split, expect)
+
+
+@pytest.mark.parametrize('trunc', [False, 1e-14])
+def test_svd_compose_scale_axis_regression(trunc):
+    """U·S·Vh recomposition on the fusion-tree backend with a multi-sector
+    product symmetry incl. large charges (reference scale_axis bug)."""
+    from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+
+    s = ct.u1_symmetry * ct.z3_symmetry.factors[0]
+    backend = FusionTreeBackend(ct.get_block_backend('numpy'))
+    codomain = TensorProduct([
+        ElementarySpace.from_defining_sectors(s, [[-1, 0], [-2, 2]], [2, 3],
+                                              is_dual=True),
+        ElementarySpace.from_defining_sectors(s, [[1, 1], [-3, 2], [0, 2]],
+                                              [3, 1, 1], is_dual=True),
+        ElementarySpace.from_defining_sectors(s, [[-2, 0], [0, 0], [123, 1]],
+                                              [3, 1, 2], is_dual=True),
+    ])
+    domain = TensorProduct([
+        ElementarySpace.from_defining_sectors(s, [[-2, 0]], [3]),
+        ElementarySpace.from_defining_sectors(s, [[-124, 0], [-1, 1], [1, 1]],
+                                              [3, 3, 3]),
+        ElementarySpace.from_defining_sectors(s, [[2, 0]], [3]),
+        ElementarySpace.from_defining_sectors(s, [[-2, 0], [1, 1], [123, 1]],
+                                              [1, 1, 3]),
+    ])
+    rng = np.random.default_rng(42)
+    T = SymmetricTensor.from_random_normal(codomain, domain, backend=backend,
+                                           rng=rng)
+    T.test_sanity()
+    if trunc is False:
+        U, S, Vh = svd(T)
+    else:
+        U, S, Vh, _, _ = truncated_svd(T, svd_min=trunc)
+    U.test_sanity(), S.test_sanity(), Vh.test_sanity()
+    S_Vh = compose(S, Vh)
+    S_Vh.test_sanity()
+    U_S = compose(U, S)
+    U_S.test_sanity()
+    assert almost_equal(T, compose(U, S_Vh))
+    assert almost_equal(T, compose(U_S, Vh))
