@@ -28,6 +28,36 @@ __all__ = ['HEffective', 'DMRGEngine']
 
 
 _JITTED_MATVEC = None
+_JITTED_UPDATE_LP = None
+_JITTED_UPDATE_RP = None
+
+
+def _update_LP_impl(LP, W, A):
+    """LP' from LP and the left-isometric site tensor A (planar rearrangements)."""
+    t = tdot(A, LP, 'vL', 'vR')               # [p, vR, vR*, wR]
+    t = tdot(t, W, ['p', 'wR'], ['p*', 'wL'])  # [vR, vR*, p, wR]
+    tp = permute_legs(t, codomain=['vR*', 'p'], domain=['vR', 'wR'])
+    return compose(dagger(A), tp)              # [vR*, wR, vR]
+
+
+def _update_RP_impl(RP, W, B):
+    """RP' from RP and the right-isometric site tensor B (planar rearrangements)."""
+    t = tdot(B, RP, 'vR', 'vL')                # [vL, p, wL, vL*]
+    tp = permute_legs(t, codomain=['p', 'wL'], domain=['vL', 'vL*'])
+    t = compose(W, tp)                          # [wL, p, vL*, vL]
+    zp = permute_legs(t, codomain=['vL', 'wL'], domain=['vL*', 'p'])
+    dB = permute_legs(dagger(B), codomain=['vR*', 'p*'], domain=['vL*'])
+    return compose(zp, dB)                      # [vL, wL, vL*]
+
+
+def _get_jitted_env_updates():
+    global _JITTED_UPDATE_LP, _JITTED_UPDATE_RP
+    if _JITTED_UPDATE_LP is None:
+        import jax
+
+        _JITTED_UPDATE_LP = jax.jit(_update_LP_impl)
+        _JITTED_UPDATE_RP = jax.jit(_update_RP_impl)
+    return _JITTED_UPDATE_LP, _JITTED_UPDATE_RP
 
 
 def _heff_matvec_impl(LP, RP, W1, W2, theta):
@@ -75,7 +105,8 @@ class DMRGEngine:
     """Two-site DMRG sweeps with Lanczos ground-state search per bond."""
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
-                 lanczos_options: dict = None, pad_chi_multiple: int = None):
+                 lanczos_options: dict = None, pad_chi_multiple: int = None,
+                 jit_env_updates: bool = None):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
@@ -83,6 +114,13 @@ class DMRGEngine:
         #: round kept multiplicities per sector up to this multiple (chi bucketing:
         #: bounded jit recompiles + MXU-aligned shapes on TPU)
         self.pad_chi_multiple = pad_chi_multiple
+        #: jit the once-per-bond environment updates. Pays off in steady state
+        #: (structures repeat every sweep once chi saturates); adds compile overhead
+        #: during chi growth. Default: only when chi bucketing bounds the structures.
+        if jit_env_updates is None:
+            jit_env_updates = (pad_chi_multiple is not None
+                               and psi.backend.block_backend.can_jit)
+        self.jit_env_updates = jit_env_updates
         self.lanczos_options = lanczos_options or {'N_max': 20, 'P_tol': 1e-14}
         self.backend = psi.backend
         L = psi.L
@@ -120,25 +158,21 @@ class DMRGEngine:
     def update_LP(self, i: int, A):
         """LPs[i+1] from LPs[i] and the left-isometric tensor A at site i.
 
-        All rearrangements are planar (anyon-safe).
+        All rearrangements are planar (anyon-safe); jitted with jax blocks.
         """
         W = self.model.H_mpo[i]
-        t = tdot(A, self.LPs[i], 'vL', 'vR')               # [p, vR, vR*, wR]
-        t = tdot(t, W, ['p', 'wR'], ['p*', 'wL'])          # [vR, vR*, p, wR]
-        tp = permute_legs(t, codomain=['vR*', 'p'], domain=['vR', 'wR'])
-        self.LPs[i + 1] = compose(dagger(A), tp)           # [vR*, wR, vR]
+        fn = _get_jitted_env_updates()[0] if self.jit_env_updates \
+            else _update_LP_impl
+        self.LPs[i + 1] = fn(self.LPs[i], W, A)            # [vR*, wR, vR]
 
     def update_RP(self, i: int, B=None):
         """RPs[i-1] from RPs[i] and the right-isometric tensor B at site i."""
         if B is None:
             B = self.psi.Bs[i]
         W = self.model.H_mpo[i]
-        t = tdot(B, self.RPs[i], 'vR', 'vL')               # [vL, p, wL, vL*]
-        tp = permute_legs(t, codomain=['p', 'wL'], domain=['vL', 'vL*'])
-        t = compose(W, tp)                                 # [wL, p, vL*, vL]
-        zp = permute_legs(t, codomain=['vL', 'wL'], domain=['vL*', 'p'])
-        dB = permute_legs(dagger(B), codomain=['vR*', 'p*'], domain=['vL*'])
-        self.RPs[i - 1] = compose(zp, dB)                  # [vL, wL, vL*]
+        fn = _get_jitted_env_updates()[1] if self.jit_env_updates \
+            else _update_RP_impl
+        self.RPs[i - 1] = fn(self.RPs[i], W, B)            # [vL, wL, vL*]
 
     def sweep(self) -> float:
         L = self.psi.L
