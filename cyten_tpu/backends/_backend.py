@@ -407,25 +407,28 @@ def truncation_mask_from_S(S_sectors: list[np.ndarray], qdims: np.ndarray,
         if S_sectors else np.zeros(0, int)
     qd = np.asarray(qdims, dtype=float)[sector_idx] if len(sector_idx) else np.zeros(0)
 
-    order = np.argsort(-all_S, stable=True)
+    # keep-priority: sort by *marginal truncation error* qdim * S^2 (descending).
+    # For non-abelian symmetries a multiplet's error contribution is qdim-weighted,
+    # so a smaller S in a large sector can outrank a bigger S in a small one —
+    # matching the reference's selection (reference _backend.py:849-860).
+    marginal = qd * all_S ** 2
+    order = np.argsort(-marginal, stable=True)
     S_sorted = all_S[order]
     qd_sorted = qd[order]
     n = len(S_sorted)
 
-    norm_sq = float(np.sum(qd * all_S ** 2))
+    norm_sq = float(np.sum(marginal))
     if norm_sq == 0:
         norm_sq = 1.
 
-    # candidate cuts: keep the first k (in sorted order), k in 0..n
+    # candidate cuts: keep the first k (in keep-priority order), k in 0..n
     ok = np.ones(n + 1, dtype=bool)  # ok[k]: cutting after k kept values is allowed
     if degeneracy_tol:
-        # forbid cuts inside degenerate groups: S[k-1] and S[k] nearly equal
+        # forbid cuts between nearly degenerate S (gaps in keep-priority order,
+        # as in the reference)
         with np.errstate(divide='ignore', invalid='ignore'):
-            gaps = np.where(S_sorted[1:] > 0,
-                            np.log(S_sorted[:-1] / np.where(S_sorted[1:] > 0,
-                                                            S_sorted[1:], 1.)),
-                            np.inf)
-        ok[1:n] &= gaps >= degeneracy_tol
+            logS = np.log(np.maximum(S_sorted, 1e-100))
+        ok[1:n] &= np.abs(logS[:-1] - logS[1:]) >= degeneracy_tol
     # cumulative discarded weight if keeping k values: sum_{i>=k} qd*S^2
     disc = np.concatenate([np.cumsum((qd_sorted * S_sorted ** 2)[::-1])[::-1], [0.]])
 
@@ -433,7 +436,11 @@ def truncation_mask_from_S(S_sectors: list[np.ndarray], qdims: np.ndarray,
     if chi_max is not None:
         k_max = min(k_max, int(chi_max))
     if svd_min is not None:
-        k_max = min(k_max, int(np.sum(S_sorted >= svd_min)))
+        # the smallest kept value (position k-1 in keep order) must be >= svd_min;
+        # since keep-priority is by qdim*S^2, scan for the first violation
+        viol = np.nonzero(S_sorted < svd_min)[0]
+        if len(viol):
+            k_max = min(k_max, int(viol[0]))
     if trunc_cut is not None:
         # smallest k with discarded error <= trunc_cut^2 * norm_sq
         allowed = disc <= trunc_cut ** 2 * norm_sq

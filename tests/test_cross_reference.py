@@ -131,3 +131,83 @@ def test_su2_tensor_parity(ref):
     B_m = ct.tdot(A_m, ct.dagger(A_m), [2], [0])
     B_r = ref.tdot(A_r, ref.dagger(A_r), [2], [0])
     np.testing.assert_allclose(B_m.to_numpy(), B_r.to_numpy(), atol=1e-10)
+
+
+def test_qr_eigh_parity(ref, u1_setup):
+    rng, leg_m, leg_r, be_m, be_r = u1_setup
+    a = _random_symmetric_dense(rng, leg_m, be_m, 2, 1)
+    A_m = ct.SymmetricTensor.from_dense_block(a, [leg_m] * 2, [leg_m],
+                                              backend=be_m)
+    A_r = ref.SymmetricTensor.from_dense_block(a, [leg_r] * 2, [leg_r],
+                                               backend=be_r)
+    Q_m, R_m = ct.qr(A_m)
+    Q_r, R_r = ref.qr(A_r)
+    # Q R == A on both sides; gauge may differ, so compare the product
+    np.testing.assert_allclose(ct.compose(Q_m, R_m).to_numpy(),
+                               ref.compose(Q_r, R_r).to_numpy(), atol=1e-10)
+    # hermitian eigenvalues agree
+    h = _random_symmetric_dense(rng, leg_m, be_m, 1, 1)
+    h = h + h.T.conj()
+    # labels needed: the reference's eigh crashes on unlabeled legs (duplicate
+    # '(?0)' labels after its internal combine)
+    H_m = ct.SymmetricTensor.from_dense_block(h, [leg_m], [leg_m], backend=be_m,
+                                              labels=['p', 'p*'])
+    H_r = ref.SymmetricTensor.from_dense_block(h, [leg_r], [leg_r], backend=be_r,
+                                               labels=['p', 'p*'])
+    W_m, V_m = ct.eigh(H_m)
+    W_r, V_r = ref.eigh(H_r, ['c', 'c*'], False)
+    np.testing.assert_allclose(np.sort(W_m.diagonal_as_numpy()),
+                               np.sort(W_r.diagonal_as_numpy()), atol=1e-10)
+
+
+def test_combine_split_parity(ref, u1_setup):
+    rng, leg_m, leg_r, be_m, be_r = u1_setup
+    a = _random_symmetric_dense(rng, leg_m, be_m, 2, 2)
+    A_m = ct.SymmetricTensor.from_dense_block(a, [leg_m] * 2, [leg_m] * 2,
+                                              backend=be_m)
+    A_r = ref.SymmetricTensor.from_dense_block(a, [leg_r] * 2, [leg_r] * 2,
+                                               backend=be_r)
+    C_m = ct.combine_legs(A_m, [0, 1])
+    C_r = ref.combine_legs(A_r, [0, 1])
+    np.testing.assert_allclose(C_m.to_numpy(), C_r.to_numpy(), atol=1e-10)
+    D_m = ct.combine_legs(A_m, [2, 3])
+    D_r = ref.combine_legs(A_r, [2, 3])
+    np.testing.assert_allclose(D_m.to_numpy(), D_r.to_numpy(), atol=1e-10)
+
+
+def test_dagger_trace_parity(ref, u1_setup):
+    rng, leg_m, leg_r, be_m, be_r = u1_setup
+    a = _random_symmetric_dense(rng, leg_m, be_m, 1, 1)
+    A_m = ct.SymmetricTensor.from_dense_block(a, [leg_m], [leg_m], backend=be_m)
+    A_r = ref.SymmetricTensor.from_dense_block(a, [leg_r], [leg_r], backend=be_r)
+    np.testing.assert_allclose(ct.dagger(A_m).to_numpy(),
+                               ref.dagger(A_r).to_numpy(), atol=1e-12)
+    np.testing.assert_allclose(ct.trace(A_m), ref.trace(A_r), atol=1e-12)
+    np.testing.assert_allclose(
+        ct.inner(A_m, A_m), ref.inner(A_r, A_r), atol=1e-10)
+
+
+def test_su2_truncated_svd_parity(ref):
+    """Global qdim-weighted truncation decision matches the reference for SU(2)."""
+    rng = np.random.default_rng(11)
+    sectors = [[0], [1], [2]]
+    mults = [3, 3, 2]
+    leg_m = ct.ElementarySpace(ct.su2_symmetry, sectors, mults)
+    leg_r = ref.ElementarySpace(ref.su2_symmetry, sectors, mults)
+    be_m = ct.get_backend(ct.su2_symmetry, 'numpy')
+    be_r = ref.get_backend(ref.su2_symmetry, 'numpy')
+    t = ct.SymmetricTensor.from_random_normal([leg_m, leg_m], [leg_m],
+                                              backend=be_m, rng=rng)
+    arr = t.to_numpy()
+    A_m = ct.SymmetricTensor.from_dense_block(arr, [leg_m] * 2, [leg_m],
+                                              backend=be_m)
+    A_r = ref.SymmetricTensor.from_dense_block(arr, [leg_r] * 2, [leg_r],
+                                               backend=be_r)
+    U_m, S_m, Vh_m, err_m, _ = ct.truncated_svd(A_m, chi_max=4)
+    U_r, S_r, Vh_r, err_r, _ = ref.truncated_svd(A_r, chi_max=4)
+    np.testing.assert_allclose(np.sort(S_m.diagonal_as_numpy()),
+                               np.sort(S_r.diagonal_as_numpy()), atol=1e-10)
+    # the reference returns the SQUARED discarded weight as `err` (its docstring
+    # says norm(S_discard), but the code never takes the sqrt); we return the
+    # documented 2-norm, so compare err_m**2 against the reference value.
+    np.testing.assert_allclose(err_m ** 2, err_r, atol=1e-10)
