@@ -240,7 +240,7 @@ class BlockBackend:
 
     def accumulator(self, shape, dtype: Dtype):
         """A zero block that :meth:`accum_add` may mutate in place."""
-        return np.zeros(tuple(shape), self.to_internal_dtype(dtype))
+        return np.zeros(tuple(shape), dtype.to_numpy)
 
     def accum_add(self, acc, idx, value):
         """``acc[idx] += value`` on an accumulator from :meth:`accumulator`."""
@@ -392,10 +392,9 @@ class BlockBackend:
     def block_from_mask(self, mask, dtype: Dtype):
         """Rectangular projection matrix [sum(mask), len(mask)] from a bool mask."""
         mask_np = self.to_numpy(mask).astype(bool)
-        res = np.zeros((int(np.sum(mask_np)), len(mask_np)),
-                       self.to_internal_dtype(dtype))
+        res = np.zeros((int(np.sum(mask_np)), len(mask_np)), dtype.to_numpy)
         res[np.arange(int(np.sum(mask_np))), np.nonzero(mask_np)[0]] = 1.
-        return self.xp.asarray(res)
+        return self.as_block(res, dtype)
 
     def trace_full(self, block):
         """Full trace pairing axis i with axis ndim/2 + i."""

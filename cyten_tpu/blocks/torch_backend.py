@@ -47,8 +47,10 @@ class _TorchNamespace:
     def reshape(self, x, shape):
         return self.t.reshape(x, shape)
 
-    def transpose(self, x, axes):
-        return self.t.permute(x, axes)
+    def transpose(self, x, axes=None):
+        if axes is None:
+            axes = tuple(range(x.ndim - 1, -1, -1))
+        return self.t.permute(x, tuple(axes))
 
     def moveaxis(self, x, src, dst):
         return self.t.movedim(x, src, dst)
@@ -138,16 +140,16 @@ class _TorchNamespace:
         return self.t.arange(n)
 
     def logical_and(self, a, b):
-        return self.t.logical_and(a, b)
+        return self.t.logical_and(self.asarray(a), self.asarray(b))
 
     def logical_or(self, a, b):
-        return self.t.logical_or(a, b)
+        return self.t.logical_or(self.asarray(a), self.asarray(b))
 
     def logical_xor(self, a, b):
-        return self.t.logical_xor(a, b)
+        return self.t.logical_xor(self.asarray(a), self.asarray(b))
 
     def logical_not(self, a):
-        return self.t.logical_not(a)
+        return self.t.logical_not(self.asarray(a))
 
     class linalg:
         pass
