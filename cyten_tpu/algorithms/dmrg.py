@@ -106,11 +106,19 @@ class DMRGEngine:
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
-                 jit_env_updates: bool = None):
+                 jit_env_updates: bool = None, mesh=None,
+                 shard_axis_name: str = 'mult'):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
         self.eps = eps
+        #: optional jax.sharding.Mesh: shard the bond (virtual-leg) multiplicity
+        #: axes of environments, site tensors and theta over the mesh. XLA then
+        #: inserts the collectives (psum/all-gather) through the per-block GEMMs
+        #: and the global-truncation all-gather (SURVEY.md §2.9/§5.8) — results
+        #: are numerically identical to the unsharded run (test_sharding.py).
+        self.mesh = mesh
+        self.shard_axis_name = shard_axis_name
         #: round kept multiplicities per sector up to this multiple (chi bucketing:
         #: bounded jit recompiles + MXU-aligned shapes on TPU)
         self.pad_chi_multiple = pad_chi_multiple
@@ -129,6 +137,13 @@ class DMRGEngine:
         self._init_environments()
         self.E = None
         self.trunc_err = 0.
+
+    def _shard(self, tensor, leg):
+        """Shard `tensor` along the multiplicity axis of `leg` (no-op without mesh)."""
+        if self.mesh is None:
+            return tensor
+        from ..parallel import shard_tensor
+        return shard_tensor(tensor, self.mesh, leg, self.shard_axis_name)
 
     def _init_environments(self):
         psi, model = self.psi, self.model
@@ -163,7 +178,7 @@ class DMRGEngine:
         W = self.model.H_mpo[i]
         fn = _get_jitted_env_updates()[0] if self.jit_env_updates \
             else _update_LP_impl
-        self.LPs[i + 1] = fn(self.LPs[i], W, A)            # [vR*, wR, vR]
+        self.LPs[i + 1] = self._shard(fn(self.LPs[i], W, A), 'vR')  # [vR*, wR, vR]
 
     def update_RP(self, i: int, B=None):
         """RPs[i-1] from RPs[i] and the right-isometric tensor B at site i."""
@@ -172,10 +187,17 @@ class DMRGEngine:
         W = self.model.H_mpo[i]
         fn = _get_jitted_env_updates()[1] if self.jit_env_updates \
             else _update_RP_impl
-        self.RPs[i - 1] = fn(self.RPs[i], W, B)            # [vL, wL, vL*]
+        self.RPs[i - 1] = self._shard(fn(self.RPs[i], W, B), 'vL')  # [vL, wL, vL*]
 
     def sweep(self) -> float:
         L = self.psi.L
+        if self.mesh is not None:
+            with self.mesh:
+                for i in range(L - 1):
+                    self.update_bond(i)
+                for i in range(L - 2, -1, -1):
+                    self.update_bond(i)
+            return self.E
         for i in range(L - 1):
             self.update_bond(i)
         for i in range(L - 2, -1, -1):
@@ -186,7 +208,7 @@ class DMRGEngine:
         psi = self.psi
         Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
                           self.model.H_mpo[i + 1])
-        theta0 = psi.get_theta2(i)
+        theta0 = self._shard(psi.get_theta2(i), 'vL')
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         self.E = E
         A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps,
