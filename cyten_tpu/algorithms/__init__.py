@@ -11,6 +11,7 @@ from .models import (
 )
 from .models import GoldenChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
+from .dmrg1 import DMRG1SEngine, HEffective1
 from .tebd import TEBDEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
@@ -18,4 +19,4 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
-           'TEBDEngine']
+           'DMRG1SEngine', 'HEffective1', 'TEBDEngine']
