@@ -68,19 +68,24 @@ def numpy_run(chi, n_iter=3):
     return (time.perf_counter() - t0) / n_iter, flops
 
 
-def jax_run(chi, n_iter=20, repeats=3):
+def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32'):
     """Time the jitted matvec chain.
 
-    Two measurement pitfalls on TPU-behind-a-tunnel, both handled here:
+    Three measurement pitfalls on TPU-behind-a-tunnel, all handled here:
 
-    - per-call dispatch is an RPC and would dominate: the whole `n_iter` loop runs
+    - per-call dispatch is an RPC and would dominate: the whole iteration loop runs
       on-device inside one jit (lax.scan over the matvec, theta fed back as the
       carry, normalized each step so it cannot overflow);
     - ``jax.block_until_ready`` does NOT wait on the tunnel transport (arrays are
       marked ready at dispatch): the jitted function returns a *scalar* depending on
-      the full result, and fetching it to the host is the synchronization.
+      the full result, and fetching it to the host is the synchronization;
+    - that fetch costs a ~30 ms round trip, a FIXED per-call cost that would inflate
+      "time / n_iter" (measured: T(n) is affine in n with ~30-35 ms intercept,
+      scripts/exp_overhead_model.py). We therefore time two scan lengths and report
+      the SLOPE: t_iter = (T(n2) - T(n1)) / (n2 - n1), best-of-`repeats` each.
 
-    Best of `repeats`.
+    `precision`: 'float32' (6-pass, ~1e-7 accurate — the headline, comparable to the
+    f64-ish reference numerics) | 'tensorfloat32' | 'default' (1 bf16 pass, ~1e-3).
     """
     import jax
     import jax.numpy as jnp
@@ -91,33 +96,43 @@ def jax_run(chi, n_iter=20, repeats=3):
     backend = ct.get_backend(ct.u1_symmetry, 'jax')
     LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
 
-    @jax.jit
-    def run_many(LP, RP, W1, W2, theta):
-        def body(th, _):
-            # 'float32' matmul precision measures FASTER than 'default' on v5e for
-            # this workload (6.3 vs 9.0 ms/iter) while also being more accurate
-            with jax.default_matmul_precision('float32'):
-                out = _heff_matvec_impl(LP, RP, W1, W2, th)
-            nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2) for b in out.data.blocks))
-            out.data.blocks = [b / nrm for b in out.data.blocks]
-            return out, nrm
+    def make_run(n_iter):
+        @jax.jit
+        def run_many(LP, RP, W1, W2, theta):
+            def body(th, _):
+                with jax.default_matmul_precision(precision):
+                    out = _heff_matvec_impl(LP, RP, W1, W2, th)
+                nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2)
+                                   for b in out.data.blocks))
+                out.data.blocks = [b / nrm for b in out.data.blocks]
+                return out, nrm
 
-        th, nrms = jax.lax.scan(body, theta, None, length=n_iter)
-        return nrms[-1]
+            th, nrms = jax.lax.scan(body, theta, None, length=n_iter)
+            return nrms[-1]
+        return run_many
 
-    float(run_many(LP, RP, W1, W2, theta))  # warmup/compile; fetch = real sync
-    best = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(run_many(LP, RP, W1, W2, theta))
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    return best
+    times = {}
+    for n in lengths:
+        run_many = make_run(n)
+        float(run_many(LP, RP, W1, W2, theta))  # warmup/compile; fetch = sync
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run_many(LP, RP, W1, W2, theta))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    n1, n2 = lengths[0], lengths[-1]
+    return (times[n2] - times[n1]) / (n2 - n1)
 
 
 def main():
     chi = int(os.environ.get('BENCH_CHI', '4096'))
+    # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
+    # reference numerics). 'tensorfloat32' (3-pass) and 'default' (1 pass, ~1e-3)
+    # are the documented speed ladder — see docs/DESIGN.md.
+    precision = os.environ.get('BENCH_PRECISION', 'float32')
     t_np, flops = numpy_run(chi)
-    t_jax = jax_run(chi)
+    t_jax = jax_run(chi, precision=precision)
     result = {
         'metric': f'u1_dmrg_matvec_chi{chi}_tflops',
         'value': round(flops / t_jax / 1e12, 4),
