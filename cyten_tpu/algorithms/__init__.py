@@ -12,11 +12,14 @@ from .models import (
 from .models import GoldenChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
 from .dmrg1 import DMRG1SEngine, HEffective1
+from .idmrg import iDMRGEngine
+from .models import tfi_exact_infinite_gs_energy
 from .tebd import TEBDEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
+           'tfi_exact_infinite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
-           'DMRG1SEngine', 'HEffective1', 'TEBDEngine']
+           'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'TEBDEngine']

@@ -80,7 +80,8 @@ def _factorize_bond(h_bond: SymmetricTensor, svd_cut: float = 1e-12):
     return A_k, B_k, Id
 
 
-def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
+def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12,
+                     bc: str = 'finite'):
     """Uniform nearest-neighbor MPO from a two-site bond operator.
 
     Assembles the standard 3-block MPO ``W = [[1, A, 0], [0, 0, B], [0, 0, 1]]``
@@ -94,6 +95,8 @@ def mpo_from_bond_op(h_bond: SymmetricTensor, L: int, svd_cut: float = 1e-12):
             [None, None, Id]]
     W = tensor_from_grid(grid, labels=['wL', 'p', 'wR', 'p*'], row_leg='wL',
                          col_leg='wR')
+    if bc == 'infinite':
+        return [W] * L
     first = _boundary_selector(W, left=True)
     last = _boundary_selector(W, left=False)
     mpos = [first if i == 0 else (last if i == L - 1 else W) for i in range(L)]
@@ -163,11 +166,14 @@ class TFIModel:
     """
 
     def __init__(self, L: int, J: float = 1., g: float = 1.,
-                 conserve: str = 'parity', backend=None, block_backend=None):
+                 conserve: str = 'parity', backend=None, block_backend=None,
+                 bc: str = 'finite'):
         assert conserve in ('parity', 'None', None)
+        assert bc in ('finite', 'infinite')
         self.L = L
         self.J = J
         self.g = g
+        self.bc = bc
         self.conserve = conserve = conserve or 'None'
         self.site_leg = spin_half_site(conserve)
         from ..backends import get_backend
@@ -191,9 +197,11 @@ class TFIModel:
 
     def _build_H_bonds(self):
         res = []
-        for i in range(self.L - 1):
-            gL = self.g / 2. * (2. if i == 0 else 1.)
-            gR = self.g / 2. * (2. if i + 1 == self.L - 1 else 1.)
+        n_bonds = self.L if self.bc == 'infinite' else self.L - 1
+        for i in range(n_bonds):
+            gL = self.g / 2. * (2. if (i == 0 and self.bc == 'finite') else 1.)
+            gR = self.g / 2. * (2. if (i + 1 == self.L - 1
+                                       and self.bc == 'finite') else 1.)
             h = -self.J * np.kron(_sx, _sx) \
                 - gL * np.kron(_sz, _id) - gR * np.kron(_id, _sz)
             res.append(self._two_site_op(h))
@@ -224,10 +232,10 @@ class TFIModel:
         for i in range(self.L):
             Wi = W
             wl, wr = w_leg, w_leg
-            if i == 0:
+            if i == 0 and self.bc == 'finite':
                 Wi = np.tensordot(first, Wi, (1, 0))
                 wl = triv
-            if i == self.L - 1:
+            if i == self.L - 1 and self.bc == 'finite':
                 Wi = np.tensordot(Wi, last, (3, 0))
                 wr = triv
             # dense axes [wL, p, p', wR] -> legs order [wL, p, wR, p*]
@@ -237,11 +245,16 @@ class TFIModel:
         return mpos
 
     def energy(self, psi) -> float:
-        return float(np.real(sum(psi.bond_expectation_value(h, i)
-                                 for i, h in enumerate(self.H_bonds))))
+        """Total energy (finite) or energy per site (infinite)."""
+        e = float(np.real(sum(psi.bond_expectation_value(h, i)
+                              for i, h in enumerate(self.H_bonds))))
+        return e / self.L if self.bc == 'infinite' else e
 
     def exact_finite_gs_energy(self) -> float:
         return tfi_exact_finite_gs_energy(self.L, self.J, self.g)
+
+    def exact_infinite_gs_energy(self) -> float:
+        return tfi_exact_infinite_gs_energy(self.J, self.g)
 
 
 class HeisenbergModel:
@@ -251,10 +264,12 @@ class HeisenbergModel:
     """
 
     def __init__(self, L: int, J: float = 1., conserve: str = 'Sz', backend=None,
-                 block_backend=None):
+                 block_backend=None, bc: str = 'finite'):
         assert conserve in ('SU2', 'SU(2)', 'Sz', 'parity', 'None', None)
+        assert bc in ('finite', 'infinite')
         self.L = L
         self.J = J
+        self.bc = bc
         self.conserve = conserve = conserve or 'None'
         self.site_leg = spin_half_site(conserve)
         from ..backends import get_backend
@@ -278,11 +293,11 @@ class HeisenbergModel:
         op = SymmetricTensor.from_dense_block(
             block, [p, p], [p, p], backend=self.backend,
             labels=['p0', 'p1', 'p1*', 'p0*'])
-        return [op] * (self.L - 1)
+        return [op] * (self.L if self.bc == 'infinite' else self.L - 1)
 
     def _build_H_mpo(self):
         if self.conserve in ('SU2', 'SU(2)'):
-            return mpo_from_bond_op(self.H_bonds[0], self.L)
+            return mpo_from_bond_op(self.H_bonds[0], self.L, bc=self.bc)
         Sp = np.array([[0., 1.], [0., 0.]])
         Sm = Sp.T
         Sz = 0.5 * _sz
@@ -316,10 +331,10 @@ class HeisenbergModel:
         for i in range(self.L):
             Wi = W
             wl, wr = w_leg, w_leg
-            if i == 0:
+            if i == 0 and self.bc == 'finite':
                 Wi = np.tensordot(first, Wi, (1, 0))
                 wl = triv
-            if i == self.L - 1:
+            if i == self.L - 1 and self.bc == 'finite':
                 Wi = np.tensordot(Wi, last, (3, 0))
                 wr = triv
             mpos.append(SymmetricTensor.from_dense_block(
@@ -328,11 +343,17 @@ class HeisenbergModel:
         return mpos
 
     def energy(self, psi) -> float:
-        return float(np.real(sum(psi.bond_expectation_value(h, i)
-                                 for i, h in enumerate(self.H_bonds))))
+        """Total energy (finite) or energy per site (infinite)."""
+        e = float(np.real(sum(psi.bond_expectation_value(h, i)
+                              for i, h in enumerate(self.H_bonds))))
+        return e / self.L if self.bc == 'infinite' else e
 
     def exact_finite_gs_energy(self) -> float:
         return heisenberg_exact_finite_gs_energy(self.L, self.J)
+
+    def exact_infinite_gs_energy(self) -> float:
+        """Bethe ansatz: e = J (1/4 - ln 2) per site for the antiferromagnet."""
+        return self.J * (0.25 - np.log(2.0))
 
 
 class GoldenChainModel:
@@ -417,6 +438,18 @@ def _sparse_chain_hamiltonian(L: int, bond_terms):
             for i in range(L):
                 H = H + c * op_at(op1, i)
     return H
+
+
+def tfi_exact_infinite_gs_energy(J: float, g: float) -> float:
+    """Ground-state energy per site of the infinite TFI chain (free fermions):
+    e = -(1/pi) int_0^pi dk sqrt(J^2 + g^2 - 2 J g cos k).
+
+    Checks: g=0 -> -J; J=0 -> -g; J=g=1 -> -4/pi."""
+    from scipy.integrate import quad
+
+    val, _ = quad(lambda k: np.sqrt(J * J + g * g - 2 * J * g * np.cos(k)),
+                  0.0, np.pi, limit=200)
+    return -val / np.pi
 
 
 def tfi_exact_finite_gs_energy(L: int, J: float, g: float) -> float:

@@ -31,7 +31,7 @@ class SimpleMPS:
     """A finite MPS in B-form. See module docstring for conventions."""
 
     def __init__(self, Bs, Ss, bc: str = 'finite'):
-        assert bc == 'finite', 'only finite boundary conditions for now'
+        assert bc in ('finite', 'infinite')
         self.Bs = list(Bs)
         self.Ss = list(Ss)
         self.bc = bc
@@ -44,10 +44,12 @@ class SimpleMPS:
 
     @classmethod
     def from_product_state(cls, site_legs, basis_states, backend=None,
-                           dtype=Dtype.float64) -> SimpleMPS:
+                           dtype=Dtype.float64, bc: str = 'finite') -> SimpleMPS:
         """Product state MPS: ``basis_states[i]`` is the public basis index on site i.
 
         Virtual legs carry the cumulative charge so the state is exactly symmetric.
+        For ``bc='infinite'`` the unit cell must carry total trivial charge (so the
+        virtual leg wraps consistently).
         """
         symmetry = site_legs[0].symmetry
         L = len(site_legs)
@@ -71,7 +73,11 @@ class SimpleMPS:
                                               labels=['vL', 'vL*'], dtype=dtype))
             left_sector = right_sector
             left_leg = right_leg
-        return cls(Bs, Ss)
+        if bc == 'infinite' and not np.array_equal(left_sector,
+                                                   symmetry.trivial_sector):
+            raise ValueError('infinite product state: unit cell must carry total '
+                             f'trivial charge, got {left_sector}')
+        return cls(Bs, Ss, bc=bc)
 
     @classmethod
     def from_singlet_pairs(cls, site_leg, L: int, backend=None,
@@ -153,12 +159,16 @@ class SimpleMPS:
 
     def get_theta1(self, i: int) -> SymmetricTensor:
         """Effective single-site wavefunction ``S_i @ B_i``, labels [vL, p, vR]."""
+        i = i % self.L if self.bc == 'infinite' else i
         return scale_axis(self.Bs[i], self.Ss[i], 'vL')
 
     def get_theta2(self, i: int) -> SymmetricTensor:
-        """Two-site wavefunction on (i, i+1), labels [vL, p0, p1, vR]."""
+        """Two-site wavefunction on (i, i+1), labels [vL, p0, p1, vR].
+
+        For infinite MPS the site index wraps around the unit cell."""
+        j = (i + 1) % self.L if self.bc == 'infinite' else i + 1
         th = self.get_theta1(i).relabelled({'p': 'p0'})
-        B2 = self.Bs[i + 1].relabelled({'p': 'p1'})
+        B2 = self.Bs[j].relabelled({'p': 'p1'})
         theta = tdot(th, B2, 'vR', 'vL')
         # result: codomain [vL, p0], domain [vR, p1] -> canonical split
         return permute_legs(theta, codomain=['vL', 'p0', 'p1'], domain=['vR'])
@@ -197,7 +207,8 @@ class SimpleMPS:
     def entanglement_entropy(self) -> list[float]:
         """Von Neumann entropy at each bond (qdim-weighted for non-abelian)."""
         res = []
-        for i in range(1, self.L):
+        bonds = range(self.L) if self.bc == 'infinite' else range(1, self.L)
+        for i in bonds:
             S = self.Ss[i]
             p = S * S
             n = p.sum()

@@ -1,0 +1,56 @@
+"""iDMRG (McCulloch infinite-size DMRG) vs exact thermodynamic-limit energies."""
+
+import numpy as np
+import pytest
+
+from cyten_tpu.algorithms import SimpleMPS
+from cyten_tpu.algorithms.idmrg import iDMRGEngine
+from cyten_tpu.algorithms.models import (
+    HeisenbergModel, TFIModel, tfi_exact_infinite_gs_energy,
+)
+
+
+def test_idmrg_tfi_gapped():
+    """Gapped TFI: iDMRG converges to the exact free-fermion energy density."""
+    model = TFIModel(L=2, J=1.0, g=1.5, conserve='parity',
+                     block_backend='numpy', bc='infinite')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 0],
+                                       backend=model.backend, bc='infinite')
+    eng = iDMRGEngine(psi, model, chi_max=32, eps=1e-12)
+    e = eng.run(n_steps=150, tol=1e-12)
+    e_exact = tfi_exact_infinite_gs_energy(1.0, 1.5)
+    assert abs(e - e_exact) < 1e-9
+    # the converged center wavefunction is canonical: its bond expectation
+    # value gives the same energy density
+    assert abs(eng.bond_energy() - e_exact) < 1e-5
+    # converged unit cell is exposed as an infinite MPS
+    out = eng.psi
+    assert out.bc == 'infinite'
+    assert abs(model.energy(out) - e_exact) < 1e-4
+
+
+def test_idmrg_exact_energy_formula():
+    assert abs(tfi_exact_infinite_gs_energy(1.0, 1.0) - (-4 / np.pi)) < 1e-12
+    assert abs(tfi_exact_infinite_gs_energy(1.0, 0.0) - (-1.0)) < 1e-12
+    assert abs(tfi_exact_infinite_gs_energy(0.0, 2.5) - (-2.5)) < 1e-12
+
+
+@pytest.mark.slow
+def test_idmrg_heisenberg_critical():
+    """Critical Heisenberg chain vs Bethe ansatz e = 1/4 - ln 2 (truncation-
+    limited accuracy at chi=48)."""
+    model = HeisenbergModel(L=2, conserve='Sz', block_backend='numpy',
+                            bc='infinite')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 1],
+                                       backend=model.backend, bc='infinite')
+    eng = iDMRGEngine(psi, model, chi_max=48, eps=1e-12)
+    e = eng.run(n_steps=300, tol=1e-11)
+    assert abs(e - model.exact_infinite_gs_energy()) < 1e-5
+
+
+def test_infinite_product_state_charge_check():
+    model = HeisenbergModel(L=2, conserve='Sz', block_backend='numpy',
+                            bc='infinite')
+    with pytest.raises(ValueError, match='trivial charge'):
+        SimpleMPS.from_product_state(model.site_legs, [0, 0],
+                                     backend=model.backend, bc='infinite')
