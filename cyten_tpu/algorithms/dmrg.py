@@ -27,9 +27,30 @@ from .mps import SimpleMPS, split_truncate_theta
 __all__ = ['HEffective', 'DMRGEngine']
 
 
-_JITTED_MATVEC = None
+_JITTED_MATVEC = {}
 _JITTED_UPDATE_LP = None
 _JITTED_UPDATE_RP = None
+
+
+def _with_precision(fn, precision):
+    """Wrap `fn` so its matmuls run at the given jax matmul precision.
+
+    On TPU, f32 dots are executed as bf16 MXU passes: 'float32' = 6 passes
+    (~1e-7, the accuracy-comparable-to-f64-reference setting), 'tensorfloat32'
+    = 3 passes (~3e-6, 1.7x faster), 'default' = 1 pass (~1e-3, 4x faster) —
+    measured ladder in docs/DESIGN.md §4. DMRG is variational (energy error is
+    second order in matvec noise), so 'tensorfloat32' is a well-founded
+    production setting. `None` leaves the jax default untouched.
+    """
+    if precision is None:
+        return fn
+
+    def wrapped(*args, **kwargs):
+        import jax
+
+        with jax.default_matmul_precision(precision):
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 def _update_LP_impl(LP, W, A):
@@ -71,21 +92,26 @@ def _heff_matvec_impl(LP, RP, W1, W2, theta):
     return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
 
 
-def _get_jitted_matvec():
+def _get_jitted_matvec(precision=None):
     """jax.jit over the full matvec: tensors are pytrees, block structure is static
     aux data, so XLA sees one fused program of GEMMs per (env, theta) structure."""
-    global _JITTED_MATVEC
-    if _JITTED_MATVEC is None:
+    if precision not in _JITTED_MATVEC:
         import jax
 
-        _JITTED_MATVEC = jax.jit(_heff_matvec_impl)
-    return _JITTED_MATVEC
+        _JITTED_MATVEC[precision] = jax.jit(
+            _with_precision(_heff_matvec_impl, precision))
+    return _JITTED_MATVEC[precision]
 
 
 class HEffective(LinearOperator):
-    """Effective two-site Hamiltonian ``LP -- W1 -- W2 -- RP``."""
+    """Effective two-site Hamiltonian ``LP -- W1 -- W2 -- RP``.
 
-    def __init__(self, LP, RP, W1, W2, use_jit: bool = None):
+    `matmul_precision` (jitted path only): None | 'float32' | 'tensorfloat32' |
+    'default' — see :func:`_with_precision` for the measured TPU tradeoffs.
+    """
+
+    def __init__(self, LP, RP, W1, W2, use_jit: bool = None,
+                 matmul_precision: str = None):
         self.LP = LP
         self.RP = RP
         self.W1 = W1.relabelled({'p': 'p0', 'p*': 'p0*'})
@@ -93,11 +119,13 @@ class HEffective(LinearOperator):
         if use_jit is None:
             use_jit = W1.backend.block_backend.can_jit
         self.use_jit = use_jit
+        self.matmul_precision = matmul_precision
         LinearOperator.__init__(self, dtype=W1.dtype)
 
     def matvec(self, theta):
         if self.use_jit:
-            return _get_jitted_matvec()(self.LP, self.RP, self.W1, self.W2, theta)
+            return _get_jitted_matvec(self.matmul_precision)(
+                self.LP, self.RP, self.W1, self.W2, theta)
         return _heff_matvec_impl(self.LP, self.RP, self.W1, self.W2, theta)
 
 
@@ -107,11 +135,14 @@ class DMRGEngine:
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
                  jit_env_updates: bool = None, mesh=None,
-                 shard_axis_name: str = 'mult'):
+                 shard_axis_name: str = 'mult', matmul_precision: str = None):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
         self.eps = eps
+        #: jax matmul precision for the jitted matvec (None | 'float32' |
+        #: 'tensorfloat32' | 'default'); measured TPU ladder in docs/DESIGN.md §4
+        self.matmul_precision = matmul_precision
         #: optional jax.sharding.Mesh: shard the bond (virtual-leg) multiplicity
         #: axes of environments, site tensors and theta over the mesh. XLA then
         #: inserts the collectives (psum/all-gather) through the per-block GEMMs
@@ -207,7 +238,8 @@ class DMRGEngine:
     def update_bond(self, i: int):
         psi = self.psi
         Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
-                          self.model.H_mpo[i + 1])
+                          self.model.H_mpo[i + 1],
+                          matmul_precision=self.matmul_precision)
         theta0 = self._shard(psi.get_theta2(i), 'vL')
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         self.E = E

@@ -34,7 +34,7 @@ from .mps import SimpleMPS
 __all__ = ['HEffective1', 'DMRG1SEngine']
 
 
-_JITTED_MATVEC1 = None
+_JITTED_MATVEC1 = {}
 
 
 def _heff1_matvec_impl(LP, RP, W, theta):
@@ -46,30 +46,35 @@ def _heff1_matvec_impl(LP, RP, W, theta):
     return permute_legs(x, codomain=['vL', 'p'], domain=['vR'])
 
 
-def _get_jitted_matvec1():
-    global _JITTED_MATVEC1
-    if _JITTED_MATVEC1 is None:
+def _get_jitted_matvec1(precision=None):
+    if precision not in _JITTED_MATVEC1:
         import jax
 
-        _JITTED_MATVEC1 = jax.jit(_heff1_matvec_impl)
-    return _JITTED_MATVEC1
+        from .dmrg import _with_precision
+
+        _JITTED_MATVEC1[precision] = jax.jit(
+            _with_precision(_heff1_matvec_impl, precision))
+    return _JITTED_MATVEC1[precision]
 
 
 class HEffective1(LinearOperator):
     """Effective single-site Hamiltonian ``LP -- W -- RP``."""
 
-    def __init__(self, LP, RP, W, use_jit: bool = None):
+    def __init__(self, LP, RP, W, use_jit: bool = None,
+                 matmul_precision: str = None):
         self.LP = LP
         self.RP = RP
         self.W = W
         if use_jit is None:
             use_jit = W.backend.block_backend.can_jit
         self.use_jit = use_jit
+        self.matmul_precision = matmul_precision
         LinearOperator.__init__(self, dtype=W.dtype)
 
     def matvec(self, theta):
         if self.use_jit:
-            return _get_jitted_matvec1()(self.LP, self.RP, self.W, theta)
+            return _get_jitted_matvec1(self.matmul_precision)(
+                self.LP, self.RP, self.W, theta)
         return _heff1_matvec_impl(self.LP, self.RP, self.W, theta)
 
 
@@ -119,12 +124,13 @@ class DMRG1SEngine(DMRGEngine):
                  jit_env_updates: bool = None, mesh=None,
                  shard_axis_name: str = 'mult', alpha: float = 1e-3,
                  alpha_decay: float = 0.5, alpha_min: float = 1e-12,
-                 mixer: str = None):
+                 mixer: str = None, matmul_precision: str = None):
         DMRGEngine.__init__(self, psi, model, chi_max=chi_max, eps=eps,
                             lanczos_options=lanczos_options,
                             pad_chi_multiple=pad_chi_multiple,
                             jit_env_updates=jit_env_updates, mesh=mesh,
-                            shard_axis_name=shard_axis_name)
+                            shard_axis_name=shard_axis_name,
+                            matmul_precision=matmul_precision)
         self.alpha = alpha
         self.alpha_decay = alpha_decay
         self.alpha_min = alpha_min
@@ -173,7 +179,8 @@ class DMRG1SEngine(DMRGEngine):
     def update_site(self, i: int, move_right: bool):
         psi = self.psi
         W = self.model.H_mpo[i]
-        Heff = HEffective1(self.LPs[i], self.RPs[i], W)
+        Heff = HEffective1(self.LPs[i], self.RPs[i], W,
+                           matmul_precision=self.matmul_precision)
         theta0 = self._shard(psi.get_theta1(i), 'vL')
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         self.E = E

@@ -47,7 +47,8 @@ class iDMRGEngine:
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
-                 mesh=None, shard_axis_name: str = 'mult'):
+                 mesh=None, shard_axis_name: str = 'mult',
+                 matmul_precision: str = None):
         assert psi.bc == 'infinite', "iDMRG needs SimpleMPS(bc='infinite')"
         assert psi.L == 2, 'two-site unit cell for now'
         assert getattr(model, 'bc', 'finite') == 'infinite', \
@@ -65,6 +66,7 @@ class iDMRGEngine:
         self.backend = psi.backend
         self.mesh = mesh
         self.shard_axis_name = shard_axis_name
+        self.matmul_precision = matmul_precision
         # center-site state: A (left-iso), B (right-iso), S (center bond),
         # S_prev (outer bond = previous center)
         self.A = None
@@ -121,7 +123,8 @@ class iDMRGEngine:
         subtraction — without it Lanczos conditioning degrades and the fixed
         point destabilizes once chi saturates)."""
         W0, W1 = self.model.H_mpo[0], self.model.H_mpo[1]
-        Heff = HEffective(self.LP, self.RP, W0, W1)
+        Heff = HEffective(self.LP, self.RP, W0, W1,
+                          matmul_precision=self.matmul_precision)
         theta0 = self._shard(self._theta_guess, 'vL')
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         A, S_new, B, err = split_truncate_theta(

@@ -180,6 +180,41 @@ class SimpleMPS:
     def max_chi(self) -> int:
         return max(self.bond_dimensions())
 
+    def canonicalize(self, normalize: bool = True):
+        """Restore exact right-canonical B form with true Schmidt values (in place).
+
+        Two passes over the finite chain: a left-to-right QR sweep into
+        left-isometric form, then a right-to-left SVD sweep that right-
+        canonicalizes every site and collects the singular values. Needed e.g.
+        after imaginary-time TEBD, whose non-unitary gates degrade canonical
+        form (causing an O(dt) bias in naive expectation values).
+        """
+        assert self.bc == 'finite', 'canonicalize: finite MPS only (for now)'
+        from ..tensors import qr
+        L = self.L
+        # pass 1: left-to-right QR -> left-isometric A's, center carried in T
+        As = []
+        T = self.get_theta1(0)  # S_0 B_0, codomain [vL, p], domain [vR]
+        for i in range(L - 1):
+            Q, R = qr(T, new_labels=['vR', 'vL'])
+            As.append(Q)
+            T = tdot(R, self.Bs[i + 1], 'vR', 'vL')
+            T = permute_legs(T, codomain=['vL', 'p'], domain=['vR'])
+        # pass 2: right-to-left SVD -> right-isometric B's + Schmidt values
+        for i in range(L - 1, 0, -1):
+            Tp = permute_legs(T, codomain=['vL'], domain=['vR', 'p'])
+            U, S, Vh = svd(Tp, new_labels=['vR', 'vL'])
+            if normalize:
+                S = (1. / norm(S)) * S
+            self.Bs[i] = permute_legs(Vh, codomain=['vL', 'p'], domain=['vR'])
+            self.Ss[i] = S.relabelled(['vL', 'vL*'])
+            carry = scale_axis(U, S, 'vR')
+            T = tdot(As[i - 1], carry, 'vR', 'vL')
+            T = permute_legs(T, codomain=['vL', 'p'], domain=['vR'])
+        # site 0: T == S_0 B_0 of the canonicalized state
+        self.Bs[0] = scale_axis(T, pinv(self.Ss[0], cutoff=1e-14), 'vL')
+        return self
+
     # --- measurements -----------------------------------------------------------------
 
     def site_expectation_value(self, op, i: int):

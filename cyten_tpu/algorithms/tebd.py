@@ -32,7 +32,7 @@ class TEBDEngine:
 
     def __init__(self, psi: SimpleMPS, model, dt: float, chi_max: int = 64,
                  eps: float = 1e-12, imaginary: bool = True,
-                 pad_chi_multiple: int = None):
+                 pad_chi_multiple: int = None, canonicalize_every: int = None):
         self.psi = psi
         self.model = model
         self.dt = dt
@@ -40,6 +40,13 @@ class TEBDEngine:
         self.eps = eps
         self.imaginary = imaginary
         self.pad_chi_multiple = pad_chi_multiple
+        #: re-canonicalize the state every this-many sweeps. Imaginary-time
+        #: gates are non-unitary and degrade canonical form, which biases
+        #: truncations and naive expectation values by O(dt); default: every
+        #: sweep for imaginary time, never for real time (gates are unitary).
+        if canonicalize_every is None:
+            canonicalize_every = 1 if imaginary else 0
+        self.canonicalize_every = canonicalize_every
         self.trunc_err = 0.
         self.U_half = [self._make_u(h, dt / 2.) for h in model.H_bonds]
         self.U_full = [self._make_u(h, dt) for h in model.H_bonds]
@@ -77,6 +84,8 @@ class TEBDEngine:
     def run(self, n_steps: int, verbose: bool = False):
         for n in range(n_steps):
             self.sweep()
+            if self.canonicalize_every and (n + 1) % self.canonicalize_every == 0:
+                self.psi.canonicalize()
             if verbose and (n + 1) % 10 == 0:
                 E = sum(np.real(self.psi.bond_expectation_value(h, i))
                         for i, h in enumerate(self.model.H_bonds))

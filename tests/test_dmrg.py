@@ -79,11 +79,11 @@ def test_tebd_imaginary_time():
         eng = TEBDEngine(psi, model, dt=dt, chi_max=32, imaginary=True)
         eng.run(n)
         errs.append(abs(eng.energy() - E_exact))
-    # non-unitary gates spoil the canonical form, giving the well-known O(dt)
-    # energy bias of imaginary-time TEBD: check linear-in-dt convergence + accuracy
+    # with the per-sweep re-canonicalization (default for imaginary time) the
+    # O(dt) canonical-form bias is gone; the error is Trotter-limited O(dt^2)
     assert errs[0] > errs[1] > errs[2]
-    assert errs[2] < 5e-3, errs
-    assert errs[2] < 0.25 * errs[0]
+    assert errs[1] < 0.5 * errs[0], errs       # faster than linear in dt
+    assert errs[2] < 1e-6, errs
 
 
 def test_correlation_function():
@@ -159,3 +159,34 @@ def test_tebd_real_time():
     sz_embed = np.kron(np.kron(np.eye(2 ** (L // 2)), sz), np.eye(2 ** (L - L//2 - 1)))
     sz_ed = np.real(np.conj(v_t) @ (sz_embed @ v_t))
     np.testing.assert_allclose(sz_mid, sz_ed, atol=5e-4)  # Trotter dt^2 accuracy
+
+
+def test_canonicalize():
+    """SimpleMPS.canonicalize restores exact B form after non-unitary evolution."""
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mps import SimpleMPS
+    from cyten_tpu.algorithms.tebd import TEBDEngine
+    from cyten_tpu.tensors import SymmetricTensor, dagger, norm, tdot
+
+    L = 8
+    model = TFIModel(L=L, J=1., g=0.9, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    # degrade canonical form on purpose: imaginary gates, no re-canonicalization
+    eng = TEBDEngine(psi, model, dt=0.2, chi_max=16, imaginary=True,
+                     canonicalize_every=0)
+    eng.run(20)
+    E_raw = eng.energy()
+    psi.canonicalize()
+    assert abs(psi.norm_squared() - 1.) < 1e-12
+    for i in range(1, L):
+        B = psi.Bs[i]
+        E = tdot(B, dagger(B), ['p', 'vR'], ['p*', 'vR*'])
+        eye = SymmetricTensor.from_eye([B.get_leg_co_domain('vL')],
+                                       backend=B.backend, labels=E.labels)
+        assert float(norm(E + (-1.) * eye)) < 1e-12
+    # canonicalization is a gauge change: energy measured canonically differs
+    # from the biased raw value but is closer to the exact ground energy
+    E_canon = eng.energy()
+    E_exact = model.exact_finite_gs_energy()
+    assert abs(E_canon - E_exact) <= abs(E_raw - E_exact) + 1e-12
