@@ -513,8 +513,137 @@ class FusionTreeBackend(TensorBackend):
         new_blocks[key] = target
 
     def partial_trace(self, a, pairs, levels, new_codomain, new_domain):
-        raise NotImplementedError(
-            'partial_trace for FusionTreeBackend: planned (stage S4b)')
+        """Native categorical partial trace on fusion-tree data.
+
+        Strategy (behavioral parity with reference fusion_tree_backend.py:1755,
+        built on this backend's own plan machinery): permute so each traced pair
+        sits adjacent (second member bent up when a pair spans codomain/domain),
+        then per (codomain tree, domain tree) keep only trees where each pair
+        fuses back to its left inner sector ("on the diagonal"); the loop weight
+        is a product of B symbols (and Frobenius-Schur signs for dual legs),
+        realizing the quantum trace with qdim weights. Falls back (via
+        NotImplementedError -> cap contraction in the tensors layer) when the
+        required braids need levels that were not provided.
+        """
+        bb = self.block_backend
+        sym = a.symmetry
+        K = a.num_codomain_legs
+        n = a.num_legs
+        pairs = sorted(tuple(sorted(p)) for p in pairs)
+        idcs1 = [p[0] for p in pairs]
+        idcs2 = [p[1] for p in pairs]
+        traced = set(idcs1) | set(idcs2)
+        remaining = [i for i in range(n) if i not in traced]
+        # new leg order: remaining legs keep their order, each pair inserted
+        # adjacently where its first member used to sit
+        idcs = list(remaining)
+        num_codom = K
+        for k, (i1, i2) in enumerate(pairs):
+            pos = int(np.searchsorted(remaining, i1)) + 2 * k
+            idcs[pos:pos] = [i1, i2]
+            if i1 < K <= i2:
+                num_codom += 1  # second member is bent up into the codomain
+        num_dom = n - num_codom
+        codomain_idcs = idcs[:num_codom]
+        domain_idcs = idcs[num_codom:][::-1]
+        from ..symmetries import TensorProduct
+        codom = TensorProduct([a._as_codomain_leg(i) for i in codomain_idcs],
+                              symmetry=sym)
+        dom = TensorProduct([a._as_domain_leg(i) for i in domain_idcs],
+                            symmetry=sym)
+        perm_data = self.permute_legs(a, codomain_idcs, domain_idcs, levels,
+                                      codom, dom)
+        if perm_data is None:
+            raise NotImplementedError('partial_trace: braids require levels')
+
+        # positions within the permuted codomain / domain (factor order)
+        codom_unc_idcs = [p for p, idx in enumerate(codomain_idcs)
+                          if idx in remaining]
+        codom_inner_idcs = [p - 2 for p in codom_unc_idcs[2:]]
+        codom_multi_idcs = [p - 1 for p in codom_unc_idcs[1:]]
+        codom_tree_idcs = [p for p, idx in enumerate(codomain_idcs)
+                           if idx in idcs1]
+        dom_factor_legs = idcs[num_codom:][::-1]  # == domain_idcs
+        dom_unc_idcs = [p for p, idx in enumerate(dom_factor_legs)
+                        if idx in remaining]
+        dom_inner_idcs = [p - 2 for p in dom_unc_idcs[2:]]
+        dom_multi_idcs = [p - 1 for p in dom_unc_idcs[1:]]
+        dom_tree_idcs = [p for p, idx in enumerate(dom_factor_legs)
+                         if idx in idcs2]
+        # axes of the (codom mults..., dom mults...) tree-block for the trace
+        tr_legs = codomain_idcs + dom_factor_legs
+        axis_of = {idx: p for p, idx in enumerate(tr_legs)}
+        tr_idcs1 = [axis_of[i1] for i1, i2 in pairs]
+        tr_idcs2 = [axis_of[i2] for i1, i2 in pairs]
+        remain_axes = [p for p, idx in enumerate(tr_legs) if idx in remaining]
+
+        dtype = a.data.dtype
+        lookup = {tuple(r): n_ for n_, r in enumerate(perm_data.block_inds)}
+        new_blocks: dict[tuple, object] = {}
+        for (i_cod, j_dom), n_ in lookup.items():
+            c = codom.sector_decomposition[i_cod]
+            new_i = _sector_index(new_codomain, c) if new_codomain.num_factors \
+                else (0 if np.all(c == sym.trivial_sector) else None)
+            new_j = _sector_index(new_domain, c) if new_domain.num_factors \
+                else (0 if np.all(c == sym.trivial_sector) else None)
+            if new_i is None or new_j is None:
+                continue
+            block = perm_data.blocks[n_]
+            for codom_tree, codom_slc, codom_mults, _ in codom.iter_tree_blocks([c]):
+                ok, f_cod = _trace_tree_factor(codom_tree, codom_tree_idcs)
+                if not ok:
+                    continue
+                new_codom_tree = FusionTree(
+                    sym, codom_tree.uncoupled[codom_unc_idcs],
+                    codom_tree.coupled, codom_tree.are_dual[codom_unc_idcs],
+                    codom_tree.inner_sectors[codom_inner_idcs],
+                    codom_tree.multiplicities[codom_multi_idcs])
+                new_r_slc = new_codomain.tree_block_slice(new_codom_tree) \
+                    if new_codomain.num_factors else slice(0, 1)
+                for dom_tree, dom_slc, dom_mults, _ in dom.iter_tree_blocks([c]):
+                    ok, f_dom = _trace_tree_factor(dom_tree, dom_tree_idcs)
+                    if not ok:
+                        continue
+                    new_dom_tree = FusionTree(
+                        sym, dom_tree.uncoupled[dom_unc_idcs],
+                        dom_tree.coupled, dom_tree.are_dual[dom_unc_idcs],
+                        dom_tree.inner_sectors[dom_inner_idcs],
+                        dom_tree.multiplicities[dom_multi_idcs])
+                    new_c_slc = new_domain.tree_block_slice(new_dom_tree) \
+                        if new_domain.num_factors else slice(0, 1)
+                    sub = block[codom_slc, dom_slc]
+                    sub = bb.reshape(sub, tuple(int(m) for m in codom_mults)
+                                     + tuple(int(m) for m in dom_mults))
+                    contrib = bb.trace_partial(sub, tr_idcs1, tr_idcs2,
+                                               remain_axes)
+                    contrib = bb.reshape(
+                        contrib, (new_r_slc.stop - new_r_slc.start,
+                                  new_c_slc.stop - new_c_slc.start))
+                    coeff = f_cod * np.conj(f_dom)
+                    key = (int(new_i), int(new_j))
+                    target = new_blocks.get(key)
+                    if target is None:
+                        shape = (
+                            int(new_codomain.multiplicities[new_i])
+                            if new_codomain.num_factors else 1,
+                            int(new_domain.multiplicities[new_j])
+                            if new_domain.num_factors else 1)
+                        target = bb.accumulator(shape, dtype)
+                    new_blocks[key] = bb.accum_add(
+                        target, (new_r_slc, new_c_slc),
+                        bb.mul(complex(coeff) if abs(complex(coeff).imag) > 0
+                               else float(np.real(coeff)),
+                               bb.to_dtype(contrib, dtype)))
+        if len(remaining) == 0:
+            if not new_blocks:
+                return dtype.zero_scalar, True
+            val = bb.finalize_accumulator(next(iter(new_blocks.values())))
+            return bb.block_item(val), True
+        rows = list(new_blocks.keys())
+        blocks = [bb.finalize_accumulator(new_blocks[r]) for r in rows]
+        data = BlockSparseData(blocks, np.array(rows, np.intp).reshape(
+            len(rows), 2), dtype)
+        return data, False
 
     # --- permute_legs (braids & bends) ----------------------------------------------------------
 
@@ -986,6 +1115,45 @@ class FusionTreeBackend(TensorBackend):
 
 def _sector_index(space, sector) -> int | None:
     return space.sector_decomposition_where(np.asarray(sector))
+
+
+def _trace_tree_factor(tree: FusionTree, idcs: list[int]):
+    """(contributes, weight) of a fusion tree under tracing adjacent leg pairs.
+
+    ``idcs[k]`` is the position of the k-th pair's first leg; its partner sits
+    at ``idcs[k] + 1`` and must carry the dual sector. In the caterpillar
+    canonical form the pair contributes only if it fuses back to the sector
+    left of it (left inner edge == right inner edge); the loop closure weight
+    is a B symbol, times a Frobenius-Schur sign when the first leg is a dual
+    (ket/bra orientation). Behavioral parity with reference
+    fusion_tree_backend.py:3612.
+    """
+    sym = tree.symmetry
+    weight = 1.0
+    for idx in idcs:
+        if not np.all(tree.uncoupled[idx]
+                      == sym.dual_sector(tree.uncoupled[idx + 1])):
+            return False, 0.0
+        if idx == 0:
+            left = sym.trivial_sector
+        elif idx == 1:
+            left = tree.uncoupled[0]
+        else:
+            left = tree.inner_sectors[idx - 2]
+        right = tree.inner_sectors[idx] if idx < tree.num_inner_edges \
+            else tree.coupled
+        if not np.all(left == right):
+            return False, 0.0
+        center = tree.uncoupled[0] if idx == 0 else tree.inner_sectors[idx - 1]
+        if idx == 0 and not np.all(tree.multiplicities[:2] == 0):
+            # fusing back to the trivial sector is multiplicity-free
+            return False, 0.0
+        mu = 0 if idx == 0 else tree.multiplicities[idx - 1]
+        nu = tree.multiplicities[idx]
+        weight *= np.conj(sym.b_symbol(left, tree.uncoupled[idx], center)[mu, nu])
+        if tree.are_dual[idx]:
+            weight *= sym.frobenius_schur(tree.uncoupled[idx])
+    return True, weight
 
 
 def _kron2(bb, subA, subB):

@@ -135,3 +135,51 @@ def test_su2_heisenberg_dmrg():
     psi = SimpleMPS.from_singlet_pairs(m.site_leg, L, backend=m.backend)
     E = DMRGEngine(psi, m, chi_max=32, eps=1e-13).run(n_sweeps=8)
     assert abs(E - heisenberg_exact_finite_gs_energy(L, 1.)) < 1e-9
+
+
+def test_native_partial_trace(np_random):
+    """Native fusion-tree partial_trace == cap-contraction oracle (SU(2), U(1)),
+    exact to machine precision; anyons without levels fall back to caps."""
+    import cyten_tpu as ct
+    from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+    from cyten_tpu.symmetries import ElementarySpace, TensorProduct
+    from cyten_tpu.tensors import SymmetricTensor, norm, permute_legs
+    from cyten_tpu.tensors._functions import _partial_trace_via_caps
+    from cyten_tpu.testing.random_generation import random_tensor
+
+    cases = [
+        (ElementarySpace(ct.su2_symmetry, [[0], [1]], [2, 1]),
+         ElementarySpace(ct.su2_symmetry, [[1], [2]], [1, 2])),
+        (ElementarySpace(ct.u1_symmetry, [[-1], [0], [1]], [2, 1, 2]),
+         ElementarySpace(ct.u1_symmetry, [[0], [2]], [2, 1])),
+    ]
+    for a, b in cases:
+        sym = a.symmetry
+        be = FusionTreeBackend(ct.get_block_backend('numpy'))
+        T = random_tensor([a, b], [b, a], backend=be, rng=np_random,
+                          labels=['x', 'y', 'x*', 'y*'])
+        for pairs in ([(0, 2)], [(1, 3)], [(0, 2), (1, 3)]):
+            traced = {x for p in pairs for x in p}
+            nc = TensorProduct([sp for i, sp in enumerate(T.codomain.factors)
+                                if i not in traced], symmetry=sym)
+            nd = TensorProduct(
+                [sp for k, sp in enumerate(T.domain.factors)
+                 if (T.num_legs - 1 - k) not in traced], symmetry=sym)
+            data, is_scalar = T.backend.partial_trace(
+                T, [tuple(p) for p in pairs], None, nc, nd)
+            r_caps = _partial_trace_via_caps(T, pairs)
+            if is_scalar:
+                assert abs(complex(data) - complex(r_caps)) \
+                    < 1e-12 * max(1., abs(complex(r_caps)))
+            else:
+                labels = [l for i, l in enumerate(T._labels) if i not in traced]
+                r_t = SymmetricTensor(data, nc, nd, T.backend, labels)
+                cod_labels = [l for i, l in enumerate(T._labels)
+                              if i not in traced and i < T.num_codomain_legs]
+                dom_labels = [l for i, l in enumerate(T._labels)
+                              if i not in traced
+                              and i >= T.num_codomain_legs][::-1]
+                r_p = permute_legs(r_caps, codomain=cod_labels,
+                                   domain=dom_labels)
+                diff = float(norm(r_t + (-1.) * r_p.set_labels(r_t.labels)))
+                assert diff < 1e-12 * max(1., float(norm(r_p)))
