@@ -329,11 +329,15 @@ class SUN(Group):
     Sectors are the first rows of normalized Gelfand-Tsetlin patterns: non-increasing
     length-N integer arrays ending in 0 (e.g. the SU(3) adjoint is ``[2, 1, 0]``).
 
-    Fusion rules and dimensions are computed natively (Littlewood-Richardson rule and
-    Weyl dimension formula) — unlike the reference (cyten/symmetries/_symmetries.py:1590),
-    which requires precomputed HDF5 files even for fusion. F/R symbols and fusion tensors
-    *do* require Clebsch-Gordan data; pass precomputed HDF5 files (``CGfile``/``Ffile``/
-    ``Rfile``, same format as the reference) to enable them.
+    ALL topological data is computed natively — unlike the reference
+    (cyten/symmetries/_symmetries.py:1590), which requires precomputed HDF5 files
+    even for fusion rules. Fusion and dimensions use the Littlewood-Richardson
+    rule and the Weyl dimension formula; Clebsch-Gordan tensors are computed on
+    demand in the Gelfand-Tsetlin basis (``sun_cg.py``, Alex-von Delft
+    algorithm), and F/R/B/C symbols, Z isomorphisms and Frobenius-Schur
+    indicators derive from them in a gauge where every R symbol is diagonal
+    with entries +-1. Precomputed HDF5 files (``CGfile``/``Ffile``/``Rfile``,
+    reference format) may still be passed to override the native data.
     """
 
     fusion_tensor_dtype = Dtype.float64
@@ -434,32 +438,111 @@ class SUN(Group):
         return ' '.join(','.join(str(int(x)) for x in s) for s in sectors)
 
     def _f_symbol(self, a, b, c, d, e, f) -> np.ndarray:
-        file = self._load_h5('F')
-        key = self._group_name([a, b, c, d, e, f])
-        if key not in file:
-            raise SymmetryError(f'F symbol {key} not in data file')
-        return np.asarray(file[key])
+        if self.Ffile is not None:
+            file = self._load_h5('F')
+            key = self._group_name([a, b, c, d, e, f])
+            if key not in file:
+                raise SymmetryError(f'F symbol {key} not in data file')
+            return np.asarray(file[key])
+        # derive from native CG tensors: overlap of the two fusion trees
+        #   right tree: X^{bc}_{e,mu} then X^{ae}_{d,nu}
+        #   left tree:  X^{ab}_{f,kappa} then X^{fc}_{d,lambda}
+        # [F^{abc}_d]^{e mu nu}_{f kappa lam} = <right | left> / dim(d)
+        X_bc_e = self._native_cg(b, c, e)
+        X_ae_d = self._native_cg(a, e, d)
+        X_ab_f = self._native_cg(a, b, f)
+        X_fc_d = self._native_cg(f, c, d)
+        right = np.einsum('ubcE,vaEd->uvabcd', X_bc_e, X_ae_d)
+        left = np.einsum('kabF,lFcd->klabcd', X_ab_f, X_fc_d)
+        F = np.einsum('uvabcd,klabcd->uvkl', right, left) / self.sector_dim(d)
+        return F
 
     def _r_symbol(self, a, b, c) -> np.ndarray:
-        file = self._load_h5('R')
-        key = self._group_name([a, b, c])
-        if key not in file:
-            raise SymmetryError(f'R symbol {key} not in data file')
-        return np.asarray(file[key])
+        if self.Rfile is not None:
+            file = self._load_h5('R')
+            key = self._group_name([a, b, c])
+            if key not in file:
+                raise SymmetryError(f'R symbol {key} not in data file')
+            return np.asarray(file[key])
+        # symmetric gauge (see _native_cg): R is diagonal with entries +-1
+        X_ab = self._native_cg(a, b, c)
+        X_ba = self._native_cg(b, a, c)
+        R = np.einsum('ubac,vabc->uv', X_ba, X_ab) / self.sector_dim(c)
+        if not np.allclose(R, np.diag(np.diag(R)), atol=1e-10):
+            raise SymmetryError(f'R symbol not diagonal in the native gauge: {R}')
+        return np.diag(R).copy()
 
     def _fusion_tensor(self, a, b, c, Z_a: bool, Z_b: bool) -> np.ndarray:
-        file = self._load_h5('CG')
-        key = self._group_name([a, b, c])
-        if key not in file:
-            raise SymmetryError(f'CG tensor {key} not in data file')
-        X = np.asarray(file[key])
-        if Z_a or Z_b:
-            raise NotImplementedError('Z isos for SU(N) require CG-derived data')
+        if self.CGfile is not None:
+            file = self._load_h5('CG')
+            key = self._group_name([a, b, c])
+            if key not in file:
+                raise SymmetryError(f'CG tensor {key} not in data file')
+            X = np.asarray(file[key])
+            if Z_a or Z_b:
+                raise NotImplementedError('Z isos with file-backed SU(N) CG data')
+            return X
+        X = self._native_cg(a, b, c)
+        if Z_a:
+            X = np.moveaxis(np.tensordot(X, self.Z_iso(self.dual_sector(a)),
+                                         (1, 0)), -1, 1)
+        if Z_b:
+            X = np.moveaxis(np.tensordot(X, self.Z_iso(self.dual_sector(b)),
+                                         (2, 0)), -1, 2)
         return X
+
+    # --- native Clebsch-Gordan machinery (no data files needed) ---------------------
+
+    def _native_cg(self, a, b, c) -> np.ndarray:
+        """CG tensor [mu, m_a, m_b, m_c] in the symmetric gauge.
+
+        Canonical pairs (a <= b lexicographically) are computed by the
+        Gelfand-Tsetlin algorithm (sun_cg.py); the swapped pair is DEFINED as
+        the axis transpose, and for a == b the multiplicity basis is rotated to
+        diagonalize the exchange — together this makes every R symbol diagonal
+        with entries +-1 (the symmetric-category gauge).
+        """
+        ta = tuple(int(x) for x in a)
+        tb = tuple(int(x) for x in b)
+        tc = tuple(int(x) for x in c)
+        key = ('CGnat', ta, tb, tc)
+        res = self._cache.get(key)
+        if res is not None:
+            return res
+        from . import sun_cg
+
+        if tb < ta:
+            X = np.ascontiguousarray(
+                self._native_cg(b, a, c).transpose(0, 2, 1, 3))
+        else:
+            mult = self._n_symbol(np.array(ta), np.array(tb), np.array(tc))
+            X = sun_cg.clebsch_gordan(ta, tb, tc, mult)
+            if ta == tb and X.shape[0] >= 1:
+                # rotate the multiplicity basis to diagonalize the exchange
+                S = np.einsum('uabm,vbam->uv', X, X)
+                if not np.allclose(S, np.diag(np.diag(S)), atol=1e-10):
+                    w, V = np.linalg.eigh((S + S.T) / 2.)
+                    X = np.einsum('uv,uabm->vabm', V, X)
+        X.setflags(write=False)
+        self._cache[key] = X
+        return X
+
+    def Z_iso(self, a: Sector) -> np.ndarray:
+        """Z isomorphism: sqrt(d_a) times the CG projection of a-bar x a onto
+        the trivial sector; matrix indices [m_abar, m_a]."""
+        if self.CGfile is not None:
+            raise NotImplementedError('Z isos with file-backed SU(N) CG data')
+        a_bar = self.dual_sector(a)
+        X0 = self._native_cg(a_bar, a, self.trivial_sector)
+        return np.sqrt(self.sector_dim(a)) * np.ascontiguousarray(X0[0, :, :, 0])
 
     def frobenius_schur(self, a: Sector) -> int:
         if np.array_equal(self.dual_sector(a), a):
-            # real or pseudo-real; for SU(N) self-conjugate reps: determined by N and a
+            if self.CGfile is None:
+                # real vs pseudo-real: Z^T = FS * Z for a self-conjugate irrep
+                Z = self.Z_iso(a)
+                i, j = np.unravel_index(np.argmax(np.abs(Z)), Z.shape)
+                return int(np.sign(Z[j, i] / Z[i, j]))
             # fall back to the F-symbol derivation if data is available
             try:
                 return super().frobenius_schur(a)
