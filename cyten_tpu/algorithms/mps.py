@@ -81,7 +81,7 @@ class SimpleMPS:
 
     @classmethod
     def from_singlet_pairs(cls, site_leg, L: int, backend=None,
-                           dtype=Dtype.float64) -> SimpleMPS:
+                           dtype=Dtype.float64, bc: str = 'finite') -> SimpleMPS:
         """Product of nearest-neighbor singlet pairs (SU(2)-invariant MPS).
 
         Right-canonical by construction: even sites carry the identity (/sqrt 2 of
@@ -114,7 +114,7 @@ class SimpleMPS:
                     / np.sqrt(d), half, backend=B.backend, labels=['vL', 'vL*'])
             Bs.append(B)
             Ss.append(S)
-        return cls(Bs, Ss)
+        return cls(Bs, Ss, bc=bc)  # singlet cell: trivial outer bonds wrap
 
     @classmethod
     def from_fusion_pairs(cls, site_leg, L: int, backend=None,

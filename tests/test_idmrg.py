@@ -54,3 +54,16 @@ def test_infinite_product_state_charge_check():
     with pytest.raises(ValueError, match='trivial charge'):
         SimpleMPS.from_product_state(model.site_legs, [0, 0],
                                      backend=model.backend, bc='infinite')
+
+
+@pytest.mark.slow
+def test_idmrg_su2_nonabelian():
+    """Non-abelian (SU(2) fusion-tree backend) iDMRG on the infinite Heisenberg
+    chain converges to the Bethe-ansatz density (truncation-limited)."""
+    model = HeisenbergModel(L=2, conserve='SU(2)', block_backend='numpy',
+                            bc='infinite')
+    psi = SimpleMPS.from_singlet_pairs(model.site_legs[0], 2,
+                                       backend=model.backend, bc='infinite')
+    eng = iDMRGEngine(psi, model, chi_max=16, eps=1e-10)
+    e = eng.run(n_steps=80, tol=1e-9)
+    assert abs(e - model.exact_infinite_gs_energy()) < 3e-4
