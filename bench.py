@@ -135,8 +135,7 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32'):
         @jax.jit
         def run_many(LP, RP, W1, W2, theta):
             def body(th, _):
-                with jax.default_matmul_precision(precision):
-                    out = _heff_matvec_impl(LP, RP, W1, W2, th)
+                out = _heff_matvec_impl(LP, RP, W1, W2, th)
                 nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2)
                                    for b in out.data.blocks))
                 out.data.blocks = [b / nrm for b in out.data.blocks]
@@ -146,16 +145,22 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32'):
             return nrms[-1]
         return run_many
 
-    times = {}
-    for n in lengths:
-        run_many = make_run(n)
-        float(run_many(LP, RP, W1, W2, theta))  # warmup/compile; fetch = sync
-        best = np.inf
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(run_many(LP, RP, W1, W2, theta))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
+    from cyten_tpu.config import config
+    old_prec = config.matmul_precision
+    config.matmul_precision = precision  # baked into the dots at trace time
+    try:
+        times = {}
+        for n in lengths:
+            run_many = make_run(n)
+            float(run_many(LP, RP, W1, W2, theta))  # warmup/compile; fetch = sync
+            best = np.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                float(run_many(LP, RP, W1, W2, theta))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+    finally:
+        config.matmul_precision = old_prec
     n1, n2 = lengths[0], lengths[-1]
     return (times[n2] - times[n1]) / (n2 - n1)
 
@@ -187,8 +192,7 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32'):
         @jax.jit
         def run_many(LP, RP, W1, W2, theta):
             def body(th, _):
-                with jax.default_matmul_precision(precision):
-                    out = _heff_matvec_impl(LP, RP, W1, W2, th)
+                out = _heff_matvec_impl(LP, RP, W1, W2, th)
                 nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2)
                                    for b in out.data.blocks))
                 out.data.blocks = [b / nrm for b in out.data.blocks]
@@ -198,16 +202,22 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32'):
             return nrms[-1]
         return run_many
 
-    times = {}
-    for n in lengths:
-        run_many = make_run(n)
-        float(run_many(LP, RP, W1, W2, theta))
-        best = np.inf
-        for _ in range(repeats):
-            t0 = time.perf_counter()
+    from cyten_tpu.config import config
+    old_prec = config.matmul_precision
+    config.matmul_precision = precision
+    try:
+        times = {}
+        for n in lengths:
+            run_many = make_run(n)
             float(run_many(LP, RP, W1, W2, theta))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
+            best = np.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                float(run_many(LP, RP, W1, W2, theta))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+    finally:
+        config.matmul_precision = old_prec
     n1, n2 = lengths[0], lengths[-1]
     return (times[n2] - times[n1]) / (n2 - n1), t_np
 

@@ -33,23 +33,33 @@ _JITTED_UPDATE_RP = None
 
 
 def _with_precision(fn, precision):
-    """Wrap `fn` so its matmuls run at the given jax matmul precision.
+    """Wrap `fn` so its block dots run at the given jax matmul precision.
+
+    Works by temporarily setting ``config.matmul_precision`` (which the jax
+    block backend bakes into every dot at trace time — the innermost context
+    wins, so a plain ``jax.default_matmul_precision`` wrapper would be
+    overridden by the backend's own per-op context).
 
     On TPU, f32 dots are executed as bf16 MXU passes: 'float32' = 6 passes
-    (~1e-7, the accuracy-comparable-to-f64-reference setting), 'tensorfloat32'
-    = 3 passes (~3e-6, 1.7x faster), 'default' = 1 pass (~1e-3, 4x faster) —
-    measured ladder in docs/DESIGN.md §4. DMRG is variational (energy error is
-    second order in matvec noise), so 'tensorfloat32' is a well-founded
-    production setting. `None` leaves the jax default untouched.
+    (~1e-7, the accuracy-comparable-to-f64-reference setting — the global
+    default), 'tensorfloat32' = 3 passes (~3e-6, 1.7x faster), 'default' =
+    1 pass (~1e-3, 4x faster) — measured ladder in docs/DESIGN.md §4. DMRG is
+    variational (energy error is second order in matvec noise), so
+    'tensorfloat32' is a well-founded production setting for the matvec.
+    `None` keeps the global config value.
     """
     if precision is None:
         return fn
 
     def wrapped(*args, **kwargs):
-        import jax
+        from ..config import config
 
-        with jax.default_matmul_precision(precision):
+        old = config.matmul_precision
+        config.matmul_precision = precision
+        try:
             return fn(*args, **kwargs)
+        finally:
+            config.matmul_precision = old
     return wrapped
 
 

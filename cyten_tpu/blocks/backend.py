@@ -573,6 +573,26 @@ class JaxBlockBackend(BlockBackend):
 
         return isinstance(obj, jax.core.Tracer)
 
+    # every block dot honors config.matmul_precision (trace-time; innermost
+    # context wins, so this is THE precision of record for block math — on TPU
+    # the jax default would silently run single-bf16-pass dots, corrupting e.g.
+    # DMRG environment updates at the 1e-3 level)
+    def matrix_dot(self, a, b):
+        from ..config import config
+
+        if config.matmul_precision is None:
+            return self.xp.matmul(a, b)
+        with self.jax.default_matmul_precision(config.matmul_precision):
+            return self.xp.matmul(a, b)
+
+    def tensordot(self, a, a_axes, b, b_axes):
+        from ..config import config
+
+        if config.matmul_precision is None:
+            return self.xp.tensordot(a, b, (tuple(a_axes), tuple(b_axes)))
+        with self.jax.default_matmul_precision(config.matmul_precision):
+            return self.xp.tensordot(a, b, (tuple(a_axes), tuple(b_axes)))
+
     def block_item(self, block):
         # under jit, keep the value traced (callers inside jit handle 0-d arrays)
         if self._is_tracer(block):

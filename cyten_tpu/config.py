@@ -34,6 +34,13 @@ class Config:
     from_dense_block_tol: float = 1e-8
 
     # --- TPU execution policy ---
+    #: jax matmul precision for every block dot (baked in at trace time by the
+    #: jax block backend). On TPU, f32 dots run as bf16 MXU passes: 'float32'
+    #: = 6 passes (~1e-7 — the default; anything looser silently corrupts
+    #: Lanczos/environment numerics at the 1e-3 level), 'tensorfloat32' = 3
+    #: passes, 'default' = 1 pass. None leaves jax's own default. Engines can
+    #: lower it for their heavy matvec via their matmul_precision= option.
+    matmul_precision: str | None = 'float32'
     #: pad per-sector matrix dims up to multiples of this when bucketing batched GEMMs
     mxu_pad_multiple: int = 128
     #: reserved: enable pallas kernels once the flat-buffer block storage lands.
