@@ -252,11 +252,22 @@ class SimpleMPS:
         return res
 
     def correlation_function(self, op_i, i: int, op_j, j: int):
-        """<psi| op_i op_j |psi> for symmetric single-site operators, i < j.
+        """<psi| op_i op_j |psi> for single-site operators, i < j.
 
         Transfer-matrix contraction left to right (planar rearrangements only).
+        Charge-raising/-lowering operators (``ChargedTensor``, e.g. ``Sp``/``Sm``
+        under Sz conservation, ``b``/``b+`` under N conservation) are supported
+        in pairs: the hidden charge legs propagate through the transfer matrix
+        and pair up at site j — the reference's flagship ChargedTensor use case
+        (reference _tensors.py:3077-3090).
         """
         assert i < j
+        from ..tensors import ChargedTensor
+
+        if isinstance(op_i, ChargedTensor) or isinstance(op_j, ChargedTensor):
+            assert isinstance(op_i, ChargedTensor) and isinstance(op_j, ChargedTensor), \
+                'charged operators only pair with charged operators'
+            return self._charged_correlation(op_i, i, op_j, j)
         theta = self.get_theta1(i)
         oi = op_i.relabelled(['p', 'p*'])
         thp = permute_legs(theta, codomain=['p'], domain=['vL', 'vR'])
@@ -272,6 +283,35 @@ class SimpleMPS:
         E = tdot(E, op_B, 'vR', 'vL')
         E = tdot(dagger(Bj), E, ['vL*', 'p*', 'vR*'], ['vR*', 'p', 'vR'])
         return _as_scalar(E)
+
+    def _charged_correlation(self, op_i, i: int, op_j, j: int):
+        """Transfer contraction with the hidden charge legs kept open, then
+        contracted with the operators' charged states at the end."""
+        if op_i.charged_state is None or op_j.charged_state is None:
+            raise ValueError('charged correlation needs charged_state on both ops')
+        bang = type(op_i)._CHARGE_LEG_LABEL
+        oi = op_i.invariant_part.relabelled({bang: '!i'})  # ['p', 'p*', '!i']
+        oj = op_j.invariant_part.relabelled({bang: '!j'})
+        theta = self.get_theta1(i)
+        t = tdot(oi, theta, 'p*', 'p')            # [p, !i, vL, vR]
+        E = tdot(dagger(theta), t, ['vL*', 'p*'], ['vL', 'p'])  # [vR*; ... !i, vR]
+        for k in range(i + 1, j):
+            E = tdot(E, self.Bs[k], 'vR', 'vL')
+            E = tdot(dagger(self.Bs[k]), E, ['vL*', 'p*'], ['vR*', 'p'])
+        Bj = self.Bs[j]
+        t = tdot(E, Bj, 'vR', 'vL')               # [vR*, !i, p, vR]
+        t = tdot(t, oj, 'p', 'p*')                # [vR*, !i, vR, p, !j]
+        res = tdot(dagger(Bj), t, ['vL*', 'p*', 'vR*'], ['vR*', 'p', 'vR'])
+        # res: 2-leg invariant tensor on the charge legs [!i, !j]
+        res = permute_legs(res, codomain=['!i', '!j'], domain=[])
+        dense = np.asarray(res.to_dense_block())
+        si = np.asarray(op_i.backend.block_backend.as_block(op_i.charged_state))
+        sj = np.asarray(op_j.backend.block_backend.as_block(op_j.charged_state))
+        axes = [res.labels.index('!i'), res.labels.index('!j')]
+        if axes == [1, 0]:
+            dense = dense.T
+        return complex(si @ dense @ sj) if np.iscomplexobj(dense) \
+            else float(si @ dense @ sj)
 
     def norm_squared(self):
         S = self.Ss[0]
