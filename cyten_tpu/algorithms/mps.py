@@ -313,6 +313,50 @@ class SimpleMPS:
         return complex(si @ dense @ sj) if np.iscomplexobj(dense) \
             else float(si @ dense @ sj)
 
+    def expectation_value_mpo(self, mpos) -> float:
+        """<psi| MPO |psi> for a finite MPO (one ``[wL, p, wR, p*]`` tensor per
+        site, boundary-selected at the ends, e.g. ``model.H_mpo``)."""
+        return self._mpo_expectation([mpos])
+
+    def mpo_variance(self, mpos) -> float:
+        """Variance <(O - <O>)^2> of a finite MPO — the standard DMRG
+        convergence diagnostic (small variance => eigenstate)."""
+        e = self._mpo_expectation([mpos])
+        e2 = self._mpo_expectation([mpos, mpos])
+        return float(np.real(e2 - e * e))
+
+    def _mpo_expectation(self, layers):
+        """<psi| prod(layers) |psi> by a left-to-right environment contraction.
+
+        Valid in any gauge: bra and ket use the same site tensors
+        ``[theta1(0), B_1, ..., B_{L-1}]`` which multiply out to the state."""
+        assert self.bc == 'finite'
+        from ..symmetries import ElementarySpace
+        L = self.L
+        n_lay = len(layers)
+        sym = self.Bs[0].symmetry
+        triv = ElementarySpace(sym, sym.trivial_sector[None, :])
+        V0 = self.Bs[0].get_leg_co_domain('vL')
+        bb = self.backend.block_backend
+        dtype = self.Bs[0].dtype
+
+        def ones_func(shape, coupled):
+            return bb.ones(shape, dtype)
+
+        w_labels = [f'w{k}' for k in range(n_lay)]
+        E = SymmetricTensor.from_sector_block_func(
+            ones_func, [V0], [V0] + [triv] * n_lay, backend=self.backend,
+            labels=[['vR*'], ['vR'] + w_labels])
+        for i in range(L):
+            M = self.get_theta1(0) if i == 0 else self.Bs[i]
+            t = tdot(M, E, 'vL', 'vR')   # [p, vR] + [vR*, w0, w1, ...]
+            for k, mpo in enumerate(layers):
+                Wk = mpo[i].relabelled({'wL': f'w{k}L', 'wR': f'w{k}R'})
+                t = tdot(t, Wk, ['p', w_labels[k]], ['p*', f'w{k}L'])
+                t = t.relabelled({f'w{k}R': w_labels[k]})
+            E = tdot(dagger(M), t, ['vL*', 'p*'], ['vR*', 'p'])
+        return _as_scalar(E)
+
     def norm_squared(self):
         S = self.Ss[0]
         return float(np.sum(np.abs(S.diag_numpy) ** 2))

@@ -250,3 +250,22 @@ def test_charged_correlation_fermions():
     for i, j in [(0, 1), (0, 5), (1, 4), (2, 3)]:
         v = psi.correlation_function(Cd, i, C, j)
         assert abs(v - Cexact[i, j]) < 1e-9, (i, j, v, Cexact[i, j])
+
+
+def test_mpo_expectation_and_variance():
+    """<H> via MPO environment (gauge-exact) and the variance diagnostic."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel, tfi_exact_finite_gs_energy
+
+    L, g = 10, 1.2
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=24, eps=1e-13)
+    eng.sweep()
+    var0 = psi.mpo_variance(model.H_mpo)
+    eng.run(n_sweeps=8, tol=1e-13)
+    E_exact = tfi_exact_finite_gs_energy(L, 1., g)
+    assert abs(psi.expectation_value_mpo(model.H_mpo) - E_exact) < 1e-9
+    var = psi.mpo_variance(model.H_mpo)
+    assert var < 1e-9 < var0  # variance collapses on convergence
