@@ -18,7 +18,7 @@ import numpy as np
 
 from ..symmetries import ElementarySpace
 from ..tensors import (
-    SymmetricTensor, compose, dagger, permute_legs, pinv, scale_axis, tdot,
+    SymmetricTensor, compose, dagger, norm, permute_legs, pinv, scale_axis, tdot,
 )
 from ..tensors.krylov_based import lanczos
 from ..tensors.sparse import LinearOperator
@@ -145,11 +145,16 @@ class DMRGEngine:
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
                  jit_env_updates: bool = None, mesh=None,
-                 shard_axis_name: str = 'mult', matmul_precision: str = None):
+                 shard_axis_name: str = 'mult', matmul_precision: str = None,
+                 orthogonal_to=None):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
         self.eps = eps
+        #: list of SimpleMPS to orthogonalize against (excited-state search):
+        #: each bond problem is solved in the subspace orthogonal to these
+        #: states, via overlap environments + ProjectedLinearOperator
+        self.orthogonal_to = list(orthogonal_to or [])
         #: jax matmul precision for the jitted matvec (None | 'float32' |
         #: 'tensorfloat32' | 'default'); measured TPU ladder in docs/DESIGN.md §4
         self.matmul_precision = matmul_precision
@@ -176,6 +181,9 @@ class DMRGEngine:
         self.LPs = [None] * L
         self.RPs = [None] * L
         self._init_environments()
+        self.OLs = [[None] * L for _ in self.orthogonal_to]
+        self.ORs = [[None] * L for _ in self.orthogonal_to]
+        self._init_overlap_environments()
         self.E = None
         self.trunc_err = 0.
 
@@ -210,6 +218,61 @@ class DMRGEngine:
         self.RPs[L - 1] = RP
         for i in range(L - 1, 0, -1):
             self.update_RP(i)
+
+    # --- overlap environments for excited-state orthogonalization ------------------
+
+    def _init_overlap_environments(self):
+        if not self.orthogonal_to:
+            return
+        psi = self.psi
+        L = psi.L
+        bb = self.backend.block_backend
+        dtype = psi.Bs[0].dtype
+
+        def ones_func(shape, coupled):
+            return bb.ones(shape, dtype)
+
+        for k, phi in enumerate(self.orthogonal_to):
+            V_psi = psi.Bs[0].get_leg_co_domain('vL')
+            V_phi = phi.Bs[0].get_leg_co_domain('vL')
+            self.OLs[k][0] = SymmetricTensor.from_sector_block_func(
+                ones_func, [V_psi], [V_phi], backend=self.backend,
+                labels=[['vR*'], ['vR']])
+            Vr_psi = psi.Bs[-1].domain.factors[0]
+            Vr_phi = phi.Bs[-1].domain.factors[0]
+            self.ORs[k][L - 1] = SymmetricTensor.from_sector_block_func(
+                ones_func, [Vr_phi], [Vr_psi], backend=self.backend,
+                labels=[['vL'], ['vL*']])
+            for i in range(L - 1, 0, -1):
+                self.update_OR(k, i)
+
+    def _phi_tensor(self, k: int, i: int):
+        """phi's site tensor in the theta-product gauge (theta1 at site 0)."""
+        phi = self.orthogonal_to[k]
+        return phi.get_theta1(0) if i == 0 else phi.Bs[i]
+
+    def update_OL(self, k: int, i: int, A):
+        """OLs[k][i+1] from OLs[k][i], psi's new left isometry A, phi's tensor."""
+        t = tdot(self.OLs[k][i], self._phi_tensor(k, i), 'vR', 'vL')
+        self.OLs[k][i + 1] = tdot(dagger(A), t, ['vL*', 'p*'], ['vR*', 'p'])
+
+    def update_OR(self, k: int, i: int, B=None):
+        """ORs[k][i-1] from ORs[k][i], psi's B at site i, phi's tensor."""
+        if B is None:
+            B = self.psi.Bs[i]
+        t = tdot(self._phi_tensor(k, i), self.ORs[k][i], 'vR', 'vL')
+        self.ORs[k][i - 1] = tdot(t, dagger(B), ['p', 'vL*'], ['p*', 'vR*'])
+
+    def _ortho_theta(self, k: int, i: int):
+        """phi's two-site wavefunction at bond (i, i+1), expressed in psi's
+        current left/right bond bases: OL . phi_i . phi_{i+1} . OR."""
+        phi = self.orthogonal_to[k]
+        c = tdot(self.OLs[k][i], self._phi_tensor(k, i).relabelled({'p': 'p0'}),
+                 'vR', 'vL')
+        c = tdot(c, phi.Bs[i + 1].relabelled({'p': 'p1'}), 'vR', 'vL')
+        c = tdot(c, self.ORs[k][i + 1], 'vR', 'vL')
+        c = c.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+        return permute_legs(c, codomain=['vL', 'p0', 'p1'], domain=['vR'])
 
     def update_LP(self, i: int, A):
         """LPs[i+1] from LPs[i] and the left-isometric tensor A at site i.
@@ -250,7 +313,17 @@ class DMRGEngine:
         Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
                           self.model.H_mpo[i + 1],
                           matmul_precision=self.matmul_precision)
+        if self.orthogonal_to:
+            from ..tensors.sparse import ProjectedLinearOperator
+
+            vecs = [self._ortho_theta(k, i)
+                    for k in range(len(self.orthogonal_to))]
+            vecs = [v for v in vecs if norm(v) > 1e-12]
+            if vecs:
+                Heff = ProjectedLinearOperator(Heff, vecs)
         theta0 = self._shard(psi.get_theta2(i), 'vL')
+        if self.orthogonal_to and hasattr(Heff, 'project'):
+            theta0 = Heff.project(theta0)
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         self.E = E
         A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps,
@@ -264,6 +337,9 @@ class DMRGEngine:
         psi.Bs[i + 1] = B
         self.update_LP(i, A)
         self.update_RP(i + 1, B)
+        for k in range(len(self.orthogonal_to)):
+            self.update_OL(k, i, A)
+            self.update_OR(k, i + 1, B)
 
     def run(self, n_sweeps: int = 10, tol: float = 1e-10, verbose: bool = False
             ) -> float:

@@ -269,3 +269,40 @@ def test_mpo_expectation_and_variance():
     assert abs(psi.expectation_value_mpo(model.H_mpo) - E_exact) < 1e-9
     var = psi.mpo_variance(model.H_mpo)
     assert var < 1e-9 < var0  # variance collapses on convergence
+
+
+def test_dmrg_excited_states():
+    """orthogonal_to=[psi0]: the engine finds the first excited state of the
+    same charge sector, validated against exact diagonalization."""
+    import functools
+
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel
+
+    L, g = 10, 1.2
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='numpy')
+    sx = np.array([[0., 1.], [1., 0.]])
+    sz = np.diag([1., -1.])
+
+    def op(o, i):
+        mats = [np.eye(2)] * L
+        mats[i] = o
+        return functools.reduce(np.kron, mats)
+
+    H = sum(-op(sx, i) @ op(sx, i + 1) for i in range(L - 1)) \
+        + sum(-g * op(sz, i) for i in range(L))
+    Pz = functools.reduce(np.kron, [sz] * L)
+    w, v = np.linalg.eigh(H)
+    parity = np.einsum('ij,ji->i', v.T @ Pz, v)
+    even = w[parity > 0.5]
+
+    psi0 = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                        backend=model.backend)
+    E0 = DMRGEngine(psi0, model, chi_max=32, eps=1e-13).run(n_sweeps=8)
+    psi1 = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                        backend=model.backend)
+    E1 = DMRGEngine(psi1, model, chi_max=32, eps=1e-13,
+                    orthogonal_to=[psi0]).run(n_sweeps=10)
+    assert abs(E0 - even[0]) < 1e-10
+    assert abs(E1 - even[1]) < 1e-10
+    assert abs(psi1.overlap(psi0)) < 1e-8
