@@ -15,6 +15,7 @@ from .dmrg1 import DMRG1SEngine, HEffective1
 from .idmrg import iDMRGEngine
 from .models import tfi_exact_infinite_gs_energy
 from .tebd import TEBDEngine
+from .tdvp import TDVPEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel',
@@ -22,4 +23,5 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
            'tfi_exact_infinite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
-           'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'TEBDEngine']
+           'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'TEBDEngine',
+           'TDVPEngine']
