@@ -211,7 +211,10 @@ class iDMRGEngine:
         ``Bs = [pinv(S_prev) A S, B]``, ``Ss = [S_prev, S]`` — exactly canonical
         at the iDMRG fixed point (where S_prev == S up to the half-cell shift).
         """
-        B0 = scale_axis(scale_axis(self.A, pinv(self.S_prev, cutoff=1e-12), 'vL'),
+        # relative-tail cutoff: directions with S_prev < 1e-8 carry negligible
+        # state weight but their inverses would destroy B0's isometry (measured:
+        # iso error 1e3 at cutoff 1e-12 -> clean transfer spectrum at 1e-8)
+        B0 = scale_axis(scale_axis(self.A, pinv(self.S_prev, cutoff=1e-8), 'vL'),
                         self.S, 'vR')
         return SimpleMPS([B0, self.B],
                          [self.S_prev.relabelled(['vL', 'vL*']),

@@ -357,6 +357,39 @@ class SimpleMPS:
             E = tdot(dagger(M), t, ['vL*', 'p*'], ['vR*', 'p'])
         return _as_scalar(E)
 
+    def correlation_length(self, n_ev: int = 6) -> float:
+        """Correlation length of an infinite MPS, in units of sites.
+
+        ``xi = -L_cell / ln |lambda_2 / lambda_1|`` from the two dominant
+        transfer-matrix eigenvalues (all charge sectors; Arnoldi via scipy on
+        the dense-block transfer map — a diagnostic, not a hot path). Requires
+        ``bc='infinite'`` and a droppable symmetry.
+        """
+        assert self.bc == 'infinite'
+        import scipy.sparse.linalg as spla
+
+        Bs = [np.asarray(B.to_dense_block()) for B in self.Bs]  # [vL, p, vR]
+        chi = Bs[0].shape[0]
+
+        def tmap(flat):
+            E = flat.reshape(chi, chi)
+            for B in Bs:
+                E = np.einsum('apx,ab,bpy->xy', B.conj(), E, B, optimize=True)
+            return E.reshape(-1)
+
+        op = spla.LinearOperator((chi * chi, chi * chi), matvec=tmap,
+                                 dtype=complex)
+        k = min(n_ev, chi * chi - 2)
+        if chi * chi <= 16:  # dense fallback for tiny bonds
+            M = np.column_stack([tmap(e) for e in np.eye(chi * chi)])
+            lam = np.linalg.eigvals(M)
+        else:
+            lam = spla.eigs(op, k=k, which='LM', return_eigenvectors=False)
+        lam = np.sort(np.abs(lam))[::-1]
+        if len(lam) < 2 or lam[1] < 1e-14:
+            return 0.0
+        return float(-self.L / np.log(lam[1] / lam[0]))
+
     def norm_squared(self):
         S = self.Ss[0]
         return float(np.sum(np.abs(S.diag_numpy) ** 2))

@@ -67,3 +67,18 @@ def test_idmrg_su2_nonabelian():
     eng = iDMRGEngine(psi, model, chi_max=16, eps=1e-10)
     e = eng.run(n_steps=80, tol=1e-9)
     assert abs(e - model.exact_infinite_gs_energy()) < 3e-4
+
+
+def test_correlation_length():
+    """Transfer-matrix correlation length of the infinite TFI vs the exact
+    xi = 1/ln(g) (disordered phase; chi-limited accuracy)."""
+    for g, tol in ((1.5, 0.05), (2.0, 0.04)):
+        model = TFIModel(L=2, J=1.0, g=g, conserve='parity',
+                         block_backend='numpy', bc='infinite')
+        psi = SimpleMPS.from_product_state(model.site_legs, [0, 0],
+                                           backend=model.backend, bc='infinite')
+        eng = iDMRGEngine(psi, model, chi_max=24, eps=1e-12)
+        eng.run(n_steps=200, tol=1e-13)
+        xi = eng.psi.correlation_length()
+        xi_exact = 1.0 / np.log(g)
+        assert abs(xi - xi_exact) / xi_exact < tol, (g, xi, xi_exact)
