@@ -306,3 +306,29 @@ def test_dmrg_excited_states():
     assert abs(E0 - even[0]) < 1e-10
     assert abs(E1 - even[1]) < 1e-10
     assert abs(psi1.overlap(psi0)) < 1e-8
+
+
+@pytest.mark.slow
+def test_chi_bucketing_equivalence():
+    """Chi bucketing (pad_chi_multiple) rounds kept multiplicities up per
+    sector: a padded run keeps a superset of states, so it is variationally at
+    least as good, stays close to the ragged run, and produces MXU-aligned
+    multiplicities (SURVEY §4 carry-over: bucketing equivalence)."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import HeisenbergModel
+
+    L = 10
+    model = HeisenbergModel(L=L, conserve='Sz', block_backend='jax')
+    Es = []
+    legs = []
+    for pad in (None, 4):
+        psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),
+                                           backend=model.backend)
+        eng = DMRGEngine(psi, model, chi_max=12, eps=1e-12,
+                         pad_chi_multiple=pad)
+        Es.append(eng.run(n_sweeps=6, tol=1e-12))
+        legs.append(psi.Bs[L // 2].get_leg_co_domain('vL'))
+    assert abs(Es[0] - Es[1]) < 1e-4           # same physics
+    assert Es[1] <= Es[0] + 1e-10              # padding only adds states
+    assert all(int(m) % 4 == 0 for m in legs[1].multiplicities)
+    assert int(legs[1].dim) >= int(legs[0].dim)
