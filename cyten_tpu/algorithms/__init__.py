@@ -15,7 +15,7 @@ from .dmrg1 import DMRG1SEngine, HEffective1
 from .idmrg import iDMRGEngine
 from .models import tfi_exact_infinite_gs_energy
 from .tebd import TEBDEngine
-from .tdvp import TDVPEngine
+from .tdvp import TDVP2Engine, TDVPEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel',
@@ -24,4 +24,4 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
            'tfi_exact_infinite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
            'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'TEBDEngine',
-           'TDVPEngine']
+           'TDVPEngine', 'TDVP2Engine']

@@ -20,11 +20,11 @@ import numpy as np
 from ..tensors import norm, permute_legs, pinv, scale_axis, svd, tdot
 from ..tensors.krylov_based import LanczosEvolution
 from ..tensors.sparse import LinearOperator
-from .dmrg import DMRGEngine, _update_LP_impl, _update_RP_impl
+from .dmrg import DMRGEngine, HEffective, _update_LP_impl, _update_RP_impl
 from .dmrg1 import HEffective1
-from .mps import SimpleMPS
+from .mps import SimpleMPS, split_truncate_theta
 
-__all__ = ['KEffective', 'TDVPEngine']
+__all__ = ['KEffective', 'TDVPEngine', 'TDVP2Engine']
 
 
 class KEffective(LinearOperator):
@@ -162,3 +162,81 @@ class TDVPEngine:
 
     def energy(self) -> float:
         return float(np.real(self.psi.expectation_value_mpo(self.model.H_mpo)))
+
+
+class TDVP2Engine(TDVPEngine):
+    """Two-site TDVP: like :class:`TDVPEngine` but the forward step evolves
+    two-site wavefunctions, so the bond dimension can GROW (up to ``chi_max``,
+    truncated at ``eps``). The backward dt/2 step acts on the single-site
+    center (Haegeman et al. PRB 94, 165116, Sec. V). Not exactly
+    energy-conserving (truncation breaks symplecticity), but it can start from
+    low-entanglement initial states; switch to 1-site TDVP once chi saturates.
+    """
+
+    def __init__(self, psi: SimpleMPS, model, dt: float, imaginary: bool = False,
+                 chi_max: int = 64, eps: float = 1e-12,
+                 lanczos_options: dict = None):
+        TDVPEngine.__init__(self, psi, model, dt, imaginary=imaginary,
+                            lanczos_options=lanczos_options)
+        self.chi_max = chi_max
+        self.eps = eps
+        self.trunc_err = 0.
+
+    def sweep(self):
+        psi = self.psi
+        L = psi.L
+        d_site, d_bond = self._deltas(self.dt / 2.)
+
+        # ---- left-to-right half sweep: two-site forward, one-site backward ----
+        th = psi.get_theta2(0)  # [vL, p0, p1; vR]
+        for i in range(L - 1):
+            H2 = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
+                            self.model.H_mpo[i + 1])
+            th = self._evolve(H2, th, d_site)
+            A, S, B, err = split_truncate_theta(
+                th, self.chi_max, self.eps)
+            self.trunc_err = max(self.trunc_err, err)
+            Sinv = pinv(psi.Ss[i], cutoff=1e-14)
+            psi.Bs[i] = scale_axis(scale_axis(A, Sinv, 'vL'), S, 'vR')
+            psi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
+            psi.Bs[i + 1] = B
+            self._env.update_LP(i, A)
+            if i == L - 2:
+                break
+            # backward evolve the one-site center at i+1
+            th1 = scale_axis(B, S.relabelled(['vL', 'vL*']), 'vL')
+            H1 = HEffective1(self.LPs[i + 1], self.RPs[i + 1],
+                             self.model.H_mpo[i + 1])
+            th1 = self._evolve(H1, th1, -d_site)
+            th1 = permute_legs(th1, codomain=['vL', 'p'], domain=['vR'])
+            th = tdot(th1.relabelled({'p': 'p0'}),
+                      psi.Bs[i + 2].relabelled({'p': 'p1'}), 'vR', 'vL')
+            th = permute_legs(th, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+
+        # ---- right-to-left half sweep ----
+        th = psi.get_theta2(L - 2)
+        for i in range(L - 2, -1, -1):
+            H2 = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
+                            self.model.H_mpo[i + 1])
+            th = self._evolve(H2, th, d_site)
+            S_old_inv = pinv(psi.Ss[i], cutoff=1e-14)
+            A, S, B, err = split_truncate_theta(
+                th, self.chi_max, self.eps)
+            self.trunc_err = max(self.trunc_err, err)
+            Sinv = pinv(psi.Ss[i], cutoff=1e-14)
+            psi.Bs[i] = scale_axis(scale_axis(A, Sinv, 'vL'), S, 'vR')
+            psi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
+            psi.Bs[i + 1] = B
+            self._env.update_RP(i + 1, B)
+            if i == 0:
+                break
+            # backward evolve the one-site center at i
+            th1 = scale_axis(A, S, 'vR')  # [vL, p; c] with left envs of site i
+            H1 = HEffective1(self.LPs[i], self.RPs[i], self.model.H_mpo[i])
+            th1 = self._evolve(H1, th1, -d_site)
+            th1 = permute_legs(th1, codomain=['vL', 'p'], domain=['vR'])
+            # absorb into the previous site: theta2(i-1, i)
+            prev = scale_axis(psi.get_theta1(i - 1), S_old_inv, 'vR')
+            th = tdot(prev.relabelled({'p': 'p0'}),
+                      th1.relabelled({'p': 'p1'}), 'vR', 'vL')
+            th = permute_legs(th, codomain=['vL', 'p0', 'p1'], domain=['vR'])

@@ -85,3 +85,25 @@ def test_tdvp_imaginary_time():
     eng.run(60)
     E_exact = model.exact_finite_gs_energy()
     assert abs(eng.energy() - E_exact) < 1e-8
+
+
+def test_tdvp2_grows_chi_from_product_state():
+    """Two-site TDVP grows the bond dimension during evolution (1-site TDVP
+    cannot); from a chi=1 product state it reproduces exact evolution."""
+    import scipy.linalg
+
+    L, g = 6, 1.2
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    arr0 = _full_state(psi)
+    arr0 /= np.linalg.norm(arr0)
+    from cyten_tpu.algorithms.tdvp import TDVP2Engine
+    dt, n_steps = 0.02, 50
+    eng = TDVP2Engine(psi, model, dt=dt, chi_max=8, eps=1e-12)
+    eng.run(n_steps)
+    assert psi.max_chi() == 8  # grew from 1 to full rank
+    arr_t = scipy.linalg.expm(-1j * _dense_tfi(L, g) * dt * n_steps) @ arr0
+    arr = _full_state(psi)
+    assert abs(abs(np.vdot(arr_t, arr)) - 1.) < 1e-8
+    assert abs(np.linalg.norm(arr) - 1.) < 1e-8
