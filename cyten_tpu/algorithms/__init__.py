@@ -9,7 +9,7 @@ from .models import (
     FermiHubbardModel, HeisenbergModel, TFIModel, heisenberg_exact_finite_gs_energy,
     mpo_from_bond_op, mpo_from_bond_ops, tfi_exact_finite_gs_energy,
 )
-from .models import GoldenChainModel
+from .models import GoldenChainModel, SpinChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
 from .dmrg1 import DMRG1SEngine, HEffective1
 from .idmrg import iDMRGEngine
@@ -18,7 +18,7 @@ from .tebd import TEBDEngine
 from .tdvp import TDVP2Engine, TDVPEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'TFIModel', 'HeisenbergModel',
-           'FermiHubbardModel', 'GoldenChainModel',
+           'FermiHubbardModel', 'GoldenChainModel', 'SpinChainModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
            'tfi_exact_infinite_gs_energy',

@@ -536,3 +536,119 @@ class FermiHubbardModel:
         vals = scipy.sparse.linalg.eigsh(H, k=1, which='SA',
                                          return_eigenvectors=False)
         return float(vals[0])
+
+
+class SpinChainModel:
+    r"""General spin-S XXZ chain:
+    :math:`H = J \sum_i [\tfrac12 (S^+_i S^-_{i+1} + h.c.) + \Delta S^z_i S^z_{i+1}]
+    + h_z \sum_i S^z_i`.
+
+    ``S`` is any (half-)integer spin; ``conserve`` in ``('Sz', 'None')``.
+    ``S=1, Delta=1`` is the Haldane chain (iDMRG anchor:
+    e = -1.401484038971 per site, White & Huse PRB 48, 3844).
+    Beyond the reference's model set (its toycodes are spin-1/2 only).
+    """
+
+    def __init__(self, L: int, S: float = 1.0, J: float = 1., Delta: float = 1.,
+                 hz: float = 0., conserve: str = 'Sz', backend=None,
+                 block_backend=None, bc: str = 'finite'):
+        assert conserve in ('Sz', 'None', None)
+        assert bc in ('finite', 'infinite')
+        from ..models.sites import SpinSite
+
+        self.L = L
+        self.S = S
+        self.J = J
+        self.Delta = Delta
+        self.hz = hz
+        self.bc = bc
+        self.conserve = conserve = conserve or 'None'
+        site = SpinSite(S, conserve=conserve, backend=backend)
+        if backend is None and block_backend is not None:
+            from ..backends import get_backend
+
+            backend = get_backend(site.leg.symmetry, block_backend)
+            site = SpinSite(S, conserve=conserve, backend=backend)
+        self.site = site
+        self.site_leg = site.leg
+        self.backend = site.backend
+        # dense operators in the site's own public basis
+        self._sz = site.get_op_numpy('Sz')
+        self._sp = site.get_op_numpy('Sp')
+        self._sm = site.get_op_numpy('Sm')
+        self.H_bonds = self._build_H_bonds()
+        self.H_mpo = self._build_H_mpo()
+
+    @property
+    def site_legs(self):
+        return [self.site_leg] * self.L
+
+    def _two_site_op(self, h: np.ndarray) -> SymmetricTensor:
+        d = int(self.site_leg.dim)
+        block = h.reshape(d, d, d, d).transpose(0, 1, 3, 2)
+        p = self.site_leg
+        return SymmetricTensor.from_dense_block(
+            block, [p, p], [p, p], backend=self.backend,
+            labels=['p0', 'p1', 'p1*', 'p0*'])
+
+    def _build_H_bonds(self):
+        d = int(self.site_leg.dim)
+        sz, sp, sm = self._sz, self._sp, self._sm
+        eye = np.eye(d)
+        n_bonds = self.L if self.bc == 'infinite' else self.L - 1
+        res = []
+        for i in range(n_bonds):
+            hL = self.hz / 2. * (2. if (i == 0 and self.bc == 'finite') else 1.)
+            hR = self.hz / 2. * (2. if (i + 1 == self.L - 1
+                                        and self.bc == 'finite') else 1.)
+            h = self.J * (0.5 * (np.kron(sp, sm) + np.kron(sm, sp))
+                          + self.Delta * np.kron(sz, sz)) \
+                + hL * np.kron(sz, eye) + hR * np.kron(eye, sz)
+            res.append(self._two_site_op(h))
+        return res
+
+    def _build_H_mpo(self):
+        d = int(self.site_leg.dim)
+        sz, sp, sm = self._sz, self._sp, self._sm
+        p = self.site_leg
+        sym = p.symmetry
+        W = np.zeros((5, d, d, 5))
+        W[0, :, :, 0] = np.eye(d)
+        W[0, :, :, 1] = sp
+        W[0, :, :, 2] = sm
+        W[0, :, :, 3] = sz
+        W[0, :, :, 4] = self.hz * sz
+        W[1, :, :, 4] = self.J / 2. * sm
+        W[2, :, :, 4] = self.J / 2. * sp
+        W[3, :, :, 4] = self.J * self.Delta * sz
+        W[4, :, :, 4] = np.eye(d)
+        if self.conserve == 'Sz':
+            w_sectors = np.array([[0], [2], [-2], [0], [0]])
+        else:
+            w_sectors = np.zeros((5, sym.sector_ind_len), dtype=int)
+        w_leg = ElementarySpace.from_basis(sym, w_sectors)
+        triv = ElementarySpace(sym, sym.trivial_sector[None, :])
+        first = np.zeros((1, 5))
+        first[0, 0] = 1.
+        last = np.zeros((5, 1))
+        last[4, 0] = 1.
+        mpos = []
+        for i in range(self.L):
+            Wi = W
+            wl, wr = w_leg, w_leg
+            if i == 0 and self.bc == 'finite':
+                Wi = np.tensordot(first, Wi, (1, 0))
+                wl = triv
+            if i == self.L - 1 and self.bc == 'finite':
+                Wi = np.tensordot(Wi, last, (3, 0))
+                wr = triv
+            mpos.append(SymmetricTensor.from_dense_block(
+                np.transpose(Wi, (0, 1, 3, 2)), [wl, p], [p, wr],
+                backend=self.backend, labels=['wL', 'p', 'wR', 'p*']))
+        return mpos
+
+    def energy(self, psi) -> float:
+        """Total energy (finite) or energy per site (infinite)."""
+        e = float(np.real(sum(psi.bond_expectation_value(h, i)
+                              for i, h in enumerate(self.H_bonds))))
+        return e / self.L if self.bc == 'infinite' else e

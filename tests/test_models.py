@@ -205,3 +205,78 @@ def test_mpo_from_bond_ops_nonuniform():
         hd = h.to_numpy().transpose(0, 1, 3, 2).reshape(4, 4)
         Hd += np.kron(np.kron(np.eye(2 ** i), hd), np.eye(2 ** (L - i - 2)))
     np.testing.assert_allclose(H_mpo, Hd, atol=1e-12)
+
+
+def test_spin_chain_model_xxz_vs_ed():
+    """Spin-1/2 XXZ chain (Delta=0.5) vs exact diagonalization."""
+    import functools
+
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import SpinChainModel
+
+    L, Delta = 8, 0.5
+    model = SpinChainModel(L=L, S=0.5, Delta=Delta, conserve='Sz',
+                           block_backend='numpy')
+    sz = np.diag([.5, -.5])
+    sp = np.array([[0., 1.], [0., 0.]])
+    sm = sp.T
+
+    def op(o, i):
+        mats = [np.eye(2)] * L
+        mats[i] = o
+        return functools.reduce(np.kron, mats)
+
+    H = sum(0.5 * (op(sp, i) @ op(sm, i + 1) + op(sm, i) @ op(sp, i + 1))
+            + Delta * op(sz, i) @ op(sz, i + 1) for i in range(L - 1))
+    E_ed = np.linalg.eigvalsh(H)[0]
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),
+                                       backend=model.backend)
+    E = DMRGEngine(psi, model, chi_max=32, eps=1e-13).run(n_sweeps=8)
+    assert abs(E - E_ed) < 1e-9
+
+
+def test_spin1_heisenberg_vs_ed():
+    """Spin-1 Heisenberg chain vs sparse ED (L=8)."""
+    import functools
+
+    import scipy.sparse as sp_
+    import scipy.sparse.linalg as spla
+
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import SpinChainModel
+
+    L = 8
+    model = SpinChainModel(L=L, S=1.0, conserve='Sz', block_backend='numpy')
+    sz = np.diag([1., 0., -1.])
+    spm = np.zeros((3, 3))
+    spm[0, 1] = spm[1, 2] = np.sqrt(2)
+
+    def op(o, i):
+        mats = [np.eye(3)] * L
+        mats[i] = o
+        return functools.reduce(np.kron, mats)
+
+    H = sum(0.5 * (op(spm, i) @ op(spm.T, i + 1) + op(spm.T, i) @ op(spm, i + 1))
+            + op(sz, i) @ op(sz, i + 1) for i in range(L - 1))
+    E_ed = spla.eigsh(sp_.csr_matrix(H), k=1, which='SA')[0][0]
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 2] * (L // 2),
+                                       backend=model.backend)
+    E = DMRGEngine(psi, model, chi_max=48, eps=1e-13).run(n_sweeps=8)
+    assert abs(E - E_ed) < 1e-8
+
+
+@pytest.mark.slow
+def test_haldane_chain_idmrg():
+    """Spin-1 Haldane chain, infinite: iDMRG vs White & Huse
+    e = -1.401484038971 (PRB 48, 3844), truncation-limited at chi=48."""
+    from cyten_tpu.algorithms import SimpleMPS
+    from cyten_tpu.algorithms.idmrg import iDMRGEngine
+    from cyten_tpu.algorithms.models import SpinChainModel
+
+    model = SpinChainModel(L=2, S=1.0, conserve='Sz', block_backend='numpy',
+                           bc='infinite')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 2],
+                                       backend=model.backend, bc='infinite')
+    eng = iDMRGEngine(psi, model, chi_max=48, eps=1e-12)
+    e = eng.run(n_steps=400, tol=1e-12)
+    assert abs(e - (-1.401484038971)) < 1e-5
