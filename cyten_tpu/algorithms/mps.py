@@ -357,6 +357,35 @@ class SimpleMPS:
             E = tdot(dagger(M), t, ['vL*', 'p*'], ['vR*', 'p'])
         return _as_scalar(E)
 
+    def canonicalize_infinite(self, n_cells: int = 16):
+        """Restore canonical B form of an infinite MPS (in place).
+
+        Window method: unroll ``n_cells`` copies of the unit cell into a finite
+        MPS with open fat boundary legs, run the exact finite canonicalization
+        (QR sweep + SVD sweep — neither assumes dim-1 edges), and read the
+        central cell back. Boundary effects decay like (xi-dependent)
+        ``lambda_2^(n_cells/2)``; increase ``n_cells`` near criticality.
+        """
+        assert self.bc == 'infinite'
+        L = self.L
+        fin = SimpleMPS([self.Bs[i % L] for i in range(n_cells * L)],
+                        [self.Ss[i % L] for i in range(n_cells * L)],
+                        bc='finite')
+        fin.canonicalize()
+        mid = (n_cells // 2) * L
+        new_Bs = [fin.Bs[mid + i] for i in range(L)]
+        new_Ss = [fin.Ss[mid + i] for i in range(L)]
+        # the cell must wrap: bond mid and bond mid+L need identical leg spaces
+        left = new_Bs[0].get_leg_co_domain('vL')
+        right_dual = fin.Bs[mid + L - 1].domain.factors[0]
+        if not left == fin.Bs[mid + L].get_leg_co_domain('vL'):
+            raise ValueError(
+                'canonicalize_infinite: cell bonds did not converge to equal '
+                'spaces; increase n_cells')
+        self.Bs = new_Bs
+        self.Ss = new_Ss
+        return self
+
     def correlation_length(self, n_ev: int = 6) -> float:
         """Correlation length of an infinite MPS, in units of sites.
 

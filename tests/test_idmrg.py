@@ -82,3 +82,26 @@ def test_correlation_length():
         xi = eng.psi.correlation_length()
         xi_exact = 1.0 / np.log(g)
         assert abs(xi - xi_exact) / xi_exact < tol, (g, xi, xi_exact)
+
+
+def test_canonicalize_infinite():
+    """Window canonicalization restores exact B form of the iDMRG unit cell;
+    bond energies then agree with the exact density to machine precision."""
+    from cyten_tpu.tensors import SymmetricTensor, dagger, norm, tdot
+
+    g = 2.0
+    model = TFIModel(L=2, J=1.0, g=g, conserve='parity', block_backend='numpy',
+                     bc='infinite')
+    psi0 = SimpleMPS.from_product_state(model.site_legs, [0, 0],
+                                        backend=model.backend, bc='infinite')
+    eng = iDMRGEngine(psi0, model, chi_max=24, eps=1e-12)
+    eng.run(n_steps=200, tol=1e-13)
+    psi = eng.psi
+    psi.canonicalize_infinite(n_cells=16)
+    for B in psi.Bs:
+        E = tdot(B, dagger(B), ['p', 'vR'], ['p*', 'vR*'])
+        eye = SymmetricTensor.from_eye([B.get_leg_co_domain('vL')],
+                                       backend=B.backend, labels=E.labels)
+        assert float(norm(E + (-1.) * eye)) < 1e-10
+    e = model.energy(psi)
+    assert abs(e - tfi_exact_infinite_gs_energy(1.0, g)) < 1e-10
