@@ -1,9 +1,12 @@
-"""TEBD: time-evolving block decimation on finite MPS.
+"""TEBD: time-evolving block decimation on finite or infinite MPS.
 
 Beyond the reference's toycode set (toycodes/ has a_mps, b_model, d_dmrg only);
 included for user completeness — TeNPy users expect a TEBD engine. Real- or
 imaginary-time evolution by second-order Trotterized two-site gates; with jax
 blocks the per-bond update traces to static-shape GEMMs + SVD on device.
+For ``psi.bc == 'infinite'`` this is iTEBD (Vidal): the unit-cell bonds are
+updated with wrap-around and imaginary-time runs re-canonicalize with the
+window method.
 """
 
 from __future__ import annotations
@@ -59,6 +62,7 @@ class TEBDEngine:
     def update_bond(self, i: int, U):
         """Apply the gate on bond (i, i+1) and truncate (planar rearrangements)."""
         psi = self.psi
+        j = (i + 1) % psi.L if psi.bc == 'infinite' else i + 1
         theta = psi.get_theta2(i)  # codomain [vL, p0, p1], domain [vR]
         thp = permute_legs(theta, codomain=['p0', 'p1'], domain=['vL', 'vR'])
         u_th = compose(U, thp)
@@ -68,12 +72,20 @@ class TEBDEngine:
         self.trunc_err = max(self.trunc_err, err)
         Sinv = pinv(psi.Ss[i], cutoff=1e-14)
         psi.Bs[i] = scale_axis(scale_axis(A, Sinv, 'vL'), S, 'vR')
-        psi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
-        psi.Bs[i + 1] = B
+        psi.Ss[j] = S.relabelled(['vL', 'vL*'])
+        psi.Bs[j] = B
 
     def sweep(self):
         """One second-order Trotter step: half even, full odd, half even."""
         L = self.psi.L
+        if self.psi.bc == 'infinite':
+            for i in range(0, L, 2):
+                self.update_bond(i, self.U_half[i])
+            for i in range(1, L, 2):
+                self.update_bond(i, self.U_full[i])
+            for i in range(0, L, 2):
+                self.update_bond(i, self.U_half[i])
+            return
         for i in range(0, L - 1, 2):
             self.update_bond(i, self.U_half[i])
         for i in range(1, L - 1, 2):
@@ -85,7 +97,10 @@ class TEBDEngine:
         for n in range(n_steps):
             self.sweep()
             if self.canonicalize_every and (n + 1) % self.canonicalize_every == 0:
-                self.psi.canonicalize()
+                if self.psi.bc == 'infinite':
+                    self.psi.canonicalize_infinite()
+                else:
+                    self.psi.canonicalize()
             if verbose and (n + 1) % 10 == 0:
                 E = sum(np.real(self.psi.bond_expectation_value(h, i))
                         for i, h in enumerate(self.model.H_bonds))
@@ -93,5 +108,7 @@ class TEBDEngine:
         return self
 
     def energy(self) -> float:
-        return float(sum(np.real(self.psi.bond_expectation_value(h, i))
-                         for i, h in enumerate(self.model.H_bonds)))
+        """Total energy (finite) or energy per site (infinite)."""
+        e = float(sum(np.real(self.psi.bond_expectation_value(h, i))
+                      for i, h in enumerate(self.model.H_bonds)))
+        return e / self.psi.L if self.psi.bc == 'infinite' else e

@@ -105,3 +105,21 @@ def test_canonicalize_infinite():
         assert float(norm(E + (-1.) * eye)) < 1e-10
     e = model.energy(psi)
     assert abs(e - tfi_exact_infinite_gs_energy(1.0, g)) < 1e-10
+
+
+@pytest.mark.slow
+def test_itebd_ground_state():
+    """iTEBD (imaginary time, dt schedule, window re-canonicalization) reaches
+    the exact infinite TFI energy density."""
+    from cyten_tpu.algorithms.tebd import TEBDEngine
+
+    g = 1.5
+    model = TFIModel(L=2, J=1.0, g=g, conserve='parity', block_backend='numpy',
+                     bc='infinite')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 0],
+                                       backend=model.backend, bc='infinite')
+    for dt, n in [(0.1, 100), (0.02, 200), (0.005, 300)]:
+        eng = TEBDEngine(psi, model, dt=dt, chi_max=24, imaginary=True,
+                         canonicalize_every=5)
+        eng.run(n)
+    assert abs(eng.energy() - tfi_exact_infinite_gs_energy(1.0, g)) < 1e-8
