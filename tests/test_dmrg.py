@@ -332,3 +332,49 @@ def test_chi_bucketing_equivalence():
     assert Es[1] <= Es[0] + 1e-10              # padding only adds states
     assert all(int(m) % 4 == 0 for m in legs[1].multiplicities)
     assert int(legs[1].dim) >= int(legs[0].dim)
+
+
+def test_apply_mpo():
+    """Zip-up MPO application vs the dense oracle, and the eigenstate property
+    H|gs> = E|gs>."""
+    import functools
+
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mpo import apply_mpo
+    from cyten_tpu.tensors import tdot
+
+    L, g = 6, 1.2
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=8, eps=1e-14)
+    eng.run(n_sweeps=2)
+
+    def full_state(p):
+        s = p.get_theta1(0)
+        for i in range(1, L):
+            s = tdot(s, p.Bs[i].relabelled({'p': f'p{i}'}), 'vR', 'vL')
+        return np.asarray(s.to_dense_block()).reshape(-1)
+
+    sx = np.array([[0., 1.], [1., 0.]])
+    sz = np.diag([1., -1.])
+
+    def op(o, i):
+        mats = [np.eye(2)] * L
+        mats[i] = o
+        return functools.reduce(np.kron, mats)
+
+    H = sum(-op(sx, i) @ op(sx, i + 1) for i in range(L - 1)) \
+        + sum(-g * op(sz, i) for i in range(L))
+    ref = H @ full_state(psi)
+    phi, nrm = apply_mpo(psi, model.H_mpo, chi_max=32, eps=1e-14)
+    got = nrm * full_state(phi)
+    ph = np.vdot(got, ref) / np.linalg.norm(got) ** 2
+    assert np.linalg.norm(ref - ph * got) / np.linalg.norm(ref) < 1e-12
+
+    # eigenstate property after convergence
+    E = eng.run(n_sweeps=8, tol=1e-13)
+    phi, nrm = apply_mpo(psi, model.H_mpo, chi_max=16, eps=1e-14)
+    assert abs(nrm - abs(E)) < 1e-8
+    assert abs(abs(phi.overlap(psi)) - 1.) < 1e-8
