@@ -139,6 +139,31 @@ class HEffective(LinearOperator):
         return _heff_matvec_impl(self.LP, self.RP, self.W1, self.W2, theta)
 
 
+def _register_heff_pytree():
+    """HEffective as a jax pytree (tensor children, flags as aux data): lets the
+    fused Lanczos jit over whole operators and cache by structure."""
+    try:
+        from jax.tree_util import register_pytree_node
+    except ImportError:  # pragma: no cover
+        return
+
+    def flatten(h):
+        return (h.LP, h.RP, h.W1, h.W2), (h.use_jit, h.matmul_precision,
+                                          h.dtype)
+
+    def unflatten(aux, children):
+        obj = HEffective.__new__(HEffective)
+        obj.LP, obj.RP, obj.W1, obj.W2 = children
+        obj.use_jit, obj.matmul_precision, obj.dtype = aux
+        obj.vector_shape = None
+        return obj
+
+    register_pytree_node(HEffective, flatten, unflatten)
+
+
+_register_heff_pytree()
+
+
 class DMRGEngine:
     """Two-site DMRG sweeps with Lanczos ground-state search per bond."""
 

@@ -347,3 +347,26 @@ class DMRG1SEngine(DMRGEngine):
                 [B.get_leg_co_domain('vL'), B.get_leg_co_domain('p')], [Xe],
                 backend=B.backend, labels=['vL', 'p', 'vR'], dtype=B.dtype)
             return tensor_from_grid([[B, Z]], row_leg='vL', col_leg='vR')
+
+
+def _register_heff1_pytree():
+    """HEffective1 as a jax pytree (see dmrg._register_heff_pytree)."""
+    try:
+        from jax.tree_util import register_pytree_node
+    except ImportError:  # pragma: no cover
+        return
+
+    def flatten(h):
+        return (h.LP, h.RP, h.W), (h.use_jit, h.matmul_precision, h.dtype)
+
+    def unflatten(aux, children):
+        obj = HEffective1.__new__(HEffective1)
+        obj.LP, obj.RP, obj.W = children
+        obj.use_jit, obj.matmul_precision, obj.dtype = aux
+        obj.vector_shape = None
+        return obj
+
+    register_pytree_node(HEffective1, flatten, unflatten)
+
+
+_register_heff1_pytree()

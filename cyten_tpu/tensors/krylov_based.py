@@ -39,7 +39,10 @@ class KrylovBased:
         options = options or {}
         self.N_min = options.get('N_min', 3)
         self.N_max = options.get('N_max', 20)
-        self.E_tol = options.get('E_tol', np.inf)
+        # None disables the energy-difference criterion (default: the
+        # previous np.inf default made |E - E_old| < E_tol ALWAYS true, so
+        # every solve silently stopped at N_min iterations)
+        self.E_tol = options.get('E_tol', None)
         self.P_tol = options.get('P_tol', 1e-14)
         self.min_gap = options.get('min_gap', 1e-12)
         self.cutoff = options.get('cutoff', 1e-12)
@@ -134,7 +137,8 @@ class LanczosGroundState(KrylovBased):
             if beta < self.cutoff:
                 converged = True
             if k + 1 >= self.N_min:
-                if E_old is not None and abs(E - E_old) < self.E_tol:
+                if self.E_tol is not None and E_old is not None \
+                        and abs(E - E_old) < self.E_tol:
                     converged = True
                 # Ritz residual estimate: |beta * v0[-1]|
                 if abs(beta * v0[-1]) ** 2 < self.P_tol:
@@ -239,7 +243,8 @@ class Arnoldi(KrylovBased):
             v0 = evecs[:, sel]
             converged = beta < self.cutoff
             if k + 1 >= self.N_min and E_old is not None:
-                if abs(E - E_old) < self.E_tol or abs(beta * v0[-1]) ** 2 < self.P_tol:
+                if (self.E_tol is not None and abs(E - E_old) < self.E_tol) \
+                        or abs(beta * v0[-1]) ** 2 < self.P_tol:
                     converged = True
             E_old = E
             if converged or k == self.N_max - 1:
@@ -257,7 +262,133 @@ class Arnoldi(KrylovBased):
 def lanczos(H: LinearOperator, psi0: Tensor, options: dict = None
             ) -> tuple[float, Tensor, int]:
     """Ground state of a hermitian operator via Lanczos. Returns (E0, psi0, N)."""
+    if (options or {}).get('fused'):
+        return lanczos_fused(H, psi0, options)
     return LanczosGroundState(H, psi0, options).run()
+
+
+_FUSED_LANCZOS_CACHE: dict = {}
+
+
+def _union_embed(t, other):
+    """Embed `t` into the union of its and `other`'s block structure (zero-filled).
+
+    Both must be SymmetricTensors on the same legs with BlockSparseData-style
+    data (rows of block indices + a block list).
+    """
+    from ..backends.data import BlockSparseData
+
+    a, b = t.data, other.data
+    rows = {tuple(r): ('a', n) for n, r in enumerate(a.block_inds)}
+    for n, r in enumerate(b.block_inds):
+        rows.setdefault(tuple(r), ('b', n))
+    bb = t.backend.block_backend
+    blocks, inds = [], []
+    for r, (src, n) in rows.items():
+        if src == 'a':
+            blocks.append(a.blocks[n])
+        else:
+            blocks.append(bb.zeros(bb.get_shape(b.blocks[n]), a.dtype))
+        inds.append(r)
+    import numpy as _np
+
+    data = BlockSparseData(blocks, _np.array(inds, _np.intp).reshape(
+        len(inds), -1), a.dtype)
+    res = t.copy(deep=False)
+    res.data = data
+    return res
+
+
+def _structure_key(t):
+    return t.data.block_inds.tobytes()
+
+
+def _close_structure(H, psi0, max_rounds: int = 4):
+    """Grow psi0's block structure until it is a fixed point of H.matvec
+    (required so the fused scan's carry keeps a constant pytree shape)."""
+    psi = psi0
+    for _ in range(max_rounds):
+        w = H.matvec(psi)
+        if _structure_key(w) == _structure_key(psi):
+            return psi
+        psi = _union_embed(psi, w)
+    raise ValueError('matvec block structure did not close; cannot fuse')
+
+
+def lanczos_fused(H, psi0: Tensor, options: dict = None
+                  ) -> tuple[float, Tensor, int]:
+    """Whole-Lanczos ground-state search as ONE jitted device program.
+
+    Runs a fixed ``N_max`` iterations inside a single ``lax.scan`` (matvec,
+    orthogonalization, basis storage), solves the tridiagonal problem and
+    reconstructs the Ritz vector on device. On a remote/tunneled TPU this
+    replaces ~3 round trips per iteration (~30 ms each) with one dispatch per
+    Lanczos solve — the dominant cost of host-driven DMRG sweeps there.
+
+    Requires ``H`` to be a pytree whose ``matvec`` is jit-traceable (e.g.
+    :class:`~cyten_tpu.algorithms.dmrg.HEffective`); the Krylov basis
+    (``N_max`` state copies) is held in device memory.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    options = options or {}
+    N = int(options.get('N_max', 20))
+    key = (type(H), N)
+    fn = _FUSED_LANCZOS_CACHE.get(key)
+    if fn is None:
+        def impl(H, psi0):
+            nrm0 = norm(psi0)
+            v0 = scalar_multiply(1. / nrm0, psi0)
+            zero = scalar_multiply(0., v0)
+
+            def body(carry, _):
+                v, v_prev, beta_prev = carry
+                w = H.matvec(v)
+                alpha = inner(v, w, do_dagger=True)
+                alpha = alpha.real if hasattr(alpha, 'real') else alpha
+                w = linear_combination(1., w, -alpha, v)
+                w = linear_combination(1., w, -beta_prev, v_prev)
+                beta = norm(w)
+                # after Krylov closure (beta ~ 0) emit a ZERO vector, not
+                # w/tiny: garbage-amplified basis entries would otherwise leak
+                # into the reconstruction through f32 eigh roundoff
+                scale = jnp.where(beta > 1e-12, 1. / jnp.maximum(beta, 1e-30),
+                                  0.)
+                v_next = scalar_multiply(scale, w)
+                return (v_next, v, beta), (v, alpha, beta)
+
+            (_, _, _), (basis, alphas, betas) = jax.lax.scan(
+                body, (v0, zero, jnp.zeros(())), None, length=N)
+            # tridiagonal Ritz problem on device. A vanishing beta_k means the
+            # Krylov space closed at k; later alphas are garbage — mask them to
+            # +inf-ish diagonal so they cannot contaminate the ground state.
+            valid = jnp.concatenate([jnp.ones((1,), bool),
+                                     betas[:-1] > 1e-12])
+            valid = jnp.cumprod(valid).astype(bool)
+            # shift invalid diagonal entries above the valid spectrum by a
+            # Gershgorin-type bound — NOT a huge constant, which destroys the
+            # f32 eigh and silently returns garbage coefficients
+            a_v = jnp.where(valid, alphas, 0.)
+            bound = jnp.max(jnp.abs(a_v)) + 2. * jnp.max(betas) + 1.
+            T = jnp.diag(jnp.where(valid, alphas, bound)) \
+                + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), 1) \
+                + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), -1)
+            evals, evecs = jnp.linalg.eigh(T)
+            E = evals[0]
+            coeffs = evecs[:, 0]
+            theta = jax.tree.map(
+                lambda ys: jnp.tensordot(coeffs.astype(ys.dtype), ys,
+                                         axes=(0, 0)),
+                basis)
+            tnorm = norm(theta)
+            theta = scalar_multiply(1. / jnp.maximum(tnorm, 1e-30), theta)
+            return E, theta
+
+        fn = _FUSED_LANCZOS_CACHE[key] = jax.jit(impl)
+    psi0 = _close_structure(H, psi0)
+    E, theta = fn(H, psi0)
+    return float(E), theta, N
 
 
 def lanczos_arpack(H: LinearOperator, psi0: Tensor, options: dict = None):

@@ -106,3 +106,44 @@ def test_gram_schmidt(hermitian_op, np_random):
         for j, b in enumerate(ortho):
             expect = 1. if i == j else 0.
             assert abs(ct.inner(a, b) - expect) < 1e-10
+
+
+def test_lanczos_fused_matches_host():
+    """The single-dispatch fused Lanczos agrees with the host-driven loop."""
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.dmrg import HEffective
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.tensors import inner
+    from cyten_tpu.tensors.krylov_based import lanczos, lanczos_fused
+
+    L, g = 8, 1.2
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=16, eps=1e-13)
+    eng.sweep()
+    i = L // 2
+    H = HEffective(eng.LPs[i], eng.RPs[i + 1], model.H_mpo[i],
+                   model.H_mpo[i + 1])
+    theta0 = psi.get_theta2(i)
+    E_host, th_host, _ = lanczos(H, theta0, {'N_max': 25, 'P_tol': 1e-15})
+    E_fused, th_fused, _ = lanczos_fused(H, theta0, {'N_max': 25})
+    assert abs(E_host - E_fused) < 1e-10
+    ov = abs(complex(inner(th_host, th_fused, do_dagger=True)))
+    assert abs(ov - 1.) < 1e-8
+
+
+def test_dmrg_with_fused_lanczos():
+    """Full DMRG run with lanczos_options={'fused': True} hits the exact energy."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel, tfi_exact_finite_gs_energy
+
+    L, g = 8, 1.3
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=16, eps=1e-13,
+                     lanczos_options={'N_max': 20, 'fused': True})
+    E = eng.run(n_sweeps=8, tol=1e-12)
+    assert abs(E - tfi_exact_finite_gs_energy(L, 1., g)) < 1e-9
