@@ -190,6 +190,30 @@ def main():
                     [b.astype(np.float32).astype(jnp.bfloat16) if hasattr(b, 'astype') else b
                      for b in theta_blocks], out_A, jax, jnp, prec='default')
 
+    if 'B' in which:  # bond gate: W1*W2 prefused (3 tdot stages)
+        import cyten_tpu as ct
+        from cyten_tpu.tensors import tdot as cttdot
+        backend = ct.get_backend(ct.u1_symmetry, 'numpy')
+        from bench import build_workload
+        LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
+        G = cttdot(W1, W2, 'wR', 'wL')  # [wL, p0, p0*, p1, p1*, wR]
+
+        # record the 3-stage plans by running the fused chain
+        STAGES.clear()
+        _ = ab.AbelianBackend.tdot_data
+        ab.AbelianBackend.tdot_data = record_tdot
+        x = cttdot(theta, LP, 'vL', 'vR')
+        x = cttdot(x, G, ['p0', 'p1', 'wR'], ['p0*', 'p1*', 'wL'])
+        x = cttdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])
+        ab.AbelianBackend.tdot_data = _orig_tdot_data
+        for st in STAGES:
+            st['jb'] = [jnp.asarray(b) for b in st['b_blocks']]
+        g_fns = [stage_fn(st, jnp) for st in STAGES]
+        bench_chain('B  bond-gate 3-stage', lambda: lambda th: g_fns[2](g_fns[1](g_fns[0](th))),
+                    theta_blocks, None, jax, jnp)
+        bench_chain('B  bond-gate default', lambda: lambda th: g_fns[2](g_fns[1](g_fns[0](th))),
+                    theta_blocks, None, jax, jnp, prec='default')  # NOTE: clobbers STAGES; keep last
+
 
 if __name__ == '__main__':
     main()
