@@ -139,6 +139,51 @@ class HEffective(LinearOperator):
         return _heff_matvec_impl(self.LP, self.RP, self.W1, self.W2, theta)
 
 
+_STATIC_BOND_FN = {}
+
+
+def _get_static_bond_fn(N: int):
+    """Traceable body of a WHOLE steady-state DMRG bond update:
+    theta assembly, fused Lanczos, SVD, static-mask truncation, B-form
+    restore and both environment updates — a single device dispatch per bond
+    (vs ~60 host round trips; SURVEY §7 delta 4's two-phase truncation with a
+    frozen per-sector chi allocation)."""
+    if N in _STATIC_BOND_FN:
+        return _STATIC_BOND_FN[N]
+    import jax
+
+    from ..tensors import svd, svd_apply_mask
+    from ..tensors.krylov_based import fused_lanczos_impl
+
+    def impl(H, S_i, B_i, B_ip1, theta_tmpl, mask):
+        # theta0 = S_i B_i B_{i+1}, embedded into the closed block structure
+        th = scale_axis(B_i, S_i, 'vL').relabelled({'p': 'p0'})
+        th = tdot(th, B_ip1.relabelled({'p': 'p1'}), 'vR', 'vL')
+        th = permute_legs(th, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+        th = th + theta_tmpl                   # union with the closed structure
+        E, theta = fused_lanczos_impl(H, th, N)
+        thp = permute_legs(theta, codomain=['vL', 'p0'], domain=['vR', 'p1'])
+        U, S, Vh = svd(thp, new_labels=['vR', 'vL'])
+        U, S, Vh = svd_apply_mask(U, S, Vh, mask)
+        from ..tensors import scalar_multiply
+
+        nrm = norm(S)
+        S = scalar_multiply(1. / nrm, S)
+        A = U.relabelled({'p0': 'p'})
+        B = permute_legs(Vh, codomain=['vL', 'p1'],
+                         domain=['vR']).relabelled({'p1': 'p'})
+        Sinv = pinv(S_i, cutoff=1e-14)
+        new_B_i = scale_axis(scale_axis(A, Sinv, 'vL'), S, 'vR')
+        LP_new = _update_LP_impl(H.LP, H.W1.relabelled({'p0': 'p', 'p0*': 'p*'}),
+                                 A)
+        RP_new = _update_RP_impl(H.RP, H.W2.relabelled({'p1': 'p', 'p1*': 'p*'}),
+                                 B)
+        return E, new_B_i, S, B, LP_new, RP_new
+
+    fn = _STATIC_BOND_FN[N] = impl
+    return fn
+
+
 def _register_heff_pytree():
     """HEffective as a jax pytree (tensor children, flags as aux data): lets the
     fused Lanczos jit over whole operators and cache by structure."""
@@ -333,7 +378,82 @@ class DMRGEngine:
             self.update_bond(i)
         return self.E
 
+    # --- static (fully fused) steady-state mode --------------------------------------
+
+    def enable_static_mode(self, n_lanczos: int = 20):
+        """Freeze the current bond structures: subsequent sweeps run every bond
+        update as ONE jitted device program (theta assembly, Lanczos, SVD,
+        truncation to the frozen per-sector chi allocation, environment
+        updates). Call after the state has structurally converged — e.g. two
+        ordinary sweeps with ``pad_chi_multiple`` set. Intended for
+        remote/tunneled TPUs where each host dispatch costs a round trip."""
+        assert self.backend.block_backend.can_jit
+        assert not self.orthogonal_to, 'static mode: no excited-state search'
+        self.static_mode = True
+        self._static_n_lanczos = n_lanczos
+        self._static_cache = {}
+
+    def _static_entry(self, i: int):
+        entry = self._static_cache.get(i)
+        if entry is not None:
+            return entry
+        from ..dtypes import Dtype
+        from ..symmetries import ElementarySpace
+        from ..tensors import DiagonalTensor, Mask, scalar_multiply
+        from ..tensors.krylov_based import _close_structure
+
+        psi = self.psi
+        Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
+                          self.model.H_mpo[i + 1],
+                          matmul_precision=self.matmul_precision)
+        closed = _close_structure(Heff, psi.get_theta2(i))
+        theta_tmpl = scalar_multiply(0., closed)
+        thp = permute_legs(closed, codomain=['vL', 'p0'], domain=['vR', 'p1'])
+        full = ElementarySpace.from_largest_common_subspace(
+            thp.codomain, thp.domain, is_dual=False)
+        kept = psi.Ss[i + 1].leg
+        kept_map = {tuple(int(x) for x in s): int(m) for s, m in
+                    zip(kept.sector_decomposition, kept.multiplicities)}
+        bb = self.backend.block_backend
+
+        def func(shape, coupled):
+            k = kept_map.get(tuple(int(x) for x in np.asarray(coupled)), 0)
+            keep = np.zeros(shape[0], dtype=bool)
+            keep[:min(k, shape[0])] = True
+            return bb.as_block(keep, Dtype.bool)
+
+        diag = DiagonalTensor.from_sector_block_func(func, full,
+                                                     backend=self.backend)
+        mask = Mask.from_DiagonalTensor(diag)
+        # the mask (and zero template) must be trace-time CONSTANTS — mask
+        # application resolves data-dependent shapes host-side — so the jitted
+        # program closes over them (one compile per bond structure)
+        import jax
+
+        impl = _get_static_bond_fn(self._static_n_lanczos)
+        fn = jax.jit(lambda H, S_i, B_i, B_ip1: impl(
+            H, S_i, B_i, B_ip1, theta_tmpl, mask))
+        entry = self._static_cache[i] = fn
+        return entry
+
+    def _update_bond_static(self, i: int):
+        psi = self.psi
+        fn = self._static_entry(i)
+        Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
+                          self.model.H_mpo[i + 1],
+                          matmul_precision=self.matmul_precision)
+        E, new_B, S, B, LP_new, RP_new = fn(
+            Heff, psi.Ss[i], psi.Bs[i], psi.Bs[i + 1])
+        self.E = float(E)
+        psi.Bs[i] = new_B
+        psi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
+        psi.Bs[i + 1] = B
+        self.LPs[i + 1] = self._shard(LP_new, 'vR')
+        self.RPs[i] = self._shard(RP_new, 'vL')
+
     def update_bond(self, i: int):
+        if getattr(self, 'static_mode', False):
+            return self._update_bond_static(i)
         psi = self.psi
         Heff = HEffective(self.LPs[i], self.RPs[i + 1], self.model.H_mpo[i],
                           self.model.H_mpo[i + 1],

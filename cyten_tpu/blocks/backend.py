@@ -645,7 +645,13 @@ class JaxBlockBackend(BlockBackend):
         return block.at[idx, idx].set(diag)
 
     def apply_mask(self, block, mask, ax: int):
-        idx = self.xp.nonzero(mask)[0]
+        # resolve the kept indices HOST-side: masks are structural constants,
+        # and jnp.nonzero of even a constant is disallowed under jit (dynamic
+        # output shape). np.asarray works on closed-over concrete jax arrays
+        # during tracing; only the block itself stays traced.
+        if self._is_tracer(mask):
+            raise ValueError('mask data must be a trace-time constant')
+        idx = np.nonzero(np.asarray(mask))[0]
         return self.xp.take(block, idx, axis=ax)
 
     def matrix_exp(self, a):

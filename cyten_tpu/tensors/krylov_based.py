@@ -330,7 +330,6 @@ def lanczos_fused(H, psi0: Tensor, options: dict = None
     (``N_max`` state copies) is held in device memory.
     """
     import jax
-    import jax.numpy as jnp
 
     options = options or {}
     N = int(options.get('N_max', 20))
@@ -338,57 +337,65 @@ def lanczos_fused(H, psi0: Tensor, options: dict = None
     fn = _FUSED_LANCZOS_CACHE.get(key)
     if fn is None:
         def impl(H, psi0):
-            nrm0 = norm(psi0)
-            v0 = scalar_multiply(1. / nrm0, psi0)
-            zero = scalar_multiply(0., v0)
-
-            def body(carry, _):
-                v, v_prev, beta_prev = carry
-                w = H.matvec(v)
-                alpha = inner(v, w, do_dagger=True)
-                alpha = alpha.real if hasattr(alpha, 'real') else alpha
-                w = linear_combination(1., w, -alpha, v)
-                w = linear_combination(1., w, -beta_prev, v_prev)
-                beta = norm(w)
-                # after Krylov closure (beta ~ 0) emit a ZERO vector, not
-                # w/tiny: garbage-amplified basis entries would otherwise leak
-                # into the reconstruction through f32 eigh roundoff
-                scale = jnp.where(beta > 1e-12, 1. / jnp.maximum(beta, 1e-30),
-                                  0.)
-                v_next = scalar_multiply(scale, w)
-                return (v_next, v, beta), (v, alpha, beta)
-
-            (_, _, _), (basis, alphas, betas) = jax.lax.scan(
-                body, (v0, zero, jnp.zeros(())), None, length=N)
-            # tridiagonal Ritz problem on device. A vanishing beta_k means the
-            # Krylov space closed at k; later alphas are garbage — mask them to
-            # +inf-ish diagonal so they cannot contaminate the ground state.
-            valid = jnp.concatenate([jnp.ones((1,), bool),
-                                     betas[:-1] > 1e-12])
-            valid = jnp.cumprod(valid).astype(bool)
-            # shift invalid diagonal entries above the valid spectrum by a
-            # Gershgorin-type bound — NOT a huge constant, which destroys the
-            # f32 eigh and silently returns garbage coefficients
-            a_v = jnp.where(valid, alphas, 0.)
-            bound = jnp.max(jnp.abs(a_v)) + 2. * jnp.max(betas) + 1.
-            T = jnp.diag(jnp.where(valid, alphas, bound)) \
-                + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), 1) \
-                + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), -1)
-            evals, evecs = jnp.linalg.eigh(T)
-            E = evals[0]
-            coeffs = evecs[:, 0]
-            theta = jax.tree.map(
-                lambda ys: jnp.tensordot(coeffs.astype(ys.dtype), ys,
-                                         axes=(0, 0)),
-                basis)
-            tnorm = norm(theta)
-            theta = scalar_multiply(1. / jnp.maximum(tnorm, 1e-30), theta)
-            return E, theta
+            return fused_lanczos_impl(H, psi0, N)
 
         fn = _FUSED_LANCZOS_CACHE[key] = jax.jit(impl)
     psi0 = _close_structure(H, psi0)
     E, theta = fn(H, psi0)
     return float(E), theta, N
+
+
+def fused_lanczos_impl(H, psi0, N: int):
+    """Traceable body of :func:`lanczos_fused` (usable inside larger jits).
+
+    ``psi0``'s block structure must be a fixed point of ``H.matvec`` (see
+    ``_close_structure``). Returns ``(E, theta)`` as traced values.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nrm0 = norm(psi0)
+    v0 = scalar_multiply(1. / nrm0, psi0)
+    zero = scalar_multiply(0., v0)
+
+    def body(carry, _):
+        v, v_prev, beta_prev = carry
+        w = H.matvec(v)
+        alpha = inner(v, w, do_dagger=True)
+        alpha = alpha.real if hasattr(alpha, 'real') else alpha
+        w = linear_combination(1., w, -alpha, v)
+        w = linear_combination(1., w, -beta_prev, v_prev)
+        beta = norm(w)
+        # after Krylov closure (beta ~ 0) emit a ZERO vector, not w/tiny:
+        # garbage-amplified basis entries would otherwise leak into the
+        # reconstruction through f32 eigh roundoff
+        scale = jnp.where(beta > 1e-12, 1. / jnp.maximum(beta, 1e-30), 0.)
+        v_next = scalar_multiply(scale, w)
+        return (v_next, v, beta), (v, alpha, beta)
+
+    (_, _, _), (basis, alphas, betas) = jax.lax.scan(
+        body, (v0, zero, jnp.zeros(())), None, length=N)
+    # tridiagonal Ritz problem on device. A vanishing beta_k means the Krylov
+    # space closed at k; later alphas are garbage — mask them out.
+    valid = jnp.concatenate([jnp.ones((1,), bool), betas[:-1] > 1e-12])
+    valid = jnp.cumprod(valid).astype(bool)
+    # shift invalid diagonal entries above the valid spectrum by a
+    # Gershgorin-type bound — NOT a huge constant, which destroys the f32
+    # eigh and silently returns garbage coefficients
+    a_v = jnp.where(valid, alphas, 0.)
+    bound = jnp.max(jnp.abs(a_v)) + 2. * jnp.max(betas) + 1.
+    T = jnp.diag(jnp.where(valid, alphas, bound)) \
+        + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), 1) \
+        + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    E = evals[0]
+    coeffs = evecs[:, 0]
+    theta = jax.tree.map(
+        lambda ys: jnp.tensordot(coeffs.astype(ys.dtype), ys, axes=(0, 0)),
+        basis)
+    tnorm = norm(theta)
+    theta = scalar_multiply(1. / jnp.maximum(tnorm, 1e-30), theta)
+    return E, theta
 
 
 def lanczos_arpack(H: LinearOperator, psi0: Tensor, options: dict = None):

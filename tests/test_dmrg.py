@@ -378,3 +378,24 @@ def test_apply_mpo():
     phi, nrm = apply_mpo(psi, model.H_mpo, chi_max=16, eps=1e-14)
     assert abs(nrm - abs(E)) < 1e-8
     assert abs(abs(phi.overlap(psi)) - 1.) < 1e-8
+
+
+def test_static_mode_dmrg():
+    """Static (fully fused) steady-state mode: each bond update is one jitted
+    program with a frozen per-sector chi allocation; energies match the
+    dynamic engine to machine precision."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel, tfi_exact_finite_gs_energy
+
+    L, g = 10, 1.2
+    E_exact = tfi_exact_finite_gs_energy(L, 1., g)
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=16, eps=1e-12)
+    for _ in range(3):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=20)
+    for _ in range(3):
+        E = eng.sweep()
+    assert abs(E - E_exact) < 1e-10
