@@ -147,3 +147,20 @@ def test_dmrg_with_fused_lanczos():
                      lanczos_options={'N_max': 20, 'fused': True})
     E = eng.run(n_sweeps=8, tol=1e-12)
     assert abs(E - tfi_exact_finite_gs_energy(L, 1., g)) < 1e-9
+
+
+def test_fused_lanczos_su2():
+    """The fused path also traces through the fusion-tree (SU(2)) backend."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import (
+        HeisenbergModel, heisenberg_exact_finite_gs_energy,
+    )
+
+    L = 8
+    model = HeisenbergModel(L=L, conserve='SU(2)', block_backend='jax')
+    psi = SimpleMPS.from_singlet_pairs(model.site_legs[0], L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=16, eps=1e-12,
+                     lanczos_options={'N_max': 20, 'fused': True})
+    E = eng.run(n_sweeps=6, tol=1e-12)
+    assert abs(E - heisenberg_exact_finite_gs_energy(L, 1.0)) < 1e-10
