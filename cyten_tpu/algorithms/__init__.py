@@ -5,7 +5,7 @@ models b_model.py, DMRGEngine d_dmrg.py:117), promoted to a package of the frame
 """
 
 from .mps import SimpleMPS, split_truncate_theta
-from .mpo import apply_mpo
+from .mpo import add_mpos, apply_mpo, compress_mpo
 from .models import (
     FermiHubbardModel, HeisenbergModel, TFIModel, heisenberg_exact_finite_gs_energy,
     mpo_from_bond_op, mpo_from_bond_ops, tfi_exact_finite_gs_energy,
@@ -18,7 +18,7 @@ from .models import tfi_exact_infinite_gs_energy
 from .tebd import TEBDEngine
 from .tdvp import TDVP2Engine, TDVPEngine
 
-__all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'TFIModel', 'HeisenbergModel',
+__all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compress_mpo', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel', 'SpinChainModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',

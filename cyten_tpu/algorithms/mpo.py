@@ -84,3 +84,65 @@ def apply_mpo(psi: SimpleMPS, mpos, chi_max: int = None, eps: float = 1e-14,
     if canonicalize:
         phi.canonicalize(normalize=True)
     return phi, nrm
+
+
+def add_mpos(mpos_a, mpos_b):
+    """The MPO of the operator sum: block-diagonal on the virtual legs
+    (boundary sites stack as row/column vectors)."""
+    from ..tensors import tensor_from_grid
+
+    L = len(mpos_a)
+    assert len(mpos_b) == L
+    out = []
+    for i in range(L):
+        A, B = mpos_a[i], mpos_b[i]
+        if L == 1:
+            out.append(A + B)
+        elif i == 0:
+            out.append(tensor_from_grid([[A, B]], row_leg='wL', col_leg='wR'))
+        elif i == L - 1:
+            out.append(tensor_from_grid([[A], [B]], row_leg='wL', col_leg='wR'))
+        else:
+            out.append(tensor_from_grid([[A, None], [None, B]], row_leg='wL',
+                                        col_leg='wR'))
+    return out
+
+
+def compress_mpo(mpos, chi_max: int = None, eps: float = 1e-12):
+    """SVD-compress the virtual bonds of a finite MPO (in operator 2-norm).
+
+    Left-to-right QR sweep into left-isometric form, then a right-to-left
+    truncating SVD sweep — the finite-MPS canonicalization applied to the MPO
+    viewed as an MPS with a doubled physical leg.
+    """
+    from ..tensors import (
+        combine_legs, qr, split_legs, svd, svd_apply_mask,
+        truncate_singular_values,
+    )
+
+    L = len(mpos)
+    Ws = [W for W in mpos]
+    # pass 1: left-to-right QR (combine [wL, p, p*] vs [wR])
+    for i in range(L - 1):
+        W = permute_legs(Ws[i], codomain=['wL', 'p', 'p*'], domain=['wR'])
+        Q, R = qr(W, new_labels=['wR', 'wL'])
+        Ws[i] = Q
+        Ws[i + 1] = tdot(R, Ws[i + 1], 'wR', 'wL')
+        Ws[i + 1] = permute_legs(Ws[i + 1], codomain=['wL', 'p'],
+                                 domain=['p*', 'wR'])
+    # pass 2: right-to-left truncating SVD
+    for i in range(L - 1, 0, -1):
+        W = permute_legs(Ws[i], codomain=['wL'], domain=['wR', 'p', 'p*'])
+        U, S, Vh = svd(W, new_labels=['wR', 'wL'])
+        if chi_max is not None or eps:
+            mask, err, _ = truncate_singular_values(S, chi_max=chi_max,
+                                                    svd_min=eps)
+            U, S, Vh = svd_apply_mask(U, S, Vh, mask)
+        Ws[i] = permute_legs(Vh, codomain=['wL', 'p'], domain=['p*', 'wR'])
+        carry = tdot(U, S.as_SymmetricTensor(), 'wR', 'wL')  # [wL; wR]
+        Ws[i - 1] = tdot(Ws[i - 1], carry, 'wR', 'wL')
+        Ws[i - 1] = permute_legs(Ws[i - 1], codomain=['wL', 'p'],
+                                 domain=['p*', 'wR'])
+    # restore the standard [wL, p, wR, p*] leg order/labels
+    return [permute_legs(W, codomain=['wL', 'p'], domain=['p*', 'wR'])
+            for W in Ws]

@@ -399,3 +399,25 @@ def test_static_mode_dmrg():
     for _ in range(3):
         E = eng.sweep()
     assert abs(E - E_exact) < 1e-10
+
+
+def test_mpo_sum_and_compression():
+    """add_mpos (block-diagonal virtual sum) and compress_mpo (QR+SVD sweeps)
+    are exact: <H+H> == 2<H>, and compression recovers the minimal bond dims."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import HeisenbergModel
+    from cyten_tpu.algorithms.mpo import add_mpos, compress_mpo
+
+    L = 8
+    model = HeisenbergModel(L=L, conserve='Sz', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),
+                                       backend=model.backend)
+    DMRGEngine(psi, model, chi_max=24, eps=1e-12).run(n_sweeps=6)
+    E = psi.expectation_value_mpo(model.H_mpo)
+    H2 = add_mpos(model.H_mpo, model.H_mpo)
+    assert abs(psi.expectation_value_mpo(H2) - 2 * E) < 1e-10
+    assert int(H2[1].get_leg_co_domain('wR').dim) == 10
+    H2c = compress_mpo(H2, eps=1e-10)
+    dims = [int(W.get_leg_co_domain('wR').dim) for W in H2c[:-1]]
+    assert max(dims) <= 5  # compression recovers the minimal MPO rank
+    assert abs(psi.expectation_value_mpo(H2c) - 2 * E) < 1e-10
