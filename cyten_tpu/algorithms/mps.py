@@ -471,3 +471,17 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
     A = U.relabelled({'p0': 'p'})
     B = permute_legs(Vh, codomain=['vL', 'p1'], domain=['vR']).relabelled({'p1': 'p'})
     return A, S, B, err
+
+
+def _register_mps_serialization():
+    """SimpleMPS in the typed persistence schema (tools.hdf5_io / tools.checkpoint)."""
+    from ..tools.hdf5_io import from_tree, register_tree_type
+
+    register_tree_type(
+        'SimpleMPS', SimpleMPS,
+        lambda m: {'Bs': m.Bs, 'Ss': m.Ss, 'bc': m.bc},
+        lambda tree: SimpleMPS(from_tree(tree['Bs']), from_tree(tree['Ss']),
+                               bc=str(tree['bc'])))
+
+
+_register_mps_serialization()

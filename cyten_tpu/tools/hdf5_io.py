@@ -21,10 +21,45 @@ import numpy as np
 from ..dtypes import Dtype
 
 __all__ = ['Hdf5Exportable', 'save', 'load', 'save_hdf5', 'load_hdf5', 'to_tree', 'from_tree',
-           'Hdf5Saver', 'Hdf5Loader']
+           'Hdf5Saver', 'Hdf5Loader', 'register_tree_type', 'save_tree_hdf5',
+           'load_tree_hdf5']
 
 
 # --- object <-> dict-tree schema ----------------------------------------------------------
+
+#: optional hooks used by tools.checkpoint to keep dense blocks OUT of the typed
+#: structure tree (they are stored via orbax instead; the tree holds ArrayRef nodes)
+_BLOCK_LEAF_HOOK = None
+_BLOCK_RESOLVE_HOOK = None
+
+#: registry for additional composite types (e.g. SimpleMPS): name -> (cls, to_fn, from_fn)
+_TREE_TYPES: dict = {}
+
+
+def register_tree_type(name: str, cls, to_fn, from_fn):
+    """Register a composite type for the typed to_tree/from_tree schema.
+
+    ``to_fn(obj) -> dict`` of already-supported values; ``from_fn(dict) -> obj``
+    receives the dict with values still in tree form (call :func:`from_tree` on
+    them as needed).
+    """
+    _TREE_TYPES[name] = (cls, to_fn, from_fn)
+
+
+def _leaf(block):
+    """Convert a dense block for the tree (hookable; see tools.checkpoint)."""
+    if _BLOCK_LEAF_HOOK is not None:
+        ref = _BLOCK_LEAF_HOOK(block)
+        if ref is not None:
+            return ref
+    return np.asarray(block)
+
+
+def _unleaf(node):
+    """Inverse of :func:`_leaf`: resolve ArrayRef nodes through the restore hook."""
+    if isinstance(node, dict) and node.get('__type__') == 'ArrayRef':
+        return _BLOCK_RESOLVE_HOOK(int(node['index']))
+    return np.asarray(node)
 
 
 def to_tree(obj):
@@ -76,10 +111,10 @@ def to_tree(obj):
                         MaskBlockData)):
         tree = {'__type__': type(obj).__name__}
         if isinstance(obj, DenseData):
-            tree['block'] = np.asarray(obj.block)
+            tree['block'] = _leaf(obj.block)
             tree['dtype'] = to_tree(obj.dtype)
         else:
-            tree['blocks'] = [np.asarray(b) for b in obj.blocks]
+            tree['blocks'] = [_leaf(b) for b in obj.blocks]
             tree['block_inds'] = np.asarray(obj.block_inds)
             if not isinstance(obj, MaskBlockData):
                 tree['dtype'] = to_tree(obj.dtype)
@@ -106,6 +141,12 @@ def to_tree(obj):
                 'codomain': to_tree(obj.codomain), 'domain': to_tree(obj.domain),
                 'backend': obj.backend.block_backend.name,
                 'labels': to_tree(obj.labels)}
+    # registered composite types (SimpleMPS etc.)
+    for name, (cls, to_fn, _) in _TREE_TYPES.items():
+        if isinstance(obj, cls):
+            tree = {k: to_tree(v) for k, v in to_fn(obj).items()}
+            tree['__type__'] = name
+            return tree
     # fallback: objects exposing to_tree/from_tree
     if hasattr(obj, 'to_tree'):
         tree = obj.to_tree()
@@ -159,14 +200,14 @@ def from_tree(tree):
                              symmetry=from_tree(tree['symmetry']))
     if t == 'DenseData':
         dtype = from_tree(tree['dtype'])
-        return DenseData(np.asarray(tree['block']), dtype)
+        return DenseData(_unleaf(tree['block']), dtype)
     if t in ('BlockSparseData', 'DiagonalBlockData'):
         cls = BlockSparseData if t == 'BlockSparseData' else DiagonalBlockData
-        return cls([np.asarray(b) for b in tree['blocks']],
+        return cls([_unleaf(b) for b in tree['blocks']],
                    np.asarray(tree['block_inds']), from_tree(tree['dtype']),
                    is_sorted=True)
     if t == 'MaskBlockData':
-        return MaskBlockData([np.asarray(b) for b in tree['blocks']],
+        return MaskBlockData([_unleaf(b) for b in tree['blocks']],
                              np.asarray(tree['block_inds']), is_sorted=True)
     if t == 'SymmetricTensor':
         codomain = from_tree(tree['codomain'])
@@ -192,6 +233,8 @@ def from_tree(tree):
         inv = from_tree(tree['invariant_part'])
         state = tree['charged_state']
         return ChargedTensor(inv, None if state is None else np.asarray(state))
+    if t in _TREE_TYPES:
+        return _TREE_TYPES[t][2](tree)
     raise TypeError(f'cannot deserialize node of type {t!r}')
 
 
@@ -319,6 +362,22 @@ def load_hdf5(filename: str, path: str = '/'):
 
     with h5py.File(filename, 'r') as f:
         return Hdf5Loader(f).load(path)
+
+
+def save_tree_hdf5(tree, filename: str, path: str = '/'):
+    """Write an already-converted dict tree (see :func:`to_tree`) to HDF5."""
+    import h5py
+
+    with h5py.File(filename, 'w') as f:
+        Hdf5Saver(f)._write(f, path.strip('/') or 'root', tree)
+
+
+def load_tree_hdf5(filename: str, path: str = '/'):
+    """Read the raw dict tree back (inverse of :func:`save_tree_hdf5`)."""
+    import h5py
+
+    with h5py.File(filename, 'r') as f:
+        return Hdf5Loader(f)._read(f[path.strip('/') or 'root'])
 
 
 def save(obj, filename: str):

@@ -70,6 +70,32 @@ def test_checkpoint_roundtrip(u1_tensor, tmp_path):
     restored = load_checkpoint(path)
     np.testing.assert_allclose(np.asarray(restored['psi'].to_numpy()),
                                u1_tensor.to_numpy(), atol=1e-14)
+    # no pickle anywhere in the checkpoint directory (typed schema + orbax only)
+    import os
+    for root, _, files in os.walk(path):
+        assert not any(f.endswith('.pkl') for f in files)
+
+
+def test_checkpoint_async_mps(tmp_path):
+    """async_save actually writes (after wait) and SimpleMPS round-trips whole."""
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mps import SimpleMPS
+    from cyten_tpu.tools.checkpoint import (
+        load_checkpoint, save_checkpoint, wait_for_saves,
+    )
+
+    model = TFIModel(L=4, J=1., g=1.5, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * 4,
+                                       backend=model.backend)
+    path = str(tmp_path / 'ckpt_mps')
+    save_checkpoint(path, psi, async_save=True)
+    wait_for_saves()
+    restored = load_checkpoint(path)
+    assert isinstance(restored, SimpleMPS)
+    assert restored.L == psi.L and restored.bc == psi.bc
+    for B1, B2 in zip(psi.Bs, restored.Bs):
+        np.testing.assert_allclose(np.asarray(B2.to_numpy()), B1.to_numpy(),
+                                   atol=1e-14)
 
 
 def test_speigs(np_random):
