@@ -53,12 +53,28 @@ _SYMMETRIES = {
     'Z4': ct.z4_symmetry,
     'U1xZ3': ct.u1_symmetry * ct.z3_symmetry.factors[0],
     'SU2': ct.su2_symmetry,  # non-abelian: exercises the fusion-tree backend
+    # braided symmetries (reference conftest.py:239-251 fixture matrix):
+    'fermion': ct.fermion_parity,           # graded, symmetric braid (signs)
+    'FermionNumber': ct.fermion_number,
+    'FibonacciAnyon': ct.fibonacci_anyon_category,   # no dense representation
+    'IsingAnyon': ct.ising_anyon_category,
+    'FibU1': ct.fibonacci_anyon_category * ct.u1_symmetry.factors[0],
 }
 
 
 @pytest.fixture(params=list(_SYMMETRIES.keys()))
 def any_symmetry(request):
     return _SYMMETRIES[request.param]
+
+
+def braid_levels(symmetry, num_legs, rng=None):
+    """Levels to pass to braiding ops: None when the braid is symmetric (then the
+    chirality doesn't matter), else an explicit assignment."""
+    if symmetry.has_symmetric_braid:
+        return None
+    if rng is not None:
+        return list(rng.permutation(num_legs))
+    return list(range(num_legs))
 
 
 @pytest.fixture

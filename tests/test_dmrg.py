@@ -317,16 +317,16 @@ def test_chi_bucketing_equivalence():
     from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
     from cyten_tpu.algorithms.models import HeisenbergModel
 
-    L = 10
-    model = HeisenbergModel(L=L, conserve='Sz', block_backend='jax')
+    L = 8  # smaller than round 1 (L=10/chi=12/6 sweeps = 202 s) — same property
+    model = HeisenbergModel(L=L, conserve='Sz', block_backend='numpy')  # numpy: the padding equivalence is backend-independent; jax DMRG is covered elsewhere
     Es = []
     legs = []
     for pad in (None, 4):
         psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),
                                            backend=model.backend)
-        eng = DMRGEngine(psi, model, chi_max=12, eps=1e-12,
+        eng = DMRGEngine(psi, model, chi_max=8, eps=1e-12,
                          pad_chi_multiple=pad)
-        Es.append(eng.run(n_sweeps=6, tol=1e-12))
+        Es.append(eng.run(n_sweeps=5, tol=1e-12))
         legs.append(psi.Bs[L // 2].get_leg_co_domain('vL'))
     assert abs(Es[0] - Es[1]) < 1e-4           # same physics
     assert Es[1] <= Es[0] + 1e-10              # padding only adds states

@@ -245,7 +245,7 @@ def test_spin1_heisenberg_vs_ed():
     from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
     from cyten_tpu.algorithms.models import SpinChainModel
 
-    L = 8
+    L = 6  # keep the suite fast: L=8/chi=48 proved nothing more (228 s vs 1e-8)
     model = SpinChainModel(L=L, S=1.0, conserve='Sz', block_backend='numpy')
     sz = np.diag([1., 0., -1.])
     spm = np.zeros((3, 3))
@@ -261,7 +261,7 @@ def test_spin1_heisenberg_vs_ed():
     E_ed = spla.eigsh(sp_.csr_matrix(H), k=1, which='SA')[0][0]
     psi = SimpleMPS.from_product_state(model.site_legs, [0, 2] * (L // 2),
                                        backend=model.backend)
-    E = DMRGEngine(psi, model, chi_max=48, eps=1e-13).run(n_sweeps=8)
+    E = DMRGEngine(psi, model, chi_max=32, eps=1e-13).run(n_sweeps=6)
     assert abs(E - E_ed) < 1e-8
 
 
