@@ -6,8 +6,14 @@ inserting the collectives (psum for contracted sharded axes, all-gathers for glo
 truncation decisions).
 """
 
-from .sharding import make_mesh, replicate_tensor, shard_tensor
+from .sharding import (
+    make_mesh, replicate_tensor, shard_tensor, shard_tensor_sectors,
+)
 from .truncation import device_truncation_masks, global_truncate
+from .multihost import (
+    initialize_distributed, make_global_mesh, shard_tensor_global,
+)
 
-__all__ = ['make_mesh', 'shard_tensor', 'replicate_tensor',
-           'device_truncation_masks', 'global_truncate']
+__all__ = ['make_mesh', 'shard_tensor', 'shard_tensor_sectors',
+           'replicate_tensor', 'device_truncation_masks', 'global_truncate',
+           'initialize_distributed', 'make_global_mesh', 'shard_tensor_global']
