@@ -29,12 +29,15 @@ def build_workload(backend, chi=2048, seed=0):
         u1_symmetry, np.array([[0], [2], [-2], [0], [0]]), unique_sectors=False)
 
     LP = SymmetricTensor.from_random_normal(
-        [v_leg], [w_leg, v_leg], backend=backend, labels=['vR*', 'vR', 'wR'], rng=rng)
+        [v_leg], [v_leg, w_leg], backend=backend,
+        labels=[['vR*'], ['vR', 'wR']], rng=rng)
     RP = SymmetricTensor.from_random_normal(
         [v_leg, w_leg], [v_leg], backend=backend, labels=['vL', 'wL', 'vL*'], rng=rng)
+    # leg layout matches the model MPOs (legs [wL, p, wR, p*], domain [p*, wR])
+    # so the env-update composes in the fused step see the same structure
     W = SymmetricTensor.from_random_normal(
-        [w_leg, p_leg], [w_leg, p_leg], backend=backend,
-        labels=['wL', 'p', 'p*', 'wR'], rng=rng)
+        [w_leg, p_leg], [p_leg, w_leg], backend=backend,
+        labels=['wL', 'p', 'wR', 'p*'], rng=rng)
     theta = SymmetricTensor.from_random_normal(
         [v_leg, p_leg, p_leg], [v_leg], backend=backend,
         labels=['vL', 'p0', 'p1', 'vR'], rng=rng)

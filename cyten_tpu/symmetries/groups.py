@@ -343,13 +343,19 @@ class SUN(Group):
     fusion_tensor_dtype = Dtype.float64
 
     def __init__(self, N: int, CGfile: str | None = None, Ffile: str | None = None,
-                 Rfile: str | None = None, descriptive_name: str | None = None):
+                 Rfile: str | None = None, cache_file: str | None = None,
+                 descriptive_name: str | None = None):
         assert isinstance(N, (int, np.integer)) and N >= 2
         self.N = int(N)
         self.CGfile = CGfile
         self.Ffile = Ffile
         self.Rfile = Rfile
+        #: optional HDF5 path: computed CG tensors are persisted here and reused
+        #: across sessions (native disk cache; CG generation for SU(N >= 4)
+        #: sectors of dim ~100 takes seconds each and is worth caching once)
+        self.cache_file = cache_file
         self._h5 = {}
+        self._disk = None
         Group.__init__(self, fusion_style=FusionStyle.general,
                        trivial_sector=np.zeros(self.N, dtype=int),
                        group_name=f'SU({N})', num_sectors=np.inf,
@@ -358,7 +364,37 @@ class SUN(Group):
 
     def _init_args(self) -> dict:
         return {'N': self.N, 'CGfile': self.CGfile, 'Ffile': self.Ffile,
-                'Rfile': self.Rfile}
+                'Rfile': self.Rfile, 'cache_file': self.cache_file}
+
+    # --- disk cache (native format: flat keys, one dataset per CG tensor) -----------
+
+    def _disk_cache(self):
+        if self._disk is None and self.cache_file is not None:
+            import h5py
+
+            self._disk = h5py.File(self.cache_file, 'a')
+            self._disk.attrs['N'] = self.N
+        return self._disk
+
+    def _disk_get(self, ta, tb, tc):
+        disk = self._disk_cache()
+        if disk is None:
+            return None
+        key = 'CG/' + self._group_name([ta, tb, tc])
+        if key in disk:
+            X = np.asarray(disk[key])
+            X.setflags(write=False)
+            return X
+        return None
+
+    def _disk_put(self, ta, tb, tc, X):
+        disk = self._disk_cache()
+        if disk is None:
+            return
+        key = 'CG/' + self._group_name([ta, tb, tc])
+        if key not in disk:
+            disk.create_dataset(key, data=np.asarray(X))
+            disk.flush()
 
     def is_valid_sector(self, a: Sector) -> bool:
         if getattr(a, 'shape', ()) != (self.N,):
@@ -452,9 +488,10 @@ class SUN(Group):
         X_ae_d = self._native_cg(a, e, d)
         X_ab_f = self._native_cg(a, b, f)
         X_fc_d = self._native_cg(f, c, d)
-        right = np.einsum('ubcE,vaEd->uvabcd', X_bc_e, X_ae_d)
-        left = np.einsum('kabF,lFcd->klabcd', X_ab_f, X_fc_d)
-        F = np.einsum('uvabcd,klabcd->uvkl', right, left) / self.sector_dim(d)
+        # pairwise contractions; never materialize the rank-6 [u,v,a,b,c,d]
+        # overlap tensor (it reaches GBs for SU(N>=4) sectors of dim ~100+)
+        F = np.einsum('ubcE,vaEd,kabF,lFcd->uvkl', X_bc_e, X_ae_d, X_ab_f,
+                      X_fc_d, optimize=True) / self.sector_dim(d)
         return F
 
     def _r_symbol(self, a, b, c) -> np.ndarray:
@@ -515,14 +552,17 @@ class SUN(Group):
             X = np.ascontiguousarray(
                 self._native_cg(b, a, c).transpose(0, 2, 1, 3))
         else:
-            mult = self._n_symbol(np.array(ta), np.array(tb), np.array(tc))
-            X = sun_cg.clebsch_gordan(ta, tb, tc, mult)
-            if ta == tb and X.shape[0] >= 1:
-                # rotate the multiplicity basis to diagonalize the exchange
-                S = np.einsum('uabm,vbam->uv', X, X)
-                if not np.allclose(S, np.diag(np.diag(S)), atol=1e-10):
-                    w, V = np.linalg.eigh((S + S.T) / 2.)
-                    X = np.einsum('uv,uabm->vabm', V, X)
+            X = self._disk_get(ta, tb, tc)
+            if X is None:
+                mult = self._n_symbol(np.array(ta), np.array(tb), np.array(tc))
+                X = sun_cg.clebsch_gordan(ta, tb, tc, mult)
+                if ta == tb and X.shape[0] >= 1:
+                    # rotate the multiplicity basis to diagonalize the exchange
+                    S = np.einsum('uabm,vbam->uv', X, X)
+                    if not np.allclose(S, np.diag(np.diag(S)), atol=1e-10):
+                        w, V = np.linalg.eigh((S + S.T) / 2.)
+                        X = np.einsum('uv,uabm->vabm', V, X)
+                self._disk_put(ta, tb, tc, X)
         X.setflags(write=False)
         self._cache[key] = X
         return X
