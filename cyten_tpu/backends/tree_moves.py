@@ -47,6 +47,16 @@ CUTOFF = 1e-16
 _LB_DM = False
 
 
+def _rotation_direction(rot: int, n_flat: int) -> int:
+    """Signed rotation for the planar path: the shorter way around.
+
+    Module-level so tests can force the long direction and verify the coherence
+    of the left-bend composites against the pure-right route
+    (test_fusion_tree_backend.py::test_lb_dm_chirality).
+    """
+    return rot if rot <= n_flat // 2 else rot - n_flat
+
+
 @dataclass(frozen=True)
 class PlanEntry:
     old_block_key: tuple  # (i, j) into old (co)domain sector decompositions
@@ -291,7 +301,7 @@ def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
     if rot is not None:
         K_new = len(target_cod)
         # choose the shorter rotation direction; walk the two boundary cuts
-        rot_signed = rot if rot <= n_flat // 2 else rot - n_flat
+        rot_signed = _rotation_direction(rot, n_flat)
         left, right = 0, Jf
         target_left, target_right = rot_signed, rot_signed + K_new
         while (left, right) != (target_left, target_right):

@@ -774,8 +774,13 @@ def inner(A: Tensor, B: Tensor, do_dagger: bool = True):
     return backend.inner(A, B, do_dagger=do_dagger)
 
 
-def partial_trace(tensor: Tensor, *pairs, levels=None):
-    """Trace out pairs of legs. Returns a scalar if all legs are traced."""
+def partial_trace(tensor: Tensor, *pairs, levels=None, _allow_fallback=True):
+    """Trace out pairs of legs. Returns a scalar if all legs are traced.
+
+    For symmetries with non-symmetric braiding, pairs that cross (or wrap open
+    legs) need explicit ``levels``; planar (non-crossing, nesting) pair
+    configurations work without them.
+    """
     pairs = [tensor.get_leg_idcs(pair) for pair in pairs]
     traced = [l for pair in pairs for l in pair]
     if duplicate_entries(traced):
@@ -808,31 +813,62 @@ def partial_trace(tensor: Tensor, *pairs, levels=None):
         data, is_scalar_ = tensor.backend.partial_trace(tensor, pairs, levels,
                                                         new_codomain, new_domain)
     except NotImplementedError:
-        # generic fallback: contract each pair with an explicit cap (bent identity);
-        # bends are implemented by every backend (anyons included)
-        return _partial_trace_via_caps(tensor, pairs)
+        if not _allow_fallback:
+            raise SymmetryError(
+                'backend cannot trace this pair without levels')
+        # the backend handles the pairs in one shot only when it can make every
+        # pair adjacent without unprovided braid chiralities; otherwise trace
+        # planar configurations iteratively (innermost pair first, cyclic
+        # rotation for the wrapping pair) — exact for anyons without levels
+        return _partial_trace_planar(tensor, pairs)
     if is_scalar_:
         return data
     labels = [l for i, l in enumerate(tensor._labels) if i not in traced]
     return SymmetricTensor(data, new_codomain, new_domain, tensor.backend, labels)
 
 
-def _partial_trace_via_caps(tensor: Tensor, pairs):
+def _partial_trace_planar(tensor: Tensor, pairs):
+    """Trace non-crossing pairs without braid levels, exactly (anyons included).
+
+    Planarity argument: non-crossing pairs form balanced parentheses on the
+    circle of legs. An innermost pair is adjacent (no untraced leg between its
+    members) and can be traced directly by the backend; the pair wrapping the
+    cyclic boundary (first & last leg) becomes adjacent after a planar cyclic
+    rotation (bends only). Any other non-adjacent pair wraps *open* legs — its
+    cap would have to braid past them, which is ambiguous without levels.
+    """
+    from itertools import combinations
+
+    for (a, b), (c, d) in combinations([tuple(sorted(p)) for p in pairs], 2):
+        if a < c < b < d or c < a < d < b:
+            raise SymmetryError(
+                'crossing trace pairs require levels for non-symmetric braiding')
     res = tensor
-    remaining = [tuple(p) for p in pairs]
+    remaining = [tuple(sorted(p)) for p in pairs]
     while remaining:
-        i, j = remaining.pop(0)
-        V = res._as_codomain_leg(i)
-        eye_t = SymmetricTensor.from_eye([V], backend=res.backend,
-                                         dtype=res.dtype)
-        # cap: bend the identity into a codomain-only 2-leg tensor [V, V*];
-        # contracting it realizes the categorical (quantum) trace of the pair
-        cap = bend_legs(eye_t, num_codomain_legs=2)
-        res = tdot(res, cap, [i, j], [1, 0])
+        adj = next((p for p in remaining if p[1] == p[0] + 1), None)
+        if adj is None:
+            n = res.num_legs
+            wrap = next((p for p in remaining if p[0] == 0 and p[1] == n - 1),
+                        None)
+            if wrap is None:
+                raise SymmetryError(
+                    'non-adjacent trace pairs wrap open legs: the partial trace '
+                    'is braid-ambiguous; pass levels')
+            # planar cyclic rotation by one: leg order [1, .., n-1, 0]
+            K = max(res.num_codomain_legs, 1)
+            order = [(1 + k) % n for k in range(n)]
+            res = permute_legs(res, codomain=order[:K], domain=order[K:][::-1])
+            remaining = [tuple(sorted(((a - 1) % n, (b - 1) % n)))
+                         for a, b in remaining]
+            continue
+        i, j = adj
+        remaining.remove(adj)
+        res = partial_trace(res, (i, j), _allow_fallback=False)
         remaining = [(a - sum(x < a for x in (i, j)),
                       b - sum(x < b for x in (i, j))) for a, b in remaining]
     if isinstance(res, Tensor):
-        if all(l.is_trivial for l in res.legs):
+        if res.num_legs == 0 or all(l.is_trivial for l in res.legs):
             return item(res)
     return res
 
