@@ -142,18 +142,27 @@ class HEffective(LinearOperator):
 _STATIC_BOND_FN = {}
 
 
-def _get_static_bond_fn(N: int):
+def _get_static_bond_fn(N: int, svd_mode: str = 'exact'):
     """Traceable body of a WHOLE steady-state DMRG bond update:
     theta assembly, fused Lanczos, SVD, static-mask truncation, B-form
     restore and both environment updates — a single device dispatch per bond
     (vs ~60 host round trips; SURVEY §7 delta 4's two-phase truncation with a
-    frozen per-sector chi allocation)."""
-    if N in _STATIC_BOND_FN:
-        return _STATIC_BOND_FN[N]
+    frozen per-sector chi allocation).
+
+    ``svd_mode='exact'`` uses per-sector QDWH SVD + the frozen mask;
+    ``'steady'`` replaces it with the warm-started matmul/QR-only
+    :func:`~cyten_tpu.tensors.steady.steady_truncated_svd`, seeded by the
+    current right-isometry B_{i+1} — on TPU this removes the dominant QDWH
+    cost (tens to hundreds of ms per bond at chi >= 1024, measured in
+    docs/DESIGN.md) from the hot loop."""
+    key = (N, svd_mode)
+    if key in _STATIC_BOND_FN:
+        return _STATIC_BOND_FN[key]
     import jax
 
     from ..tensors import svd, svd_apply_mask
     from ..tensors.krylov_based import fused_lanczos_impl
+    from ..tensors.steady import steady_truncated_svd
 
     def impl(H, S_i, B_i, B_ip1, theta_tmpl, mask):
         # theta0 = S_i B_i B_{i+1}, embedded into the closed block structure
@@ -163,8 +172,14 @@ def _get_static_bond_fn(N: int):
         th = th + theta_tmpl                   # union with the closed structure
         E, theta = fused_lanczos_impl(H, th, N)
         thp = permute_legs(theta, codomain=['vL', 'p0'], domain=['vR', 'p1'])
-        U, S, Vh = svd(thp, new_labels=['vR', 'vL'])
-        U, S, Vh = svd_apply_mask(U, S, Vh, mask)
+        if svd_mode == 'steady':
+            Vh_prev = permute_legs(B_ip1.relabelled({'p': 'p1'}),
+                                   codomain=['vL'], domain=['vR', 'p1'])
+            U, S, Vh, _ = steady_truncated_svd(thp, Vh_prev,
+                                               new_labels=('vR', 'vL'))
+        else:
+            U, S, Vh = svd(thp, new_labels=['vR', 'vL'])
+            U, S, Vh = svd_apply_mask(U, S, Vh, mask)
         from ..tensors import scalar_multiply
 
         nrm = norm(S)
@@ -180,7 +195,7 @@ def _get_static_bond_fn(N: int):
                                  B)
         return E, new_B_i, S, B, LP_new, RP_new
 
-    fn = _STATIC_BOND_FN[N] = impl
+    fn = _STATIC_BOND_FN[key] = impl
     return fn
 
 
@@ -380,17 +395,23 @@ class DMRGEngine:
 
     # --- static (fully fused) steady-state mode --------------------------------------
 
-    def enable_static_mode(self, n_lanczos: int = 20):
+    def enable_static_mode(self, n_lanczos: int = 20, svd_mode: str = 'exact'):
         """Freeze the current bond structures: subsequent sweeps run every bond
         update as ONE jitted device program (theta assembly, Lanczos, SVD,
         truncation to the frozen per-sector chi allocation, environment
         updates). Call after the state has structurally converged — e.g. two
         ordinary sweeps with ``pad_chi_multiple`` set. Intended for
-        remote/tunneled TPUs where each host dispatch costs a round trip."""
+        remote/tunneled TPUs where each host dispatch costs a round trip.
+
+        ``svd_mode='steady'`` swaps the per-sector QDWH SVD for the
+        warm-started matmul/QR-only steady SVD (tensors/steady.py) — the TPU
+        production setting once converged (QDWH costs 30-300 ms per bond at
+        chi >= 1024; the steady path is GEMM-bound)."""
         assert self.backend.block_backend.can_jit
         assert not self.orthogonal_to, 'static mode: no excited-state search'
         self.static_mode = True
         self._static_n_lanczos = n_lanczos
+        self._static_svd_mode = svd_mode
         self._static_cache = {}
 
     def _static_entry(self, i: int):
@@ -430,7 +451,8 @@ class DMRGEngine:
         # program closes over them (one compile per bond structure)
         import jax
 
-        impl = _get_static_bond_fn(self._static_n_lanczos)
+        impl = _get_static_bond_fn(self._static_n_lanczos,
+                                   getattr(self, '_static_svd_mode', 'exact'))
         fn = jax.jit(lambda H, S_i, B_i, B_ip1: impl(
             H, S_i, B_i, B_ip1, theta_tmpl, mask))
         entry = self._static_cache[i] = fn

@@ -78,16 +78,34 @@ class HEffective1(LinearOperator):
         return _heff1_matvec_impl(self.LP, self.RP, self.W, theta)
 
 
+def _uses_pipes(backend) -> bool:
+    """Abelian backends direct-sum pipe legs exactly (block_ind_map is a
+    permutation of the public basis); fusion-tree backends need the explicit
+    CG-aware fuser instead (the fused basis is not a permutation)."""
+    from ..backends.fusion_tree import FusionTreeBackend
+
+    return not isinstance(backend, FusionTreeBackend)
+
+
 def _expansion_right(LP, W, theta, alpha):
     """Mixing term ``alpha * LP . theta . W`` as [vL, p; (vR.wR)].
 
     ``pipe_dualities=True`` makes the combined domain leg a ket space, matching
-    the MPS bond-leg convention so it can direct-sum with theta's vR leg."""
+    the MPS bond-leg convention so it can direct-sum with theta's vR leg. On
+    fusion-tree backends the combined leg is produced by an explicit unitary
+    fuser isometry (flat ElementarySpace leg) instead of pipe metadata."""
     t = tdot(LP, theta, 'vR', 'vL')                     # [vR*, wR, p, vR]
     t = tdot(t, W, ['p', 'wR'], ['p*', 'wL'])           # [vR*, vR, p, wR]
     t = t.relabelled({'vR*': 'vL'})
     t = permute_legs(t, codomain=['vL', 'p'], domain=['wR', 'vR'])
-    t = combine_legs(t, ['vR', 'wR'], pipe_dualities=True)
+    if _uses_pipes(t.backend):
+        t = combine_legs(t, ['vR', 'wR'], pipe_dualities=True)
+    else:
+        from ..tensors import compose, fuser_tensor
+
+        S = fuser_tensor(t.domain.factors, backend=t.backend, dtype=t.dtype,
+                         labels=[t.domain_labels[0], t.domain_labels[1], 'vR'])
+        t = compose(t, S)
     return alpha * t
 
 
@@ -97,7 +115,16 @@ def _expansion_left(RP, W, theta, alpha):
     t = tdot(t, W, ['p', 'wL'], ['p*', 'wR'])           # [vL, vL*, wL, p]
     t = t.relabelled({'vL*': 'vR'})
     t = permute_legs(t, codomain=['vL', 'wL'], domain=['vR', 'p'])
-    t = combine_legs(t, ['vL', 'wL'])
+    if _uses_pipes(t.backend):
+        t = combine_legs(t, ['vL', 'wL'])
+    else:
+        from ..tensors import compose, dagger, fuser_tensor
+
+        # dagger primes the labels, so 'vL*' below becomes the result's 'vL'
+        S = fuser_tensor(t.codomain.factors, backend=t.backend, dtype=t.dtype,
+                         labels=[t.codomain_labels[0], t.codomain_labels[1],
+                                 'vL*'])
+        t = compose(dagger(S), t)
     return alpha * t
 
 
@@ -111,12 +138,13 @@ class DMRG1SEngine(DMRGEngine):
     - ``alpha_decay``: multiplied onto alpha after every sweep (default 0.5),
     - ``alpha_min``: expansion switched off below this (default 1e-12),
     - ``mixer``: ``'expand'`` enlarges the bond with the mixing term directly
-      (exact bookkeeping; needs direct sums of bond and bond.mpo legs, which the
-      dense grid assembly only supports for abelian symmetries) or
+      (exact bookkeeping; the combined bond.mpo leg uses pipe metadata on
+      abelian backends and an explicit unitary fuser isometry on fusion-tree
+      backends — CG-aware, so non-abelian symmetries work too) or
       ``'density_matrix'`` (White's perturbation: eigendecompose
       ``theta theta^† + P P^†`` on the [vL, p] side — works for every symmetry
-      backend including non-abelian/anyonic). Default: ``'expand'`` when the
-      symmetry can use the abelian backend, else ``'density_matrix'``.
+      backend including anyonic). Default: ``'expand'`` for symmetric braiding
+      (abelian, fermions, SU(N)), else ``'density_matrix'``.
     """
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
@@ -136,8 +164,7 @@ class DMRG1SEngine(DMRGEngine):
         self.alpha_min = alpha_min
         if mixer is None:
             sym = psi.Bs[0].symmetry
-            mixer = 'expand' if (sym.is_abelian and sym.has_trivial_braid) \
-                else 'density_matrix'
+            mixer = 'expand' if sym.has_symmetric_braid else 'density_matrix'
         assert mixer in ('expand', 'density_matrix')
         self.mixer = mixer
 

@@ -32,7 +32,8 @@ __all__ = [
     'add_trivial_leg', 'almost_equal', 'angle', 'apply_mask',
     'apply_mask_DiagonalTensor', 'bend_legs', 'combine_legs', 'combine_to_matrix',
     'complex_conj', 'compose', 'cutoff_inverse', 'dagger', 'eigh', 'enlarge_leg',
-    'entropy', 'exp', 'eye', 'imag', 'inner', 'is_scalar', 'item',
+    'entropy', 'exp', 'eye', 'fuser_tensor', 'imag', 'inner', 'is_scalar',
+    'item',
     'linear_combination', 'lq', 'move_leg', 'norm', 'on_device', 'outer',
     'partial_compose', 'partial_trace', 'tensor',
     'permute_legs', 'pinv', 'qr', 'real', 'real_if_close', 'scalar_multiply',
@@ -1017,6 +1018,41 @@ def eye(legs, backend=None, labels=None, dtype=Dtype.float64):
     return SymmetricTensor.from_eye(legs, backend, labels, dtype)
 
 
+def fuser_tensor(legs, backend=None, dtype=None, labels=None) -> SymmetricTensor:
+    """The unitary splitter ``S : fused -> (⊗ legs)``.
+
+    ``fused`` is the plain :class:`ElementarySpace` carrying the sector
+    decomposition of the tensor product; the blocks are identities in the
+    fusion-tree basis (one multiplicity slot per (forest, mult) combination), so
+    ``S`` is exactly unitary for any unitary fusion category.
+
+    Use ``compose(t, S)`` to replace a tensor's whole domain by the fused flat
+    leg, and ``compose(dagger(S), t)`` for the codomain — the CG-aware
+    alternative to pipe metadata wherever a genuinely *flat* leg is needed
+    (direct sums / ``tensor_from_grid``; cf. reference ``combine_legs`` +
+    ``AbelianLegPipe.as_ElementarySpace``, which only exists for abelian
+    symmetries).
+    """
+    from ..dtypes import Dtype
+
+    legs = list(legs)
+    tp = TensorProduct(legs)
+    symmetry = tp.symmetry
+    fused = ElementarySpace(symmetry, tp.sector_decomposition.copy(),
+                            tp.multiplicities.copy())
+    if dtype is None:
+        dtype = Dtype.float64
+
+    def func(shape, coupled):
+        assert shape[0] == shape[-1], (shape, coupled)
+        be = backend.block_backend if backend is not None else None
+        eye = np.eye(shape[0])
+        return be.as_block(eye, dtype) if be is not None else eye
+
+    return SymmetricTensor.from_sector_block_func(func, legs, [fused],
+                                                  backend=backend, labels=labels)
+
+
 def tensor_from_grid(grid, labels=None, row_leg=0, col_leg=None) -> SymmetricTensor:
     """Stack a 2D grid of tensors (direct sum on a codomain leg and a domain leg).
 
@@ -1050,6 +1086,16 @@ def tensor_from_grid(grid, labels=None, row_leg=0, col_leg=None) -> SymmetricTen
         t = next((grid[i][j] for i in range(rows) if grid[i][j] is not None), None)
         assert t is not None, f'empty grid column {j}'
         col_spaces.append(t.domain.factors[col_factor_idx])
+    from ..backends.fusion_tree import FusionTreeBackend
+    from ..symmetries import LegPipe
+
+    if isinstance(backend, FusionTreeBackend) and any(
+            isinstance(sp, LegPipe) for sp in (*row_spaces, *col_spaces)):
+        raise ValueError(
+            'tensor_from_grid cannot direct-sum fusion-tree pipe legs (the '
+            'fused basis is a Clebsch-Gordan transform, not a permutation). '
+            'Replace the pipe by a flat leg first: contract with '
+            'fuser_tensor(...) (see cyten_tpu.tensors.fuser_tensor).')
     # harmonize dualities (trivial legs may come with either flag)
     row_dual = next((sp.is_dual for sp in row_spaces if not sp.is_trivial),
                     row_spaces[0].is_dual)

@@ -401,6 +401,42 @@ def test_static_mode_dmrg():
     assert abs(E - E_exact) < 1e-10
 
 
+def test_static_mode_steady_svd():
+    """svd_mode='steady' (warm-started matmul/QR-only SVD, tensors/steady.py)
+    tracks the exact-SVD static mode: same converged energy, canonical form
+    preserved (B isometries) after several steady sweeps."""
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import (
+        HeisenbergModel, heisenberg_exact_finite_gs_energy,
+    )
+    from cyten_tpu.tensors import SymmetricTensor, compose, dagger, norm
+
+    L = 8
+    E_exact = heisenberg_exact_finite_gs_energy(L, 1.)
+    model = HeisenbergModel(L=L, conserve='Sz', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=16, eps=1e-12)
+    for _ in range(4):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=20, svd_mode='steady')
+    for _ in range(3):
+        E = eng.sweep()
+    assert abs(float(E) - E_exact) < 1e-9
+    # canonical form: every B right-isometric (sum over p, vR of B B^* == id on
+    # the left bond, i.e. M M^dag == id for M = B viewed as [vL | p, vR])
+    from cyten_tpu.tensors import permute_legs
+
+    for i in range(1, L):
+        B = psi.Bs[i]
+        M = permute_legs(B, codomain=['vL'], domain=['vR', 'p'])
+        MMd = compose(M, dagger(M))
+        eye = SymmetricTensor.from_eye(M.codomain.factors, backend=B.backend,
+                                       dtype=B.dtype)
+        assert float(norm(MMd + (-1.) * eye)) < 1e-8, i
+
+
 def test_mpo_sum_and_compression():
     """add_mpos (block-diagonal virtual sum) and compress_mpo (QR+SVD sweeps)
     are exact: <H+H> == 2<H>, and compression recovers the minimal bond dims."""

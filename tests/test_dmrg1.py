@@ -46,13 +46,14 @@ def test_dmrg1s_heisenberg_sz():
 
 @pytest.mark.slow
 def test_dmrg1s_su2_density_matrix_mixer():
-    """SU(2) uses the fusion-tree backend; the bond cannot be enlarged by dense
-    direct sums there, so the engine auto-selects White's density-matrix mixer."""
+    """White's density-matrix mixer on the fusion-tree backend (SU(2));
+    requested explicitly — the default is now the CG-aware expand mixer."""
     L = 8
     model = HeisenbergModel(L=L, conserve='SU(2)', block_backend='numpy')
     psi = SimpleMPS.from_singlet_pairs(model.site_legs[0], L,
                                        backend=model.backend)
-    eng = DMRG1SEngine(psi, model, chi_max=24, eps=1e-14, alpha=1e-2)
+    eng = DMRG1SEngine(psi, model, chi_max=24, eps=1e-14, alpha=1e-2,
+                       mixer='density_matrix')
     assert eng.mixer == 'density_matrix'
     E = eng.run(n_sweeps=12, tol=1e-13)
     assert abs(E - heisenberg_exact_finite_gs_energy(L, 1.0)) < 1e-9
@@ -79,3 +80,71 @@ def test_dmrg1s_jax_backend():
     eng = DMRG1SEngine(psi, model, chi_max=8, eps=1e-14, alpha=1e-2)
     E = eng.run(n_sweeps=10, tol=1e-13)
     assert abs(E - tfi_exact_finite_gs_energy(L, 1.0, g)) < 1e-9
+
+
+def test_dmrg1s_expand_mixer_su2():
+    """The expand mixer on the fusion-tree backend (CG-aware fuser isometry for
+    the combined bond.mpo leg) converges to the exact SU(2) Heisenberg energy."""
+    from cyten_tpu.algorithms import (
+        SimpleMPS, heisenberg_exact_finite_gs_energy,
+    )
+    from cyten_tpu.algorithms.dmrg1 import DMRG1SEngine
+    from cyten_tpu.algorithms.models import HeisenbergModel
+
+    L = 6
+    m = HeisenbergModel(L=L, conserve='SU(2)', block_backend='numpy')
+    psi = SimpleMPS.from_singlet_pairs(m.site_leg, L, backend=m.backend)
+    eng = DMRG1SEngine(psi, m, chi_max=24, mixer='expand')
+    E = eng.run(n_sweeps=8)
+    assert abs(E - heisenberg_exact_finite_gs_energy(L, 1.)) < 1e-10
+
+
+def test_fuser_tensor_unitary():
+    """fuser_tensor is exactly unitary and reproduces the pipe's sector counts."""
+    import numpy as np
+
+    import cyten_tpu as ct
+    from cyten_tpu import ElementarySpace, TensorProduct
+    from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+    from cyten_tpu.tensors import compose, dagger, fuser_tensor
+
+    for sym, sectors, mults in [
+        (ct.su2_symmetry, [[0], [1]], [2, 1]),
+        (ct.fibonacci_anyon_category, [[0], [1]], [1, 2]),
+    ]:
+        be = FusionTreeBackend(ct.get_block_backend('numpy'))
+        V = ElementarySpace.from_defining_sectors(sym, sectors, mults)
+        W = ElementarySpace.from_defining_sectors(sym, sectors, [1, 1])
+        S = fuser_tensor([V, W], backend=be, labels=['a', 'b', 'f'])
+        S.test_sanity()
+        fused = S.domain.factors[0]
+        tp = TensorProduct([V, W])
+        np.testing.assert_array_equal(fused.sector_decomposition,
+                                      tp.sector_decomposition)
+        np.testing.assert_array_equal(fused.multiplicities, tp.multiplicities)
+        # unitarity: S^dag S = id_fused and S S^dag = id_{V (x) W}
+        SdS = compose(dagger(S), S)
+        eye_f = ct.SymmetricTensor.from_eye([fused], backend=be, dtype=S.dtype)
+        assert ct.almost_equal(SdS, eye_f, rtol=1e-12, atol=1e-12)
+        SSd = compose(S, dagger(S))
+        eye_vw = ct.SymmetricTensor.from_eye([V, W], backend=be, dtype=S.dtype)
+        assert ct.almost_equal(SSd, eye_vw, rtol=1e-12, atol=1e-12)
+
+
+def test_tensor_from_grid_pipe_refusal():
+    """Pipe legs under the fusion-tree backend are refused with guidance."""
+    import numpy as np
+    import pytest
+
+    import cyten_tpu as ct
+    from cyten_tpu import ElementarySpace
+    from cyten_tpu.tensors import combine_legs, tensor_from_grid
+
+    be = ct.get_backend(ct.su2_symmetry, 'numpy')
+    V = ElementarySpace(ct.su2_symmetry, [[0], [1]], [2, 1])
+    rng = np.random.default_rng(0)
+    t = ct.SymmetricTensor.from_random_normal([V, V], [V, V], backend=be,
+                                              rng=rng, labels=list('abcd'))
+    tc = combine_legs(t, ['c', 'd'])
+    with pytest.raises(ValueError, match='fuser_tensor'):
+        tensor_from_grid([[tc, tc]], row_leg=0, col_leg=2)
