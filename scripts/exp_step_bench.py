@@ -70,7 +70,7 @@ def build_step_workload(chi, seed=0):
 
 
 def time_step(chi, n_lanczos=10, lengths=(2, 6), repeats=3,
-              precision='float32'):
+              precision='float32', svd_mode='exact'):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +81,7 @@ def time_step(chi, n_lanczos=10, lengths=(2, 6), repeats=3,
 
     (backend, LP, RP, W1, W2, theta, S, B1, B2, theta_tmpl,
      mask) = build_step_workload(chi)
-    impl = _get_static_bond_fn(n_lanczos)
+    impl = _get_static_bond_fn(n_lanczos, svd_mode)
 
     def make_run(n_iter):
         @jax.jit
@@ -196,10 +196,16 @@ def time_svd_only(chi, lengths=(2, 8), repeats=3):
 if __name__ == '__main__':
     chi = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     n_lanczos = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    modes = sys.argv[3].split(',') if len(sys.argv) > 3 else ['steady', 'exact']
     print(f'chi={chi} n_lanczos={n_lanczos}', flush=True)
-    t_svd, sizes = time_svd_only(chi)
-    print(f'svd-only: {t_svd * 1e3:.2f} ms  (blocks {sizes})', flush=True)
-    t_step = time_step(chi, n_lanczos)
+    if 'svdonly' in modes:
+        t_svd, sizes = time_svd_only(chi)
+        print(f'svd-only: {t_svd * 1e3:.2f} ms  (blocks {sizes})', flush=True)
     fl = step_flops(chi, n_lanczos)
-    print(f'step: {t_step * 1e3:.2f} ms  contraction flops {fl / 1e9:.2f} GF '
-          f'-> {fl / t_step / 1e12:.2f} TFLOP/s', flush=True)
+    for mode in modes:
+        if mode == 'svdonly':
+            continue
+        t_step = time_step(chi, n_lanczos, svd_mode=mode)
+        print(f'step[{mode}]: {t_step * 1e3:.2f} ms  contraction flops '
+              f'{fl / 1e9:.2f} GF -> {fl / t_step / 1e12:.2f} TFLOP/s',
+              flush=True)
