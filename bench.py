@@ -46,6 +46,55 @@ def build_workload(backend, chi=2048, seed=0):
     return LP, RP, W1, W2, theta
 
 
+def build_hubbard_workload(backend, chi=2048, seed=0):
+    """U(1)xU(1) Hubbard-like bond environment: many small irregular sectors.
+
+    (N, 2Sz) charges; the virtual leg populates every reachable combination with
+    a binomial-ish weight -> O(50+) sectors whose multiplicities span two orders
+    of magnitude. This is the BASELINE.json config where unrolled per-block
+    dispatch should hurt most (VERDICT r1 item 2)."""
+    import itertools
+
+    from cyten_tpu import ElementarySpace, SymmetricTensor
+    from cyten_tpu.symmetries import u1_symmetry
+
+    sym = u1_symmetry * u1_symmetry.factors[0]
+    rng = np.random.default_rng(seed)
+    sectors = []
+    weights = []
+    for n in range(-4, 5):
+        for sz in range(-4, 5):
+            if (n + sz) % 2 == 0:  # fermion-parity-consistent combinations
+                sectors.append([n, sz])
+                weights.append(np.exp(-0.35 * (n * n + 0.6 * sz * sz)))
+    sectors = np.array(sectors)
+    weights = np.array(weights)
+    mults = np.maximum(1, np.round(chi * weights / weights.sum()).astype(int))
+    v_leg = ElementarySpace(sym, sectors, mults)
+    # physical site: |0>, |up>, |down>, |updown> -> charges (0,0),(1,1),(1,-1),(2,0)
+    p_leg = ElementarySpace(sym, [[0, 0], [1, -1], [1, 1], [2, 0]],
+                            [1, 1, 1, 1])
+    # MPO leg: identity, hopping up/down (+-), density blocks
+    w_charges = np.array([[0, 0], [1, 1], [-1, -1], [1, -1], [-1, 1], [0, 0]])
+    w_leg = ElementarySpace.from_defining_sectors(sym, w_charges,
+                                                  unique_sectors=False)
+    LP = SymmetricTensor.from_random_normal(
+        [v_leg], [v_leg, w_leg], backend=backend,
+        labels=[['vR*'], ['vR', 'wR']], rng=rng)
+    RP = SymmetricTensor.from_random_normal(
+        [v_leg, w_leg], [v_leg], backend=backend, labels=['vL', 'wL', 'vL*'],
+        rng=rng)
+    W = SymmetricTensor.from_random_normal(
+        [w_leg, p_leg], [p_leg, w_leg], backend=backend,
+        labels=['wL', 'p', 'wR', 'p*'], rng=rng)
+    theta = SymmetricTensor.from_random_normal(
+        [v_leg, p_leg, p_leg], [v_leg], backend=backend,
+        labels=['vL', 'p0', 'p1', 'vR'], rng=rng)
+    W1 = W.relabelled({'p': 'p0', 'p*': 'p0*'})
+    W2 = W.relabelled({'p': 'p1', 'p*': 'p1*'})
+    return LP, RP, W1, W2, theta
+
+
 def build_su2_workload(backend, chi_mult=512, seed=0):
     """SU(2) DMRG bond environment + theta: spins j=0..2 on the virtual leg.
 
@@ -81,14 +130,17 @@ def build_su2_workload(backend, chi_mult=512, seed=0):
     return LP, RP, W1, W2, theta
 
 
-def numpy_run(chi, n_iter=3):
+def numpy_run(chi, n_iter=3, builder=None):
     """Time the per-block numpy path and count exact GEMM FLOPs of one matvec."""
     import cyten_tpu as ct
     from cyten_tpu.tensors import tdot
     from cyten_tpu.tools.flops import tdot_flops
 
-    backend = ct.get_backend(ct.u1_symmetry, 'numpy')
-    LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
+    builder = builder or build_workload
+    sym = ct.u1_symmetry if builder is not build_hubbard_workload \
+        else ct.u1_symmetry * ct.u1_symmetry.factors[0]
+    backend = ct.get_backend(sym, 'numpy')
+    LP, RP, W1, W2, theta = builder(backend, chi=chi)
     flops = tdot_flops(LP, theta, ['vR'], ['vL'])
     x = tdot(LP, theta, 'vR', 'vL')
     flops += tdot_flops(x, W1, ['wR', 'p0'], ['wL', 'p0*'])
@@ -106,7 +158,8 @@ def numpy_run(chi, n_iter=3):
     return (time.perf_counter() - t0) / n_iter, flops
 
 
-def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32'):
+def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32',
+            builder=None):
     """Time the jitted matvec chain.
 
     Three measurement pitfalls on TPU-behind-a-tunnel, all handled here:
@@ -131,8 +184,11 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32'):
     import cyten_tpu as ct
     from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
 
-    backend = ct.get_backend(ct.u1_symmetry, 'jax')
-    LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
+    builder = builder or build_workload
+    sym = ct.u1_symmetry if builder is not build_hubbard_workload \
+        else ct.u1_symmetry * ct.u1_symmetry.factors[0]
+    backend = ct.get_backend(sym, 'jax')
+    LP, RP, W1, W2, theta = builder(backend, chi=chi)
 
     def make_run(n_iter):
         @jax.jit
@@ -225,13 +281,178 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32'):
     return (times[n2] - times[n1]) / (n2 - n1), t_np
 
 
+def build_step_state(backend, chi, seed=0):
+    """Static-mode step state: B/S tensors + frozen-chi mask + zero template."""
+    import cyten_tpu as ct
+    from cyten_tpu import DiagonalTensor, ElementarySpace, Mask, SymmetricTensor
+    from cyten_tpu.algorithms.dmrg import HEffective
+    from cyten_tpu.dtypes import Dtype
+    from cyten_tpu.tensors import permute_legs, scalar_multiply
+    from cyten_tpu.tensors.krylov_based import _close_structure
+
+    LP, RP, W1, W2, theta = build_workload(backend, chi=chi, seed=seed)
+    v_leg = theta.get_leg_co_domain('vL')
+    p_leg = theta.get_leg_co_domain('p0')
+    rng = np.random.default_rng(seed + 1)
+    B1 = SymmetricTensor.from_random_normal([v_leg, p_leg], [v_leg],
+                                            backend=backend,
+                                            labels=['vL', 'p', 'vR'], rng=rng)
+    B2 = SymmetricTensor.from_random_normal([v_leg, p_leg], [v_leg],
+                                            backend=backend,
+                                            labels=['vL', 'p', 'vR'], rng=rng)
+    S = DiagonalTensor.from_random_uniform(v_leg, backend=backend,
+                                           labels=['vL', 'vL*'], rng=rng) + 1.5
+
+    Heff = HEffective(LP, RP, W1, W2)
+    closed = _close_structure(Heff, theta)
+    theta_tmpl = scalar_multiply(0., closed)
+    thp = permute_legs(closed, codomain=['vL', 'p0'], domain=['vR', 'p1'])
+    full = ElementarySpace.from_largest_common_subspace(
+        thp.codomain, thp.domain, is_dual=False)
+    kept_map = {tuple(int(x) for x in s): int(m) for s, m in
+                zip(v_leg.sector_decomposition, v_leg.multiplicities)}
+    bb = backend.block_backend
+
+    def func(shape, coupled):
+        k = kept_map.get(tuple(int(x) for x in np.asarray(coupled)), 0)
+        keep = np.zeros(shape[0], dtype=bool)
+        keep[:min(k, shape[0])] = True
+        return bb.as_block(keep, Dtype.bool)
+
+    diag = DiagonalTensor.from_sector_block_func(func, full, backend=backend)
+    mask = Mask.from_DiagonalTensor(diag)
+    assert mask.small_leg == v_leg
+    return LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask
+
+
+def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
+             svd_mode='steady'):
+    """Slope-time the FULL north-star step: one static-mode bond update (theta
+    assembly + fused Lanczos + SVD + frozen-chi truncation + both environment
+    updates) per scan iteration, state fed back as the carry.
+
+    Returns (seconds/step, contraction FLOPs/step). The contraction FLOPs are
+    the exact GEMM counts of the matvec chain x (n_lanczos + 2 env-update
+    equivalents); SVD work is included in the TIME but not the FLOPs, so the
+    reported TFLOP/s is the honest algorithmic throughput of the step.
+    """
+    import jax
+
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms.dmrg import HEffective, _get_static_bond_fn
+    from cyten_tpu.config import config
+    from cyten_tpu.tensors import norm, scalar_multiply
+
+    backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = build_step_state(backend, chi)
+    impl = _get_static_bond_fn(n_lanczos, svd_mode)
+
+    def make_run(n_iter):
+        @jax.jit
+        def run(LP, RP, W1, W2, S, B1, B2):
+            def body(carry, _):
+                S, B1, B2, LP, RP = carry
+                H = HEffective(LP, RP, W1, W2)
+                E, nB1, S2, B2n, LPn, RPn = impl(H, S, B1, B2, theta_tmpl,
+                                                 mask)
+                LPn = scalar_multiply(1. / norm(LPn), LPn)
+                RPn = scalar_multiply(1. / norm(RPn), RPn)
+                S2 = S2.relabelled(['vL', 'vL*'])
+                return (S2, nB1, B2n, LPn, RPn), E
+
+            _, Es = jax.lax.scan(body, (S, B1, B2, LP, RP), None,
+                                 length=n_iter)
+            return Es[-1]
+        return run
+
+    old = config.matmul_precision
+    config.matmul_precision = precision
+    try:
+        times = {}
+        for n in lengths:
+            run = make_run(n)
+            float(run(LP, RP, W1, W2, S, B1, B2))  # compile + sync
+            best = np.inf
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                float(run(LP, RP, W1, W2, S, B1, B2))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+    finally:
+        config.matmul_precision = old
+    n1, n2 = lengths[0], lengths[-1]
+    t_step = (times[n2] - times[n1]) / (n2 - n1)
+
+    # exact contraction FLOPs of one matvec chain (numpy metadata only)
+    import cyten_tpu as ct2
+    from cyten_tpu.tensors import tdot
+    from cyten_tpu.tools.flops import tdot_flops
+
+    np_backend = ct2.get_backend(ct2.u1_symmetry, 'numpy')
+    LPn_, RPn_, W1n, W2n, theta_n = build_workload(np_backend, chi=chi)
+    flops = tdot_flops(LPn_, theta_n, ['vR'], ['vL'])
+    x = tdot(LPn_, theta_n, 'vR', 'vL')
+    flops += tdot_flops(x, W1n, ['wR', 'p0'], ['wL', 'p0*'])
+    x = tdot(x, W1n, ['wR', 'p0'], ['wL', 'p0*'])
+    flops += tdot_flops(x, W2n, ['wR', 'p1'], ['wL', 'p1*'])
+    x = tdot(x, W2n, ['wR', 'p1'], ['wL', 'p1*'])
+    flops += tdot_flops(x, RPn_, ['vR', 'wR'], ['vL', 'wL'])
+    return t_step, flops * (n_lanczos + 2)
+
+
 def main():
     chi = int(os.environ.get('BENCH_CHI', '4096'))
     # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
     # reference numerics). 'tensorfloat32' (3-pass) and 'default' (1 pass, ~1e-3)
     # are the documented speed ladder — see docs/DESIGN.md.
     precision = os.environ.get('BENCH_PRECISION', 'float32')
-    scenario = os.environ.get('BENCH_SCENARIO', 'u1')
+    scenario = os.environ.get('BENCH_SCENARIO', 'step')
+    if scenario == 'step':
+        # the north-star workload (BASELINE.md): the full two-site DMRG bond
+        # update. Steady-state mode: warm-started matmul/QR SVD (the converged
+        # production path; 'BENCH_SVD_MODE=exact' benches per-sector QDWH).
+        svd_mode = os.environ.get('BENCH_SVD_MODE', 'steady')
+        n_lanczos = int(os.environ.get('BENCH_N_LANCZOS', '10'))
+        t_step, flops = step_run(chi, n_lanczos=n_lanczos, precision=precision,
+                                 svd_mode=svd_mode)
+        t_matvec = jax_run(chi, precision=precision)
+        result = {
+            'metric': f'u1_dmrg_step_chi{chi}_{svd_mode}_tflops',
+            'value': round(flops / t_step / 1e12, 4),
+            'unit': 'TFLOP/s',
+            'vs_baseline': round(numpy_run(chi)[0] * (n_lanczos + 2) / t_step,
+                                 3),
+            'step_ms': round(t_step * 1e3, 3),
+            'matvec_tflops': round(flops / (n_lanczos + 2) / t_matvec / 1e12,
+                                   4),
+        }
+        print(json.dumps(result))
+        return
+    if scenario == 'hubbard':
+        # U(1)xU(1) many-small-sector matvec: unrolled vs grouped/padded GEMMs
+        from cyten_tpu.config import config
+
+        chi_h = int(os.environ.get('BENCH_CHI', '2048'))
+        t_np, flops = numpy_run(chi_h, builder=build_hubbard_workload)
+        t_unrolled = jax_run(chi_h, precision=precision,
+                             builder=build_hubbard_workload)
+        config.use_grouped_gemm = True
+        try:
+            t_grouped = jax_run(chi_h, precision=precision,
+                                builder=build_hubbard_workload)
+        finally:
+            config.use_grouped_gemm = False
+        best = min(t_unrolled, t_grouped)
+        result = {
+            'metric': f'hubbard_dmrg_matvec_chi{chi_h}_tflops',
+            'value': round(flops / best / 1e12, 4),
+            'unit': 'TFLOP/s',
+            'vs_baseline': round(t_np / best, 3),
+            'unrolled_ms': round(t_unrolled * 1e3, 4),
+            'grouped_ms': round(t_grouped * 1e3, 4),
+        }
+        print(json.dumps(result))
+        return
     if scenario == 'su2':
         chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
         t_jax, t_np = su2_run(chi_mult, precision=precision)

@@ -395,6 +395,11 @@ class AbelianBackend(TensorBackend):
             a_bi.tobytes(), a_bi.shape, tuple(legs1), tuple(a_keep),
             b_bi.tobytes(), b_bi.shape, tuple(legs2), tuple(b_keep))
         bb = self.block_backend
+        from ..config import config
+
+        if config.use_grouped_gemm and bb.can_jit and len(ia) > 1:
+            return self._tdot_data_grouped(a, b, legs1, legs2, a_keep, b_keep,
+                                           ia, ib, out_id, n_out, dtype)
         accum: list = [None] * n_out
         out_rows: list = [None] * n_out
         for n1, n2, oid in zip(ia, ib, out_id):
@@ -405,6 +410,100 @@ class AbelianBackend(TensorBackend):
             accum[oid] = prod if accum[oid] is None else bb.add(accum[oid], prod)
         blocks = [b_ if bb.get_dtype(b_) == dtype else bb.to_dtype(b_, dtype)
                   for b_ in accum]
+        block_inds = np.array([r for r in out_rows], dtype=np.intp).reshape(
+            n_out, len(a_keep) + len(b_keep))
+        return BlockSparseData(blocks, block_inds, dtype)
+
+    def _tdot_data_grouped(self, a, b, legs1, legs2, a_keep, b_keep, ia, ib,
+                           out_id, n_out, dtype):
+        """Flat-buffer-emulation tdot: fold to matrices, pad (M, K, N) up to
+        ``config.mxu_pad_multiple`` buckets, one batched GEMM + segment-sum per
+        bucket (SURVEY §7 delta 2 experiment; keep-or-retire per workload in
+        docs/DESIGN.md)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..config import config
+
+        bb = self.block_backend
+        a_bi = a.data.block_inds
+        b_bi = b.data.block_inds
+        pad_m = max(1, int(config.mxu_pad_multiple))
+
+        def bucket(x):
+            return -(-int(x) // pad_m) * pad_m
+
+        a_mats: dict = {}
+        b_mats: dict = {}
+        mk = {}
+        for n1, n2 in zip(ia, ib):
+            n1, n2 = int(n1), int(n2)
+            if n1 not in a_mats:
+                blk = a.data.blocks[n1]
+                shp = bb.get_shape(blk)
+                M = int(np.prod([shp[i] for i in a_keep], dtype=np.int64))
+                K = int(np.prod([shp[i] for i in legs1], dtype=np.int64))
+                a_mats[n1] = (bb.reshape(bb.permute_axes(
+                    blk, list(a_keep) + list(legs1)), (M, K)), M, K)
+            if n2 not in b_mats:
+                blk = b.data.blocks[n2]
+                shp = bb.get_shape(blk)
+                K = int(np.prod([shp[i] for i in legs2], dtype=np.int64))
+                N = int(np.prod([shp[i] for i in b_keep], dtype=np.int64))
+                b_mats[n2] = (bb.reshape(bb.permute_axes(
+                    blk, list(legs2) + list(b_keep)), (K, N)), K, N)
+        groups: dict = {}
+        for p, (n1, n2) in enumerate(zip(ia, ib)):
+            _, M, K = a_mats[int(n1)]
+            _, _, N = b_mats[int(n2)]
+            mk[p] = (M, K, N)
+            groups.setdefault((bucket(M), bucket(K), bucket(N)), []).append(p)
+        accum: list = [None] * n_out
+        out_rows: list = [None] * n_out
+        prec = config.matmul_precision
+
+        for (Mb, Kb, Nb), ps in groups.items():
+            A = jnp.stack([jnp.pad(a_mats[int(ia[p])][0],
+                                   ((0, Mb - mk[p][0]), (0, Kb - mk[p][1])))
+                           for p in ps])
+            B = jnp.stack([jnp.pad(b_mats[int(ib[p])][0],
+                                   ((0, Kb - mk[p][1]), (0, Nb - mk[p][2])))
+                           for p in ps])
+            if prec is None:
+                prods = jnp.einsum('gmk,gkn->gmn', A, B)
+            else:
+                with jax.default_matmul_precision(prec):
+                    prods = jnp.einsum('gmk,gkn->gmn', A, B)
+            local: dict = {}
+            seg = []
+            for p in ps:
+                seg.append(local.setdefault(int(out_id[p]), len(local)))
+            if len(local) < len(ps):
+                prods = jax.ops.segment_sum(
+                    prods, jnp.array(seg, dtype=jnp.int32),
+                    num_segments=len(local))
+            else:
+                local = {int(out_id[p]): i for i, p in enumerate(ps)}
+            for oid, li in local.items():
+                p0 = next(p for p in ps if int(out_id[p]) == oid)
+                M, _, N = mk[p0]
+                part = prods[li, :M, :N]
+                accum[oid] = part if accum[oid] is None \
+                    else bb.add(accum[oid], part)
+        for n1, n2, oid in zip(ia, ib, out_id):
+            if out_rows[oid] is None:
+                out_rows[oid] = tuple(a_bi[n1][a_keep]) + tuple(b_bi[n2][b_keep])
+        # unfold matrices back to block shapes
+        blocks = []
+        for oid in range(n_out):
+            p0 = next(p for p in range(len(ia)) if int(out_id[p]) == oid)
+            sa = bb.get_shape(a.data.blocks[int(ia[p0])])
+            sb_ = bb.get_shape(b.data.blocks[int(ib[p0])])
+            full = tuple(sa[i] for i in a_keep) + tuple(sb_[i] for i in b_keep)
+            blk = bb.reshape(accum[oid], full)
+            if bb.get_dtype(blk) != dtype:
+                blk = bb.to_dtype(blk, dtype)
+            blocks.append(blk)
         block_inds = np.array([r for r in out_rows], dtype=np.intp).reshape(
             n_out, len(a_keep) + len(b_keep))
         return BlockSparseData(blocks, block_inds, dtype)

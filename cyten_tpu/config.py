@@ -59,6 +59,12 @@ class Config:
     #: chi~4k U(1) DMRG matvec) — the stack copies dominate. Off by default;
     #: only plausibly useful for mult ~ O(1) many-tiny-sector workloads.
     compose_batch_threshold: int | None = None
+    #: flat-buffer emulation experiment (SURVEY 7 delta 2 / VERDICT r1 item 2):
+    #: fold blocks to matrices, PAD dims up to buckets (mxu_pad_multiple),
+    #: stack per bucket and run batched GEMMs + segment-sum instead of unrolled
+    #: per-pair dot_generals in tdot. Measured keep-or-retire per workload in
+    #: docs/DESIGN.md (scripts/exp_grouped_gemm.py).
+    use_grouped_gemm: bool = False
 
 
 config = Config()

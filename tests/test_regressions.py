@@ -150,3 +150,38 @@ def test_svd_compose_scale_axis_regression(trunc):
     U_S.test_sanity()
     assert almost_equal(T, compose(U, S_Vh))
     assert almost_equal(T, compose(U_S, Vh))
+
+
+def test_grouped_gemm_equivalence():
+    """config.use_grouped_gemm (flat-buffer emulation: padded bucketed batched
+    GEMMs + segment-sum) produces identical tdot results to the unrolled
+    per-pair path, on a many-small-sector U(1)xU(1) workload."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, '/root/repo')
+    import cyten_tpu as ct
+    from bench import build_hubbard_workload
+    from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
+    from cyten_tpu.config import config
+
+    sym = ct.u1_symmetry * ct.u1_symmetry.factors[0]
+    backend = ct.get_backend(sym, 'jax')
+    args = build_hubbard_workload(backend, chi=64)
+    out1 = _heff_matvec_impl(*args)
+    old_pad = config.mxu_pad_multiple
+    config.use_grouped_gemm = True
+    config.mxu_pad_multiple = 8
+    try:
+        out2 = _heff_matvec_impl(*args)
+    finally:
+        config.use_grouped_gemm = False
+        config.mxu_pad_multiple = old_pad
+    assert len(out1.data.blocks) == len(out2.data.blocks)
+    for (r1, b1), (r2, b2) in zip(
+            zip(out1.data.block_inds, out1.data.blocks),
+            zip(out2.data.block_inds, out2.data.blocks)):
+        assert tuple(r1) == tuple(r2)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-10, atol=1e-10)
