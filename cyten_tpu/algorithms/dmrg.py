@@ -455,8 +455,144 @@ class DMRGEngine:
                                    getattr(self, '_static_svd_mode', 'exact'))
         fn = jax.jit(lambda H, S_i, B_i, B_ip1: impl(
             H, S_i, B_i, B_ip1, theta_tmpl, mask))
+        self._static_cache[('consts', i)] = (theta_tmpl, mask)
         entry = self._static_cache[i] = fn
         return entry
+
+    # --- batched static sweeps: one dispatch per half-sweep ---------------------------
+
+    def _bond_structure(self, i: int):
+        """Hashable structure key of bond i's static update inputs."""
+        import jax
+
+        psi = self.psi
+        args = (self.LPs[i], self.RPs[i + 1], psi.Ss[i], psi.Bs[i],
+                psi.Bs[i + 1], self.model.H_mpo[i], self.model.H_mpo[i + 1])
+        return jax.tree_util.tree_structure(args)
+
+    def _static_runs(self):
+        """Maximal runs of consecutive bonds with identical structures."""
+        L = self.psi.L
+        runs = []
+        i = 0
+        while i < L - 1:
+            j = i + 1
+            s_i = self._bond_structure(i)
+            while j < L - 1 and self._bond_structure(j) == s_i:
+                j += 1
+            runs.append((i, j))  # bonds [i, j)
+            i = j
+        return runs
+
+    def _get_batched_half_sweep(self, key, right: bool):
+        entry = self._static_cache.get(('half', key, right))
+        if entry is not None:
+            return entry
+        import jax
+
+        b0 = key[0]
+        theta_tmpl, mask = self._static_consts(b0)
+        impl = _get_static_bond_fn(self._static_n_lanczos,
+                                   getattr(self, '_static_svd_mode', 'exact'))
+
+        if right:
+            def half(LP0, S0, B0, xs):
+                """Right pass over a uniform run: carry (LP_i, S_i, B_i); xs
+                per bond i (ascending): (B_{i+1}, RP_{i+1}, W_i, W_{i+1})."""
+                def body(carry, x):
+                    LP, S_i, B_i = carry
+                    B_ip1, RP, W_i, W_ip1 = x
+                    H = HEffective(LP, RP, W_i, W_ip1)
+                    E, nB, S2, B2, LPn, RPn = impl(H, S_i, B_i, B_ip1,
+                                                   theta_tmpl, mask)
+                    S2 = S2.relabelled(['vL', 'vL*'])
+                    return (LPn, S2, B2), (E, nB, RPn, S2, LPn)
+
+                return jax.lax.scan(body, (LP0, S0, B0), xs)
+        else:
+            def half(RP0, B0, xs):
+                """Left pass: carry (RP_{i+1}, B_{i+1}); xs per bond i
+                (DESCENDING): (S_i, B_i, LP_i, W_i, W_{i+1})."""
+                def body(carry, x):
+                    RP, B_ip1 = carry
+                    S_i, B_i, LP, W_i, W_ip1 = x
+                    H = HEffective(LP, RP, W_i, W_ip1)
+                    E, nB, S2, B2, LPn, RPn = impl(H, S_i, B_i, B_ip1,
+                                                   theta_tmpl, mask)
+                    S2 = S2.relabelled(['vL', 'vL*'])
+                    return (RPn, nB), (E, S2, B2, RPn, nB)
+
+                return jax.lax.scan(body, (RP0, B0), xs)
+        fn = jax.jit(half)
+        self._static_cache[('half', key, right)] = fn
+        return fn
+
+    def _stack(self, trees):
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    def _unstack(self, tree, k):
+        import jax
+
+        return jax.tree_util.tree_map(lambda x: x[k], tree)
+
+    def sweep_static_batched(self) -> float:
+        """One full sweep where every maximal uniform run of bonds executes as
+        ONE jitted lax.scan dispatch (right pass then left pass). Requires
+        static mode; bonds outside uniform runs (chain boundaries) fall back to
+        the per-bond static update. With chi bucketing saturating the bulk,
+        the dispatch count per half sweep approaches 1 (+ boundary bonds)."""
+        assert getattr(self, 'static_mode', False)
+        psi = self.psi
+        runs = self._static_runs()
+        for (b0, b1) in runs:
+            if b1 - b0 < 2:
+                for i in range(b0, b1):
+                    self.update_bond(i)
+                continue
+            fn = self._get_batched_half_sweep((b0, b1), right=True)
+            xs = self._stack([
+                (psi.Bs[i + 1], self.RPs[i + 1], self.model.H_mpo[i],
+                 self.model.H_mpo[i + 1]) for i in range(b0, b1)])
+            (LP_last, S_last, B_last), ys = fn(self.LPs[b0], psi.Ss[b0],
+                                               psi.Bs[b0], xs)
+            for k, i in enumerate(range(b0, b1)):
+                E, nB, RPn, S2, LPn = self._unstack(ys, k)
+                self.E = E
+                psi.Bs[i] = nB
+                psi.Ss[i + 1] = S2
+                self.RPs[i] = RPn
+                self.LPs[i + 1] = LPn
+            psi.Bs[b1] = B_last
+        for (b0, b1) in reversed(runs):
+            if b1 - b0 < 2:
+                for i in range(b1 - 1, b0 - 1, -1):
+                    self.update_bond(i)
+                continue
+            fn = self._get_batched_half_sweep((b0, b1), right=False)
+            xs = self._stack([
+                (psi.Ss[i], psi.Bs[i], self.LPs[i], self.model.H_mpo[i],
+                 self.model.H_mpo[i + 1]) for i in range(b1 - 1, b0 - 1, -1)])
+            (RP_last, B_first), ys = fn(self.RPs[b1], psi.Bs[b1], xs)
+            for k, i in enumerate(range(b1 - 1, b0 - 1, -1)):
+                E, S2, B2, RPn, nB = self._unstack(ys, k)
+                self.E = E
+                psi.Ss[i + 1] = S2
+                psi.Bs[i + 1] = B2
+                self.RPs[i] = RPn
+            psi.Bs[b0] = B_first  # == nB of the last processed bond
+        self.E = float(self.E)
+        return self.E
+
+    def _static_consts(self, i: int):
+        """(theta_tmpl, mask) trace-time constants for bond i (cached)."""
+        entry = self._static_cache.get(('consts', i))
+        if entry is not None:
+            return entry
+        self._static_entry(i)  # builds and caches via the per-bond path
+        return self._static_cache[('consts', i)]
 
     def _update_bond_static(self, i: int):
         psi = self.psi

@@ -457,3 +457,29 @@ def test_mpo_sum_and_compression():
     dims = [int(W.get_leg_co_domain('wR').dim) for W in H2c[:-1]]
     assert max(dims) <= 5  # compression recovers the minimal MPO rank
     assert abs(psi.expectation_value_mpo(H2c) - 2 * E) < 1e-10
+
+
+def test_static_batched_half_sweep():
+    """sweep_static_batched: maximal uniform bond runs execute as ONE lax.scan
+    dispatch per direction; agrees with the per-bond static mode."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel, tfi_exact_finite_gs_energy
+
+    L, g = 12, 1.2
+    E_exact = tfi_exact_finite_gs_energy(L, 1., g)
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=8, eps=1e-14, pad_chi_multiple=4)
+    for _ in range(4):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=20, svd_mode='steady')
+    eng.sweep()
+    runs = eng._static_runs()
+    assert any(b1 - b0 >= 3 for b0, b1 in runs), runs  # a real uniform run
+    E = None
+    for _ in range(2):
+        E = eng.sweep_static_batched()
+    assert abs(E - E_exact) < 1e-8
+    E2 = eng.sweep()  # per-bond static sweep must agree
+    assert abs(E2 - E) < 1e-10
