@@ -224,7 +224,8 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32',
     return (times[n2] - times[n1]) / (n2 - n1)
 
 
-def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32'):
+def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32',
+            skip_numpy=False):
     """Slope-timed SU(2) matvec (fusion-tree backend) on device + numpy baseline."""
     import time
 
@@ -236,13 +237,14 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32'):
     from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
 
     t_np = None
-    np_backend = FusionTreeBackend(ct.get_block_backend('numpy'))
-    args_np = build_su2_workload(np_backend, chi_mult=chi_mult)
-    _heff_matvec_impl(*args_np)  # warmup (plan construction)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _heff_matvec_impl(*args_np)
-    t_np = (time.perf_counter() - t0) / 3
+    if not skip_numpy:
+        np_backend = FusionTreeBackend(ct.get_block_backend('numpy'))
+        args_np = build_su2_workload(np_backend, chi_mult=chi_mult)
+        _heff_matvec_impl(*args_np)  # warmup (plan construction)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _heff_matvec_impl(*args_np)
+        t_np = (time.perf_counter() - t0) / 3
 
     backend = FusionTreeBackend(ct.get_block_backend('jax'))
     LP, RP, W1, W2, theta = build_su2_workload(backend, chi_mult=chi_mult)
@@ -426,6 +428,14 @@ def main():
             'matvec_tflops': round(flops / (n_lanczos + 2) / t_matvec / 1e12,
                                    4),
         }
+        # non-abelian (fusion-tree) tracking metric in the same line
+        if os.environ.get('BENCH_SU2', '1') != '0':
+            try:
+                chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
+                t_su2, _ = su2_run(chi_mult, lengths=(2, 10), skip_numpy=True)
+                result['su2_matvec_512mult_ms'] = round(t_su2 * 1e3, 4)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['su2_matvec_512mult_ms'] = f'failed: {e}'
         print(json.dumps(result))
         return
     if scenario == 'hubbard':
