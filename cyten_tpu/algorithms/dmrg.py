@@ -231,7 +231,7 @@ class DMRGEngine:
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
                  jit_env_updates: bool = None, mesh=None,
                  shard_axis_name: str = 'mult', matmul_precision: str = None,
-                 orthogonal_to=None):
+                 orthogonal_to=None, auto_static: bool | str = False):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
@@ -261,6 +261,10 @@ class DMRGEngine:
                                and psi.backend.block_backend.can_jit)
         self.jit_env_updates = jit_env_updates
         self.lanczos_options = lanczos_options or {'N_max': 20, 'P_tol': 1e-14}
+        #: switch to static (fully fused) mode automatically once the bond
+        #: structures stop changing between sweeps (run() checks). True uses
+        #: svd_mode='steady'; pass 'exact' to keep the QDWH SVD instead.
+        self.auto_static = auto_static
         self.backend = psi.backend
         L = psi.L
         self.LPs = [None] * L
@@ -644,14 +648,37 @@ class DMRGEngine:
             self.update_OL(k, i, A)
             self.update_OR(k, i + 1, B)
 
+    def _bond_signature(self):
+        """Hashable snapshot of every bond structure (for auto_static)."""
+        return tuple(
+            (tuple(map(tuple, B.get_leg_co_domain('vL')
+                       .sector_decomposition.tolist())),
+             tuple(int(m) for m in B.get_leg_co_domain('vL').multiplicities))
+            for B in self.psi.Bs)
+
     def run(self, n_sweeps: int = 10, tol: float = 1e-10, verbose: bool = False
             ) -> float:
         E_old = np.inf
+        sig_old = None
         for sweep in range(n_sweeps):
             E = self.sweep()
             if verbose:
                 print(f'sweep {sweep + 1}: E = {E:.12f}, '
                       f'max chi = {self.psi.max_chi()}')
+            if self.auto_static and not getattr(self, 'static_mode', False) \
+                    and self.backend.block_backend.can_jit \
+                    and not self.orthogonal_to:
+                sig = self._bond_signature()
+                if sig == sig_old:
+                    mode = self.auto_static if isinstance(self.auto_static, str) \
+                        else 'steady'
+                    self.enable_static_mode(
+                        n_lanczos=self.lanczos_options.get('N_max', 20),
+                        svd_mode=mode)
+                    if verbose:
+                        print(f'sweep {sweep + 1}: structures saturated -> '
+                              f'static mode (svd_mode={mode})')
+                sig_old = sig
             if abs(E - E_old) < tol:
                 break
             E_old = E

@@ -483,3 +483,19 @@ def test_static_batched_half_sweep():
     assert abs(E - E_exact) < 1e-8
     E2 = eng.sweep()  # per-bond static sweep must agree
     assert abs(E2 - E) < 1e-10
+
+
+def test_auto_static_mode():
+    """auto_static=True flips the engine into static (fused) mode once the bond
+    structures saturate; the run converges to the exact energy."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel, tfi_exact_finite_gs_energy
+
+    L, g = 10, 1.3
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=12, eps=1e-12, auto_static=True)
+    E = eng.run(n_sweeps=8, tol=1e-13)
+    assert getattr(eng, 'static_mode', False) is True
+    assert abs(E - tfi_exact_finite_gs_energy(L, 1., g)) < 1e-9
