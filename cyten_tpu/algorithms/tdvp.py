@@ -24,7 +24,7 @@ from .dmrg import DMRGEngine, HEffective, _update_LP_impl, _update_RP_impl
 from .dmrg1 import HEffective1
 from .mps import SimpleMPS, split_truncate_theta
 
-__all__ = ['KEffective', 'TDVPEngine', 'TDVP2Engine']
+__all__ = ['KEffective', 'TDVPEngine', 'TDVP2Engine', 'TDVPQREngine']
 
 
 class KEffective(LinearOperator):
@@ -240,3 +240,190 @@ class TDVP2Engine(TDVPEngine):
             th = tdot(prev.relabelled({'p': 'p0'}),
                       th1.relabelled({'p': 'p1'}), 'vR', 'vL')
             th = permute_legs(th, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+
+
+class TDVPQREngine(TDVPEngine):
+    """Single-site TDVP using QR/LQ splits instead of SVDs (cf. Unfried,
+    Hauschild & Pollmann, PRB 107, 045102 (2023)).
+
+    TPU rationale (docs/DESIGN.md §8): QR is 30-60x cheaper than the QDWH-based
+    SVD on TPU, and the projector-splitting integrator only needs *orthogonal*
+    gauge splits — the Schmidt values are never used by the evolution itself.
+    The left-to-right pass stores the left isometries ``A_i`` temporarily; the
+    right-to-left pass restores B form via LQ. ``psi.Ss`` are refreshed from
+    the bond centers only when requested (:meth:`refresh_Ss`; needed for
+    entropies, not for the evolution), by exact host-side SVD values.
+
+    Optionally each site update runs as one fused jitted program
+    (``fused=True``, jax blocks only): Lanczos evolution + QR + backward bond
+    evolution in a single dispatch per site.
+    """
+
+    def __init__(self, psi: SimpleMPS, model, dt: float, imaginary: bool = False,
+                 lanczos_options: dict = None, fused: bool = None):
+        TDVPEngine.__init__(self, psi, model, dt, imaginary=imaginary,
+                            lanczos_options=lanczos_options)
+        if fused is None:
+            fused = False
+        self.fused = fused
+        self._fused_cache = {}
+        self._Cs = [None] * psi.L  # bond centers of the last R->L pass
+
+    # -- fused per-site programs ------------------------------------------------
+
+    def _site_step_right(self, key):
+        fn = self._fused_cache.get(('R', key))
+        if fn is not None:
+            return fn
+        import jax
+
+        from ..tensors import qr as qr_
+        from ..tensors.krylov_based import fused_lanczos_evolution_impl
+
+        d_site, d_bond = self._deltas(self.dt / 2.)
+        N = self.lanczos_options.get('N_max', 30)
+
+        def impl(LP, RP, W, th):
+            H1 = HEffective1(LP, RP, W)
+            th = fused_lanczos_evolution_impl(H1, th, d_site, N)
+            th = permute_legs(th, codomain=['vL', 'p'], domain=['vR'])
+            A, C = qr_(th, new_labels=['vR', 'vL'])
+            LPn = _update_LP_impl(LP, W, A)
+            K = KEffective(LPn, RP)
+            C = fused_lanczos_evolution_impl(K, C, d_bond, N)
+            return A, C, LPn
+
+        fn = jax.jit(impl)
+        self._fused_cache[('R', key)] = fn
+        return fn
+
+    def _site_step_left(self, key):
+        fn = self._fused_cache.get(('L', key))
+        if fn is not None:
+            return fn
+        import jax
+
+        from ..tensors import lq as lq_
+        from ..tensors.krylov_based import fused_lanczos_evolution_impl
+
+        d_site, d_bond = self._deltas(self.dt / 2.)
+        N = self.lanczos_options.get('N_max', 30)
+
+        def impl(LP, RP, W, th):
+            H1 = HEffective1(LP, RP, W)
+            th = fused_lanczos_evolution_impl(H1, th, d_site, N)
+            th = permute_legs(th, codomain=['vL'], domain=['vR', 'p'])
+            C_raw, B = lq_(th, new_labels=['vR', 'vL'])
+            B = permute_legs(B, codomain=['vL', 'p'], domain=['vR'])
+            RPn = _update_RP_impl(RP, W, B)
+            K = KEffective(LP, RPn)
+            C = fused_lanczos_evolution_impl(K, C_raw, d_bond, N)
+            return B, C, C_raw, RPn
+
+        fn = jax.jit(impl)
+        self._fused_cache[('L', key)] = fn
+        return fn
+
+    def _evolve_site(self, H, th, delta):
+        return self._evolve(H, th, delta)
+
+    def sweep(self):
+        import jax
+
+        psi = self.psi
+        L = psi.L
+        d_site, d_bond = self._deltas(self.dt / 2.)
+        from ..tensors import lq as lq_
+        from ..tensors import qr as qr_
+
+        As = [None] * L
+        # ---- left-to-right: evolve site, QR split, backward-evolve center ----
+        # (the turning-point site L-1 is evolved at the START of the R->L pass,
+        # mirroring TDVPEngine.sweep: every site gets two d_site evolutions)
+        th = psi.get_theta1(0)
+        for i in range(L - 1):
+            if self.fused:
+                key = jax.tree_util.tree_structure(
+                    (self.LPs[i], self.RPs[i], self.model.H_mpo[i], th))
+                A, C, LPn = self._site_step_right(key)(
+                    self.LPs[i], self.RPs[i], self.model.H_mpo[i], th)
+                self.LPs[i + 1] = LPn
+            else:
+                H1 = HEffective1(self.LPs[i], self.RPs[i], self.model.H_mpo[i])
+                th = self._evolve_site(H1, th, d_site)
+                th = permute_legs(th, codomain=['vL', 'p'], domain=['vR'])
+                A, C = qr_(th, new_labels=['vR', 'vL'])
+                self._env.update_LP(i, A)
+                K = KEffective(self.LPs[i + 1], self.RPs[i])
+                C = self._evolve(K, C, d_bond)
+            As[i] = A
+            th = tdot(C, psi.Bs[i + 1], 'vR', 'vL')
+            th = permute_legs(th, codomain=['vL', 'p'], domain=['vR'])
+        # turning point: site L-1's first d_site evolution (no split)
+        H1 = HEffective1(self.LPs[L - 1], self.RPs[L - 1],
+                         self.model.H_mpo[L - 1])
+        th = self._evolve_site(H1, th, d_site)
+        th = permute_legs(th, codomain=['vL', 'p'], domain=['vR'])
+
+        # ---- right-to-left: evolve site, LQ split, backward-evolve center ----
+        for i in range(L - 1, 0, -1):
+            if self.fused:
+                key = jax.tree_util.tree_structure(
+                    (self.LPs[i], self.RPs[i], self.model.H_mpo[i], th))
+                B, C, C_raw, RPn = self._site_step_left(key)(
+                    self.LPs[i], self.RPs[i], self.model.H_mpo[i], th)
+                self.RPs[i - 1] = RPn
+            else:
+                H1 = HEffective1(self.LPs[i], self.RPs[i], self.model.H_mpo[i])
+                th = self._evolve_site(H1, th, d_site)
+                th = permute_legs(th, codomain=['vL'], domain=['vR', 'p'])
+                C_raw, B = lq_(th, new_labels=['vR', 'vL'])
+                B = permute_legs(B, codomain=['vL', 'p'], domain=['vR'])
+                self._env.update_RP(i, B)
+                K = KEffective(self.LPs[i], self.RPs[i - 1])
+                C = self._evolve(K, C_raw, d_bond)
+            psi.Bs[i] = B
+            # Schmidt values come from the split BEFORE the backward bond
+            # evolution (same timing as TDVPEngine's psi.Ss bookkeeping)
+            self._Cs[i] = C_raw
+            th = tdot(As[i - 1], C, 'vR', 'vL')
+            th = permute_legs(th, codomain=['vL', 'p'], domain=['vR'])
+        # final site: forward-evolve; with the trivial left bond (Ss[0] = 1),
+        # B form simply stores theta1(0) at site 0
+        H1 = HEffective1(self.LPs[0], self.RPs[0], self.model.H_mpo[0])
+        th = self._evolve(H1, th, d_site)
+        th = permute_legs(th, codomain=['vL', 'p'], domain=['vR'])
+        if self.imaginary:
+            th = (1. / norm(th)) * th
+        psi.Bs[0] = th
+        self.refresh_Ss()
+
+    def refresh_Ss(self):
+        """Recompute psi.Ss from the stored bond centers (host-side exact SVD
+        values of the chi x chi centers; needed for entropies/measurements,
+        not for the evolution)."""
+        import numpy as onp
+
+        from ..backends.data import DiagonalBlockData
+        from ..dtypes import Dtype
+        from ..tensors import DiagonalTensor
+
+        psi = self.psi
+        for i in range(1, psi.L):
+            C = self._Cs[i]
+            if C is None:
+                continue
+            bb = C.backend.block_backend
+            s_blocks = []
+            for blk in C.data.blocks:
+                s = onp.linalg.svd(onp.asarray(blk), compute_uv=False)
+                s_blocks.append(bb.as_block(s, Dtype.float64))
+            inds = onp.array([int(r[0]) for r in C.data.block_inds],
+                             dtype=onp.intp)
+            total = onp.sqrt(sum(float(onp.sum(onp.asarray(b) ** 2))
+                                 for b in s_blocks))
+            s_blocks = [bb.mul(1. / max(total, 1e-300), b) for b in s_blocks]
+            data = DiagonalBlockData(s_blocks, inds, Dtype.float64,
+                                     is_sorted=True)
+            psi.Ss[i] = DiagonalTensor(data, C.codomain.factors[0], C.backend,
+                                       ['vL', 'vL*'])

@@ -398,6 +398,62 @@ def fused_lanczos_impl(H, psi0, N: int):
     return E, theta
 
 
+def fused_lanczos_evolution_impl(H, psi0, delta, N: int):
+    """Traceable ``exp(delta * H) |psi0>`` with a fixed-N Krylov space.
+
+    The whole iteration (basis build, tridiagonal eigenproblem, exponential
+    combine) is one traced program — usable inside larger jits (fused TDVP
+    site updates). ``psi0``'s block structure must be a fixed point of
+    ``H.matvec`` (see ``_close_structure``); ``delta`` may be complex (bake at
+    trace time or pass a traced scalar).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if complex(delta).imag != 0 and not psi0.dtype.is_complex:
+        # real-time evolution of a real state: promote UP FRONT so the dtype
+        # METADATA stays consistent (combining complex blocks under real
+        # metadata would later allocate real accumulators and silently drop
+        # the imaginary part)
+        psi0 = psi0.to_dtype(psi0.dtype.to_complex)
+    nrm0 = norm(psi0)
+    v0 = scalar_multiply(1. / nrm0, psi0)
+    zero = scalar_multiply(0., v0)
+
+    def body(carry, _):
+        v, v_prev, beta_prev = carry
+        w = H.matvec(v)
+        alpha = inner(v, w, do_dagger=True)
+        alpha = alpha.real if hasattr(alpha, 'real') else alpha
+        w = linear_combination(1., w, -alpha, v)
+        w = linear_combination(1., w, -beta_prev, v_prev)
+        beta = norm(w)
+        scale = jnp.where(beta > 1e-12, 1. / jnp.maximum(beta, 1e-30), 0.)
+        v_next = scalar_multiply(scale, w)
+        return (v_next, v, beta), (v, alpha, beta)
+
+    (_, _, _), (basis, alphas, betas) = jax.lax.scan(
+        body, (v0, zero, jnp.zeros(())), None, length=N)
+    valid = jnp.concatenate([jnp.ones((1,), bool), betas[:-1] > 1e-12])
+    valid = jnp.cumprod(valid).astype(bool)
+    # invalid entries: decouple them (diagonal far above the spectrum, zero
+    # couplings); their overlap with e0 vanishes so exp() of them is harmless
+    a_v = jnp.where(valid, alphas, 0.)
+    bound = jnp.max(jnp.abs(a_v)) + 2. * jnp.max(betas) + 1.
+    T = jnp.diag(jnp.where(valid, alphas, bound)) \
+        + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), 1) \
+        + jnp.diag(jnp.where(valid[1:], betas[:-1], 0.), -1)
+    evals, evecs = jnp.linalg.eigh(T)
+    phase = jnp.exp(jnp.asarray(delta) * evals)
+    coeffs = evecs @ (phase * evecs[0, :].conj()) * nrm0
+    theta = jax.tree.map(
+        lambda ys: jnp.tensordot(
+            coeffs.astype(jnp.result_type(ys.dtype, coeffs.dtype)),
+            ys.astype(jnp.result_type(ys.dtype, coeffs.dtype)), axes=(0, 0)),
+        basis)
+    return theta
+
+
 def lanczos_arpack(H: LinearOperator, psi0: Tensor, options: dict = None):
     """Ground state via scipy ARPACK, flattening tensors to dense vectors.
 
