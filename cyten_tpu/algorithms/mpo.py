@@ -19,7 +19,7 @@ from ..tensors import (
 )
 from .mps import SimpleMPS
 
-__all__ = ['apply_mpo']
+__all__ = ['apply_mpo', 'add_mpos', 'compress_mpo', 'variational_apply_mpo']
 
 
 def apply_mpo(psi: SimpleMPS, mpos, chi_max: int = None, eps: float = 1e-14,
@@ -146,3 +146,97 @@ def compress_mpo(mpos, chi_max: int = None, eps: float = 1e-12):
     # restore the standard [wL, p, wR, p*] leg order/labels
     return [permute_legs(W, codomain=['wL', 'p'], domain=['p*', 'wR'])
             for W in Ws]
+
+
+def variational_apply_mpo(psi: SimpleMPS, mpos, phi0: SimpleMPS = None,
+                          chi_max: int = 64, eps: float = 1e-14,
+                          n_sweeps: int = 4, tol: float = 1e-12):
+    """Variational (DMRG-style) fit ``phi ~ MPO|psi>``.
+
+    Sweeps two-site updates maximizing ``<phi| MPO |psi>`` at fixed ``|phi|``:
+    each local update CONTRACTS the three-layer environment (phi*, W, psi) onto
+    the open two-site block — no eigensolver — then truncates by SVD. More
+    accurate than zip-up at equal chi (globally optimal fit at convergence) and
+    the standard tool for H|psi> time stepping. Returns ``(phi, nrm)`` with
+    ``phi`` normalized in B form and ``nrm = <phi|MPO|psi>`` (== ||MPO psi||
+    at convergence).
+
+    `phi0`: initial guess (default: zip-up result).
+    """
+    from ..tensors import dagger, norm, pinv, scale_axis
+    from .mps import split_truncate_theta
+
+    L = psi.L
+    if phi0 is None:
+        phi, _ = apply_mpo(psi, mpos, chi_max=chi_max, eps=eps)
+    else:
+        phi = SimpleMPS(list(phi0.Bs), list(phi0.Ss), bc=phi0.bc)
+    backend = psi.backend
+    bb = backend.block_backend
+    dtype = psi.Bs[0].dtype
+
+    def ones_func(shape, coupled):
+        return bb.ones(shape, dtype)
+
+    from ..tensors import SymmetricTensor
+
+    # three-layer environments: LPs[i] covers sites < i, legs [vR*(phi), wR, vR(psi)]
+    V0_phi = phi.Bs[0].get_leg_co_domain('vL')
+    V0_psi = psi.Bs[0].get_leg_co_domain('vL')
+    w0 = mpos[0].get_leg_co_domain('wL')
+    LPs = [None] * L
+    RPs = [None] * L
+    LPs[0] = SymmetricTensor.from_sector_block_func(
+        ones_func, [V0_phi], [V0_psi, w0], backend=backend,
+        labels=[['vR*'], ['vR', 'wR']])
+    VR_phi = phi.Bs[-1].domain.factors[0]
+    VR_psi = psi.Bs[-1].domain.factors[0]
+    wR = mpos[-1].get_leg_co_domain('wR')
+    RPs[L - 1] = SymmetricTensor.from_sector_block_func(
+        ones_func, [VR_psi, wR], [VR_phi], backend=backend,
+        labels=[['vL', 'wL'], ['vL*']])
+
+    def update_RP(i):
+        """RPs[i-1] from RPs[i]: absorb psi.Bs[i], W_i, dagger(phi.Bs[i])."""
+        t = tdot(psi.Bs[i], RPs[i], 'vR', 'vL')          # psi layer
+        t = tdot(t, mpos[i], ['p', 'wL'], ['p*', 'wR'])  # MPO layer
+        RPs[i - 1] = tdot(t, dagger(phi.Bs[i]), ['p', 'vL*'], ['p*', 'vR*'])
+
+    def update_LP(i, A_phi):
+        t = tdot(LPs[i], psi.Bs[i] if i > 0 else psi.get_theta1(0), 'vR', 'vL')
+        t = tdot(t, mpos[i], ['wR', 'p'], ['wL', 'p*'])
+        LPs[i + 1] = tdot(dagger(A_phi), t, ['vL*', 'p*'], ['vR*', 'p'])
+
+    for i in range(L - 1, 0, -1):
+        update_RP(i)
+
+    val_old = None
+    for sweep in range(n_sweeps):
+        for sweep_dir, bonds in (('R', range(L - 1)),
+                                 ('L', range(L - 2, -1, -1))):
+            for i in bonds:
+                # project MPO|psi> onto the open two-site block at (i, i+1)
+                th = tdot(LPs[i],
+                          psi.get_theta1(i) if i == 0 else
+                          scale_axis(psi.Bs[i], psi.Ss[i], 'vL'), 'vR', 'vL')
+                th = tdot(th, mpos[i], ['wR', 'p'], ['wL', 'p*'])
+                th = th.relabelled({'p': 'p0'})
+                th = tdot(th, psi.Bs[i + 1], 'vR', 'vL')
+                th = tdot(th, mpos[i + 1], ['wR', 'p'], ['wL', 'p*'])
+                th = th.relabelled({'p': 'p1'})
+                th = tdot(th, RPs[i + 1], ['vR', 'wR'], ['vL', 'wL'])
+                th = th.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+                th = permute_legs(th, codomain=['vL', 'p0', 'p1'],
+                                  domain=['vR'])
+                val = float(np.real_if_close(complex(norm(th))))
+                A, S, B, _ = split_truncate_theta(th, chi_max, eps)
+                Sinv = pinv(phi.Ss[i], cutoff=1e-14)
+                phi.Bs[i] = scale_axis(scale_axis(A, Sinv, 'vL'), S, 'vR')
+                phi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
+                phi.Bs[i + 1] = B
+                update_LP(i, A)
+                update_RP(i + 1)
+        if val_old is not None and abs(val - val_old) <= tol * abs(val):
+            break
+        val_old = val
+    return phi, val

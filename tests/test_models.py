@@ -280,3 +280,29 @@ def test_haldane_chain_idmrg():
     eng = iDMRGEngine(psi, model, chi_max=48, eps=1e-12)
     e = eng.run(n_steps=400, tol=1e-12)
     assert abs(e - (-1.401484038971)) < 1e-5
+
+
+def test_variational_apply_mpo():
+    """Variational MPO|psi> fit: reproduces the zip-up result, and on an
+    eigenstate returns |E| with phi == psi."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.algorithms.mpo import apply_mpo, variational_apply_mpo
+
+    L, g = 8, 1.2
+    model = TFIModel(L=L, J=1., g=g, conserve='parity', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    DMRGEngine(psi, model, chi_max=16, eps=1e-13).run(n_sweeps=6)
+    E = psi.expectation_value_mpo(model.H_mpo)
+    phi, val = variational_apply_mpo(psi, model.H_mpo, chi_max=16)
+    assert abs(abs(val) - abs(E)) < 1e-10
+    assert abs(abs(phi.overlap(psi)) - 1) < 1e-10
+    # non-eigenstate: agrees with zip-up at ample chi
+    psi2 = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                        backend=model.backend)
+    DMRGEngine(psi2, model, chi_max=4, eps=1e-13).run(n_sweeps=2)
+    phiz, nz = apply_mpo(psi2, model.H_mpo, chi_max=32)
+    phiv, nv = variational_apply_mpo(psi2, model.H_mpo, chi_max=32)
+    assert abs(nz - nv) < 1e-6 * abs(nz)
+    assert abs(abs(phiz.overlap(phiv)) - 1) < 1e-7
