@@ -25,7 +25,7 @@ from ..tensors.krylov_based import lanczos
 from .dmrg import HEffective, _update_LP_impl, _update_RP_impl
 from .mps import SimpleMPS, split_truncate_theta
 
-__all__ = ['iDMRGEngine']
+__all__ = ['iDMRGEngine', 'MultiCellIDMRGEngine']
 
 
 class iDMRGEngine:
@@ -219,3 +219,154 @@ class iDMRGEngine:
         return SimpleMPS([B0, self.B],
                          [self.S_prev.relabelled(['vL', 'vL*']),
                           self.S.relabelled(['vL', 'vL*'])], bc='infinite')
+
+
+class MultiCellIDMRGEngine:
+    """Infinite DMRG with an L-site unit cell (L even; period-L Hamiltonians).
+
+    Each step optimizes an L-site window with finite-DMRG two-site sweeps
+    between the accumulated environments, absorbs the left/right half cells,
+    subtracts the window energy from the left environment's Hamiltonian
+    channel, and predicts the next window with the McCulloch rotation trick
+    (the chain grows by L sites per step; the cell register advances by L/2,
+    handled by cycling the MPO assignment). Reduces to :class:`iDMRGEngine`'s
+    physics for L == 2; use this class for period-2+ Hamiltonians
+    (e.g. dimerized chains) and period-L states.
+    """
+
+    def __init__(self, psi: SimpleMPS, model, chi_max: int = 32,
+                 eps: float = 1e-12, lanczos_options: dict = None,
+                 n_inner_sweeps: int = 2, pad_chi_multiple: int = None):
+        assert psi.bc == 'infinite'
+        L = psi.L
+        assert L % 2 == 0 and L >= 2
+        assert len(model.H_mpo) == L
+        self.L = L
+        self.model = model
+        self.chi_max = chi_max
+        self.eps = eps
+        self.pad_chi_multiple = pad_chi_multiple
+        self.n_inner_sweeps = n_inner_sweeps
+        self.lanczos_options = lanczos_options or {
+            'N_max': 100, 'N_min': 5, 'P_tol': 1e-14, 'reortho': True}
+        self.backend = psi.backend
+        self.offset = 0        # cell register: window site k has type (offset+k)%L
+        self.win_Bs = list(psi.Bs)
+        self.win_Ss = list(psi.Ss)
+        helper = iDMRGEngine.__new__(iDMRGEngine)
+        helper.backend = self.backend
+        helper.model = model
+        self.LP, self.RP = iDMRGEngine._init_environments(helper, psi)
+        self.E_prev = None
+        self.energy_per_site = None
+        self.trunc_err = 0.
+        self.n_steps = 0
+
+    def _window_engine(self):
+        from .dmrg import DMRGEngine
+
+        class _WinModel:
+            H_mpo = [self.model.H_mpo[(self.offset + k) % self.L]
+                     for k in range(self.L)]
+
+        eng = DMRGEngine.__new__(DMRGEngine)
+        eng.psi = SimpleMPS(list(self.win_Bs), list(self.win_Ss), bc='finite')
+        eng.model = _WinModel()
+        eng.chi_max = self.chi_max
+        eng.eps = self.eps
+        eng.orthogonal_to = []
+        eng.matmul_precision = None
+        eng.mesh = None
+        eng.shard_axis_name = 'mult'
+        eng.pad_chi_multiple = self.pad_chi_multiple
+        eng.jit_env_updates = False
+        eng.auto_static = False
+        eng.lanczos_options = self.lanczos_options
+        eng.backend = self.backend
+        L = self.L
+        eng.LPs = [None] * L
+        eng.RPs = [None] * L
+        eng.LPs[0] = self.LP
+        eng.RPs[L - 1] = self.RP
+        for i in range(L - 1, 0, -1):
+            eng.update_RP(i)
+        eng.OLs = []
+        eng.ORs = []
+        eng.E = None
+        eng.trunc_err = 0.
+        return eng
+
+    def step(self) -> float:
+        from .dmrg import _update_LP_impl, _update_RP_impl
+
+        L = self.L
+        eng = self._window_engine()
+        for _ in range(self.n_inner_sweeps):
+            E = eng.sweep()
+        self.trunc_err = max(self.trunc_err, eng.trunc_err)
+        psi_w = eng.psi
+        # left-isometric tensors of the window (strip the B-form gauge)
+        As = [scale_axis(scale_axis(psi_w.Bs[i], psi_w.Ss[i], 'vL'),
+                         pinv(psi_w.Ss[i + 1], cutoff=1e-10), 'vR')
+              for i in range(L // 2)]
+        LP = self.LP
+        for k in range(L // 2):
+            LP = _update_LP_impl(LP, self.model.H_mpo[(self.offset + k) % L],
+                                 As[k])
+        # energy subtraction keeps Heff O(1) (see iDMRGEngine.step)
+        helper = iDMRGEngine.__new__(iDMRGEngine)
+        helper.backend = self.backend
+        helper._eye_cache_key = None
+        LP = LP - E * iDMRGEngine._eye_at_channel(helper, LP)
+        self.LP = LP
+        RP = self.RP
+        for k in range(L - 1, L // 2 - 1, -1):
+            RP = _update_RP_impl(RP, self.model.H_mpo[(self.offset + k) % L],
+                                 psi_w.Bs[k])
+        self.RP = RP
+        # rotation trick: next window = [right half (B form)] + [left half,
+        # re-gauged through the translated Schmidt values]
+        Ss_w = [psi_w.Ss[i] for i in range(L)]
+        new_Ss = [Ss_w[(L // 2 + k) % L] for k in range(L)]
+        new_Bs = list(psi_w.Bs[L // 2:])
+        for k in range(L // 2):
+            S_left = new_Ss[L // 2 + k]
+            S_right = new_Ss[(L // 2 + k + 1) % L] if k < L // 2 - 1 \
+                else Ss_w[L // 2]
+            new_Bs.append(scale_axis(scale_axis(As[k],
+                                                pinv(S_left, cutoff=1e-10),
+                                                'vL'), S_right, 'vR'))
+        self.win_Bs = new_Bs
+        self.win_Ss = new_Ss
+        self.offset = (self.offset + L // 2) % L
+        e_site = None
+        if self.n_steps > 0:
+            e_site = float(E) / L
+            self.energy_per_site = e_site
+        self.E_prev = E
+        self.n_steps += 1
+        return e_site
+
+    def run(self, n_steps: int = 200, tol: float = 1e-10,
+            verbose: bool = False) -> float:
+        e_old = np.inf
+        for n in range(n_steps):
+            e = self.step()
+            if verbose and e is not None:
+                print(f'step {self.n_steps}: e/site = {e:.12f}, '
+                      f'chi = {int(self.win_Ss[0].leg.dim)}')
+            if e is not None and abs(e - e_old) < tol:
+                break
+            e_old = e if e is not None else np.inf
+        return self.energy_per_site
+
+    @property
+    def psi(self) -> SimpleMPS:
+        """The converged unit cell (site types 0..L-1) as an infinite MPS."""
+        L = self.L
+        # roll the window so site 0 has type 0
+        r = (-self.offset) % L
+        Bs = [self.win_Bs[(r + k) % L] for k in range(L)]
+        Ss = [self.win_Ss[(r + k) % L] for k in range(L)]
+        return SimpleMPS(Bs, [s.relabelled(['vL', 'vL*']) for s in Ss],
+                         bc='infinite')
