@@ -221,6 +221,39 @@ class iDMRGEngine:
                           self.S.relabelled(['vL', 'vL*'])], bc='infinite')
 
 
+def _fix_qr_phases(Q, R):
+    """Make R's diagonal real-positive (absorbing phases into Q).
+
+    For an exactly B-canonical input, the sign-fixed QR of ``S_i B_i``
+    reproduces the canonical ``A_i`` and ``R == S_{i+1}`` EXACTLY, so
+    environments absorbed from Q match the window's own gauge."""
+    from ..backends.data import DiagonalBlockData
+    from ..tensors import DiagonalTensor
+
+    bb = R.backend.block_backend
+    xp = bb.xp
+    phase_blocks = []
+    for blk in R.data.blocks:
+        d = xp.diagonal(blk)
+        mag = xp.abs(d)
+        phase_blocks.append(xp.where(mag > 1e-300, d / xp.where(mag > 1e-300,
+                                                                mag, 1.), 1.))
+    inds = np.array([int(i) for i, _ in R.data.block_inds], dtype=np.intp)
+    leg = R.codomain.factors[0]
+    D = DiagonalTensor(DiagonalBlockData(phase_blocks, inds, R.data.dtype,
+                                         is_sorted=True), leg, R.backend,
+                       [R.labels[0], f'{R.labels[0]}*'])
+    if R.data.dtype.is_complex:
+        from ..tensors import complex_conj
+
+        Dc = complex_conj(D)
+    else:
+        Dc = D
+    Q = scale_axis(Q, D, -1)
+    R = scale_axis(R, Dc, 0)
+    return Q, R
+
+
 class MultiCellIDMRGEngine:
     """Infinite DMRG with an L-site unit cell (L even; period-L Hamiltonians).
 
@@ -305,10 +338,19 @@ class MultiCellIDMRGEngine:
             E = eng.sweep()
         self.trunc_err = max(self.trunc_err, eng.trunc_err)
         psi_w = eng.psi
-        # left-isometric tensors of the window (strip the B-form gauge)
-        As = [scale_axis(scale_axis(psi_w.Bs[i], psi_w.Ss[i], 'vL'),
-                         pinv(psi_w.Ss[i + 1], cutoff=1e-10), 'vR')
-              for i in range(L // 2)]
+        # left-isometric tensors of the window via an exact QR
+        # left-canonicalization sweep — NOT pinv gauge-stripping, whose 1/S
+        # noise amplification destabilizes the fixed point once chi saturates
+        from ..tensors import qr as qr_
+
+        As = []
+        C = psi_w.Ss[0].as_SymmetricTensor().relabelled(['vL', 'vR'])
+        for i in range(L // 2):
+            M = tdot(C, psi_w.Bs[i], 'vR', 'vL')
+            M = permute_legs(M, codomain=['vL', 'p'], domain=['vR'])
+            A_i, C = qr_(M, new_labels=['vR', 'vL'])
+            A_i, C = _fix_qr_phases(A_i, C)  # gauge-match the window's B form
+            As.append(A_i)
         LP = self.LP
         for k in range(L // 2):
             LP = _update_LP_impl(LP, self.model.H_mpo[(self.offset + k) % L],

@@ -123,3 +123,76 @@ def test_itebd_ground_state():
                          canonicalize_every=5)
         eng.run(n)
     assert abs(eng.energy() - tfi_exact_infinite_gs_energy(1.0, g)) < 1e-8
+
+
+def test_multicell_idmrg_uniform_heisenberg():
+    """L=4 unit cell on the uniform Heisenberg chain: agrees with the 2-site
+    engine / Bethe energy at the chi-limited level, with a STABLE fixed point
+    (the QR-absorbed environments; pinv gauge-stripping destabilized it)."""
+    from cyten_tpu.algorithms.idmrg import MultiCellIDMRGEngine
+
+    m4 = HeisenbergModel(L=4, conserve='Sz', bc='infinite',
+                         block_backend='numpy')
+    psi4 = SimpleMPS.from_product_state(m4.site_legs, [0, 1, 0, 1],
+                                        backend=m4.backend, bc='infinite')
+    eng = MultiCellIDMRGEngine(psi4, m4, chi_max=24, eps=1e-12)
+    e = eng.run(n_steps=40, tol=1e-9)
+    assert abs(e - (0.25 - np.log(2))) < 5e-5  # chi-limited accuracy
+    # converged unit cell: 4 sites, valid B form
+    psi = eng.psi
+    assert psi.L == 4
+    psi.Bs[0].test_sanity()
+
+
+def test_multicell_idmrg_dimerized_xx():
+    """Genuinely period-2 Hamiltonian: dimerized XX chain vs the exact
+    free-fermion energy density (two-band integral)."""
+    import scipy.integrate
+
+    from cyten_tpu.algorithms.idmrg import MultiCellIDMRGEngine
+    from cyten_tpu.algorithms.models import _factorize_bond, spin_half_site
+    from cyten_tpu.tensors import SymmetricTensor, tensor_from_grid
+
+    J1, J2 = 1.0, 0.6
+    p = spin_half_site('Sz')
+    be = None
+    Sp = np.array([[0., 1.], [0., 0.]])
+    Sm = Sp.T
+
+    def xx_bond(J):
+        h = J / 2. * (np.kron(Sp, Sm) + np.kron(Sm, Sp))
+        block = h.reshape(2, 2, 2, 2).transpose(0, 1, 3, 2)
+        import cyten_tpu as ct
+
+        backend = ct.get_backend(p.symmetry, 'numpy')
+        return SymmetricTensor.from_dense_block(
+            block, [p, p], [p, p], backend=backend,
+            labels=['p0', 'p1', 'p1*', 'p0*'])
+
+    h1, h2 = xx_bond(J1), xx_bond(J2)
+    A1, B1, Id = _factorize_bond(h1, 1e-12)
+    A2, B2, _ = _factorize_bond(h2, 1e-12)
+
+    def W(A, B):
+        return tensor_from_grid([[Id, A, None], [None, None, B],
+                                 [None, None, Id]],
+                                labels=['wL', 'p', 'wR', 'p*'],
+                                row_leg='wL', col_leg='wR')
+
+    class Dimerized:
+        bc = 'infinite'
+        # site 0's right bond is J1, site 1's right bond is J2 (wrap)
+        H_mpo = [W(A1, B2), W(A2, B1)]
+
+    import cyten_tpu as ct
+
+    backend = ct.get_backend(p.symmetry, 'numpy')
+    psi = SimpleMPS.from_product_state([p, p], [0, 1], backend=backend,
+                                       bc='infinite')
+    eng = MultiCellIDMRGEngine(psi, Dimerized(), chi_max=32, eps=1e-12)
+    e = eng.run(n_steps=60, tol=1e-10)
+    t1, t2 = J1 / 2., J2 / 2.
+    e_exact = -scipy.integrate.quad(
+        lambda k: abs(t1 + t2 * np.exp(1j * k)), -np.pi, np.pi)[0] \
+        / (2 * np.pi) / 2.
+    assert abs(e - e_exact) < 1e-6, (e, e_exact)  # gapped: chi=32 plenty
