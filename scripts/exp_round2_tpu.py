@@ -1,13 +1,14 @@
 """Round-2 TPU measurement batch: everything in ONE process (one axon claim).
 
-Order: cheapest-compile first so partial results survive timeouts.
-Writes progress lines to stdout (flush) — run with `python -u`.
+Items are individually try/except'd (remote compile can flake); partial results
+persist to /tmp/round2_results.json after every item.
 """
 
 import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, '/root/repo')
 
@@ -25,91 +26,88 @@ def save():
         json.dump(RESULTS, f, indent=1)
 
 
+def item(name):
+    def deco(fn):
+        def run():
+            t0 = time.time()
+            try:
+                RESULTS[name] = fn()
+                RESULTS[name]['wall'] = round(time.time() - t0, 1)
+                log(f'{name}: {RESULTS[name]}')
+            except Exception as e:
+                RESULTS[name] = {'error': f'{type(e).__name__}: {e}'}
+                log(f'{name} FAILED: {e}')
+                traceback.print_exc()
+            save()
+        return run
+    return deco
+
+
 def main():
     import jax
 
     log('devices:', jax.devices())
-    import cyten_tpu as ct
     from bench import (
         build_hubbard_workload, build_workload, jax_run, step_run, su2_run,
     )
     from cyten_tpu.config import config
 
-    t_all = time.time()
+    @item('su2_256')
+    def su2_256():
+        t, _ = su2_run(256, lengths=(5, 25), skip_numpy=True)
+        return {'ms': round(t * 1e3, 4)}
 
-    # 1. steady step at chi=4096 (the north-star scale)
-    for chi in (4096, 1024):
-        t0 = time.time()
-        t_step, flops = step_run(chi, n_lanczos=10, svd_mode='steady',
-                                 lengths=(2, 6))
-        RESULTS[f'step_steady_chi{chi}'] = {
-            'ms': t_step * 1e3, 'tflops': flops / t_step / 1e12,
-            'wall': time.time() - t0}
-        log(f'step steady chi={chi}: {t_step*1e3:.2f} ms, '
-            f'{flops/t_step/1e12:.2f} TFLOP/s  (wall {time.time()-t0:.0f}s)')
-        save()
+    @item('su2_512')
+    def su2_512():
+        t, _ = su2_run(512, lengths=(5, 25), skip_numpy=True)
+        return {'ms': round(t * 1e3, 4)}
 
-    # 2. hubbard matvec: unrolled vs grouped
-    for chi in (2048,):
-        t0 = time.time()
-        t_unrolled = jax_run(chi, lengths=(10, 50),
-                             builder=build_hubbard_workload)
+    @item('hubbard_2048')
+    def hubbard():
+        t_u = jax_run(2048, lengths=(10, 50), builder=build_hubbard_workload)
         config.use_grouped_gemm = True
         try:
-            t_grouped = jax_run(chi, lengths=(10, 50),
-                                builder=build_hubbard_workload)
+            t_g = jax_run(2048, lengths=(10, 50),
+                          builder=build_hubbard_workload)
         finally:
             config.use_grouped_gemm = False
-        RESULTS[f'hubbard_chi{chi}'] = {
-            'unrolled_ms': t_unrolled * 1e3, 'grouped_ms': t_grouped * 1e3,
-            'wall': time.time() - t0}
-        log(f'hubbard chi={chi}: unrolled {t_unrolled*1e3:.3f} ms, '
-            f'grouped {t_grouped*1e3:.3f} ms  (wall {time.time()-t0:.0f}s)')
-        save()
+        return {'unrolled_ms': round(t_u * 1e3, 4),
+                'grouped_ms': round(t_g * 1e3, 4)}
 
-    # 3. u1 matvec chi=4096 with grouped gemm (the 9-sector case)
-    t0 = time.time()
-    t_u = jax_run(4096, lengths=(10, 50))
-    config.use_grouped_gemm = True
-    try:
-        t_g = jax_run(4096, lengths=(10, 50))
-    finally:
-        config.use_grouped_gemm = False
-    RESULTS['u1_chi4096_grouped'] = {'unrolled_ms': t_u * 1e3,
-                                     'grouped_ms': t_g * 1e3}
-    log(f'u1 chi=4096 matvec: unrolled {t_u*1e3:.3f} ms, grouped {t_g*1e3:.3f} ms')
-    save()
+    @item('u1_4096_grouped')
+    def u1g():
+        t_u = jax_run(4096, lengths=(10, 50))
+        config.use_grouped_gemm = True
+        try:
+            t_g = jax_run(4096, lengths=(10, 50))
+        finally:
+            config.use_grouped_gemm = False
+        return {'unrolled_ms': round(t_u * 1e3, 4),
+                'grouped_ms': round(t_g * 1e3, 4)}
 
-    # 4. su2 matvec 256 / 512 mults
-    for cm in (256, 512):
-        t0 = time.time()
-        t_su2, _ = su2_run(cm, lengths=(5, 25), skip_numpy=True)
-        RESULTS[f'su2_{cm}'] = {'ms': t_su2 * 1e3, 'wall': time.time() - t0}
-        log(f'su2 {cm} mults: {t_su2*1e3:.3f} ms/iter (wall {time.time()-t0:.0f}s)')
-        save()
+    @item('step_steady_1024')
+    def s1024():
+        t, fl = step_run(1024, n_lanczos=10, svd_mode='steady', lengths=(2, 6))
+        return {'ms': round(t * 1e3, 3), 'tflops': round(fl / t / 1e12, 3)}
 
-    # 5. steady step chi=8192
-    t0 = time.time()
-    t_step, flops = step_run(8192, n_lanczos=10, svd_mode='steady',
-                             lengths=(2, 4))
-    RESULTS['step_steady_chi8192'] = {
-        'ms': t_step * 1e3, 'tflops': flops / t_step / 1e12,
-        'wall': time.time() - t0}
-    log(f'step steady chi=8192: {t_step*1e3:.2f} ms, '
-        f'{flops/t_step/1e12:.2f} TFLOP/s')
-    save()
+    @item('step_steady_4096')
+    def s4096():
+        t, fl = step_run(4096, n_lanczos=10, svd_mode='steady', lengths=(2, 6))
+        return {'ms': round(t * 1e3, 3), 'tflops': round(fl / t / 1e12, 3)}
 
-    # 6. exact-QDWH step at chi=1024 (for the DESIGN comparison; slow compile)
-    t0 = time.time()
-    t_step, flops = step_run(1024, n_lanczos=10, svd_mode='exact',
-                             lengths=(2, 4))
-    RESULTS['step_exact_chi1024'] = {
-        'ms': t_step * 1e3, 'tflops': flops / t_step / 1e12,
-        'wall': time.time() - t0}
-    log(f'step exact chi=1024: {t_step*1e3:.2f} ms (wall {time.time()-t0:.0f}s)')
-    save()
+    @item('step_steady_8192')
+    def s8192():
+        t, fl = step_run(8192, n_lanczos=10, svd_mode='steady', lengths=(2, 4))
+        return {'ms': round(t * 1e3, 3), 'tflops': round(fl / t / 1e12, 3)}
 
-    log(f'ALL DONE in {time.time()-t_all:.0f}s')
+    @item('step_exact_1024')
+    def se1024():
+        t, fl = step_run(1024, n_lanczos=10, svd_mode='exact', lengths=(2, 4))
+        return {'ms': round(t * 1e3, 3), 'tflops': round(fl / t / 1e12, 3)}
+
+    for fn in (su2_256, su2_512, hubbard, u1g, s1024, s4096, s8192, se1024):
+        fn()
+    log('ALL DONE')
 
 
 if __name__ == '__main__':
