@@ -13,10 +13,11 @@ from .models import (
 from .models import GoldenChainModel, SpinChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
 from .dmrg1 import DMRG1SEngine, HEffective1
-from .idmrg import iDMRGEngine
+from .idmrg import MultiCellIDMRGEngine, iDMRGEngine
+from .itdvp import iTDVPEngine
 from .models import tfi_exact_infinite_gs_energy
 from .tebd import TEBDEngine
-from .tdvp import TDVP2Engine, TDVPEngine
+from .tdvp import TDVP2Engine, TDVPEngine, TDVPQREngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compress_mpo', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel', 'SpinChainModel',
@@ -24,5 +25,6 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compre
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
            'tfi_exact_infinite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
-           'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'TEBDEngine',
-           'TDVPEngine', 'TDVP2Engine']
+           'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'MultiCellIDMRGEngine',
+           'iTDVPEngine', 'TEBDEngine',
+           'TDVPEngine', 'TDVP2Engine', 'TDVPQREngine']
