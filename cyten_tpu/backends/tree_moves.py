@@ -77,6 +77,59 @@ class PermutePlan:
     complex_coeffs: bool
 
 
+@dataclass(frozen=True)
+class PlanGroup:
+    """Entries of a :class:`PermutePlan` sharing one (mult_shape, axis_perm):
+    a tree-pair mixing that acts as ``coeff [n_dst, n_src]`` on stacked
+    sub-blocks with a SINGLE batched transpose — i.e. one small GEMM instead
+    of ``nnz(coeff)`` slice/scale/scatter triples."""
+
+    src: tuple        # ((old_block_key, old_row_slc, old_col_slc), ...)
+    dst: tuple        # ((new_block_key, new_row_slc, new_col_slc), ...)
+    coeff: object     # np.ndarray [n_dst, n_src]
+    mult_shape: tuple
+    axis_perm: tuple
+    new_shape_2d: tuple
+
+
+@dataclass(frozen=True)
+class GroupedPlan:
+    groups: tuple
+    complex_coeffs: bool
+
+
+@functools.lru_cache(maxsize=512)
+def grouped_plan(plan: PermutePlan) -> GroupedPlan:
+    """Compile a plan's entries into per-shape-class coefficient GEMMs.
+
+    The ``axis_perm`` is global to a plan and ``mult_shape``/``new_shape_2d``
+    are determined by the source tree pair's uncoupled sectors, so grouping by
+    (mult_shape, new_shape_2d) collects exactly the entries whose sub-blocks
+    can be stacked; the (src tree pair -> dst tree pair) coefficients then form
+    a small dense matrix (cf. reference fusion_tree_backend.py:3181-3370,
+    whose TreePairMapping stays an entry-at-a-time instruction stream)."""
+    groups: dict = {}
+    for e in plan.entries:
+        key = (e.mult_shape, e.axis_perm, e.new_shape_2d)
+        src_map, dst_map, triples = groups.setdefault(key, ({}, {}, []))
+        s = (e.old_block_key, e.old_row_slc, e.old_col_slc)
+        d = (e.new_block_key, e.new_row_slc, e.new_col_slc)
+        si = src_map.setdefault(s, len(src_map))
+        di = dst_map.setdefault(d, len(dst_map))
+        triples.append((di, si, e.coeff))
+    out = []
+    ctype = complex if plan.complex_coeffs else float
+    for (mult_shape, axis_perm, new_shape_2d), (src_map, dst_map, triples) \
+            in groups.items():
+        C = np.zeros((len(dst_map), len(src_map)), dtype=ctype)
+        for di, si, c in triples:
+            C[di, si] += c
+        out.append(PlanGroup(src=tuple(src_map), dst=tuple(dst_map), coeff=C,
+                             mult_shape=mult_shape, axis_perm=axis_perm,
+                             new_shape_2d=new_shape_2d))
+    return GroupedPlan(groups=tuple(out), complex_coeffs=plan.complex_coeffs)
+
+
 class _PairMap:
     """Linear map on (codomain tree, domain tree) pairs, composed move by move."""
 

@@ -65,6 +65,12 @@ class Config:
     #: per-pair dot_generals in tdot. Measured keep-or-retire per workload in
     #: docs/DESIGN.md (scripts/exp_grouped_gemm.py).
     use_grouped_gemm: bool = False
+    #: fusion-tree permute plans: apply same-shape entry groups as one
+    #: stack -> batched transpose -> coefficient GEMM -> scatter instead of
+    #: per-entry slice/scale/scatter triples (VERDICT r1 item 6). None = auto
+    #: (on for the jax block backend, off for eager numpy where the python
+    #: loop is cheaper than the stack copies). True/False force.
+    fusion_tree_grouped_apply: bool | None = None
 
 
 config = Config()

@@ -289,3 +289,54 @@ def test_planar_partial_trace_nested():
 
     with pytest.raises(SymmetryError, match='levels'):
         ct.partial_trace(A, (0, 2), (1, 3))
+
+
+def test_grouped_plan_apply_equivalence(np_random):
+    """The GEMM-ized plan application (stack -> batched transpose -> tree-pair
+    coefficient GEMM -> scatter) reproduces the per-entry slice/scale/scatter
+    path exactly, on braided and non-abelian symmetries incl. side changes."""
+    from cyten_tpu.config import config
+    from cyten_tpu.testing.random_generation import (
+        random_ElementarySpace, random_tensor,
+    )
+
+    syms = [ct.fibonacci_anyon_category, ct.ising_anyon_category,
+            ct.su2_symmetry,
+            ct.fibonacci_anyon_category * ct.u1_symmetry.factors[0]]
+    perms = [((0, 1, 2), (3,)), ((1, 0), (3, 2)), ((2, 0), (1, 3)),
+             ((3, 1, 0), (2,)), ((0,), (1, 2, 3))]
+    n_checked = 0
+    for sym in syms:
+        be = ct.get_backend(sym, 'numpy')
+        for _ in range(3):
+            try:
+                legs_cod = [random_ElementarySpace(sym, np_random,
+                                                   max_sectors=3, max_mult=3)
+                            for _ in range(2)]
+                legs_dom = [random_ElementarySpace(sym, np_random,
+                                                   max_sectors=3, max_mult=3)
+                            for _ in range(2)]
+                T = random_tensor(legs_cod, legs_dom, backend=be, rng=np_random)
+            except Exception:
+                continue
+            for cod_idcs, dom_idcs in perms:
+                levels = None if sym.has_symmetric_braid \
+                    else list(np_random.permutation(4))
+                old = config.fusion_tree_grouped_apply
+                try:
+                    config.fusion_tree_grouped_apply = False
+                    try:
+                        A = ct.permute_legs(T, codomain=list(cod_idcs),
+                                            domain=list(dom_idcs), levels=levels)
+                    except Exception:
+                        continue
+                    config.fusion_tree_grouped_apply = True
+                    B = ct.permute_legs(T, codomain=list(cod_idcs),
+                                        domain=list(dom_idcs), levels=levels)
+                finally:
+                    config.fusion_tree_grouped_apply = old
+                d = float(ct.norm(A + (-1.) * B))
+                assert d < 1e-12 * max(float(ct.norm(A)), 1e-300), \
+                    (sym, cod_idcs, dom_idcs)
+                n_checked += 1
+    assert n_checked > 30
