@@ -18,6 +18,7 @@ from .itdvp import iTDVPEngine
 from .models import tfi_exact_infinite_gs_energy
 from .tebd import TEBDEngine
 from .tdvp import TDVP2Engine, TDVPEngine, TDVPQREngine
+from .vumps import VUMPSEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compress_mpo', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel', 'SpinChainModel',
@@ -27,4 +28,4 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compre
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
            'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'MultiCellIDMRGEngine',
            'iTDVPEngine', 'TEBDEngine',
-           'TDVPEngine', 'TDVP2Engine', 'TDVPQREngine']
+           'TDVPEngine', 'TDVP2Engine', 'TDVPQREngine', 'VUMPSEngine']

@@ -69,7 +69,7 @@ class iTDVPEngine:
 
     def __init__(self, psi: SimpleMPS, model, dt: float, imaginary: bool = False,
                  lanczos_options: dict = None, env_tol: float = 1e-12,
-                 env_max_iter: int = 500):
+                 env_max_iter: int = 500, canonical_tol: float = 1e-6):
         assert psi.bc == 'infinite', "iTDVP needs SimpleMPS(bc='infinite')"
         assert getattr(model, 'bc', 'finite') == 'infinite', \
             "iTDVP needs a model built with bc='infinite'"
@@ -83,6 +83,10 @@ class iTDVPEngine:
         self.backend = psi.backend
         self.env_tol = env_tol
         self.env_max_iter = env_max_iter
+        #: max tolerated wrap-around gauge mismatch of the input cell. TDVP
+        #: needs a truly canonical start (the projector assumes it); VUMPS
+        #: passes a loose value since its iteration is gauge self-correcting.
+        self.canonical_tol = canonical_tol
         # mixed canonical gauge: Cs[i] on the LEFT bond of site i, ARs[i] the
         # right isometry, ALs[i] the left isometry (AL_i C_{i+1} = C_i AR_i)
         self.ARs = [B.copy(deep=False) for B in psi.Bs]
@@ -116,7 +120,7 @@ class iTDVPEngine:
                 self.Cs[i + 1] = C
         mismatch = float(norm(C + (-1.) * self.Cs[0])) / max(
             float(norm(C)), 1e-300)
-        if mismatch > 1e-6:
+        if mismatch > self.canonical_tol:
             raise ValueError(
                 f'iTDVP: input unit cell is not canonical (wrap mismatch '
                 f'{mismatch:.2e}); run psi.canonicalize_infinite() first')
@@ -240,7 +244,15 @@ class iTDVPEngine:
             K = KEffective(LWs[i], RWs[i])
             C = self._evolve(K, self.Cs[i], delta)
             new_Cs.append((1. / float(norm(C))) * C)
-        # recover the isometries from QR factors
+        self._regauge(ACs, new_Cs)
+        self.n_steps += 1
+        return self
+
+    def _regauge(self, ACs, new_Cs):
+        """Recover AL/AR from phase-fixed QR/LQ factors of the new AC and C:
+        ``AL_i = Q(AC_i) Q(C_{i+1})^dagger``, ``AR_i = Qbar(C_i)^dagger
+        Qbar(AC_i)`` (also the re-gauge step of :class:`VUMPSEngine`)."""
+        L = self.L
         new_ALs, new_ARs = [], []
         for i in range(L):
             AC = permute_legs(ACs[i], codomain=['vL', 'p'], domain=['vR'])
@@ -259,8 +271,6 @@ class iTDVPEngine:
             new_ARs.append(permute_legs(AR, codomain=['vL', 'p'],
                                         domain=['vR']))
         self.ALs, self.ARs, self.Cs = new_ALs, new_ARs, new_Cs
-        self.n_steps += 1
-        return self
 
     def run(self, n_steps: int, verbose: bool = False):
         for n in range(n_steps):
