@@ -715,9 +715,24 @@ class FusionTreeBackend(TensorBackend):
         dtype = a.data.dtype
         if plan.complex_coeffs:
             dtype = dtype.to_complex
+        from math import prod
+
+        from ..config import config
+
+        max_block = config.fusion_tree_grouped_max_block
         gp = grouped_plan(plan)
         lookup = {tuple(r): n for n, r in enumerate(a.data.block_inds)}
         new_blocks: dict[tuple, object] = {}
+
+        def get_target(nbk):
+            target = new_blocks.get(nbk)
+            if target is None:
+                i_new, j_new = nbk
+                shape = (int(new_codomain.multiplicities[i_new]),
+                         int(new_domain.multiplicities[j_new]))
+                target = bb.accumulator(shape, dtype)
+            return target
+
         for g in gp.groups:
             subs = []
             keep = []
@@ -733,6 +748,21 @@ class FusionTreeBackend(TensorBackend):
             nz = np.flatnonzero(np.abs(C).max(axis=1) > 0)
             if len(nz) == 0:
                 continue
+            if prod(g.mult_shape) > max_block:
+                # large sub-blocks: stacking copies more than the dispatch
+                # floor is worth (measured crossover, see config); per entry
+                for k, sub in enumerate(subs):
+                    sub = bb.reshape(sub, g.mult_shape)
+                    sub = bb.permute_axes(sub, g.axis_perm)
+                    sub = bb.reshape(sub, g.new_shape_2d)
+                    for di in nz:
+                        c = C[int(di), k]
+                        if c == 0:
+                            continue
+                        nbk, nrs, ncs = g.dst[int(di)]
+                        new_blocks[nbk] = bb.accum_add(
+                            get_target(nbk), (nrs, ncs), bb.mul(c, sub))
+                continue
             x = bb.stack(subs, axis=0)
             x = bb.reshape(x, (len(subs),) + g.mult_shape)
             x = bb.permute_axes(x, (0,) + tuple(p + 1 for p in g.axis_perm))
@@ -741,14 +771,9 @@ class FusionTreeBackend(TensorBackend):
             y = bb.matrix_dot(bb.as_block(C[nz], dtype), x)
             for row, di in enumerate(nz):
                 nbk, nrs, ncs = g.dst[int(di)]
-                target = new_blocks.get(nbk)
-                if target is None:
-                    i_new, j_new = nbk
-                    shape = (int(new_codomain.multiplicities[i_new]),
-                             int(new_domain.multiplicities[j_new]))
-                    target = bb.accumulator(shape, dtype)
                 val = bb.reshape(y[row], g.new_shape_2d)
-                new_blocks[nbk] = bb.accum_add(target, (nrs, ncs), val)
+                new_blocks[nbk] = bb.accum_add(get_target(nbk), (nrs, ncs),
+                                               val)
         rows = list(new_blocks.keys())
         blocks = [bb.finalize_accumulator(new_blocks[r]) for r in rows]
         return BlockSparseData(blocks, np.array(rows, np.intp).reshape(len(rows), 2),

@@ -71,6 +71,12 @@ class Config:
     #: (on for the jax block backend, off for eager numpy where the python
     #: loop is cheaper than the stack copies). True/False force.
     fusion_tree_grouped_apply: bool | None = None
+    #: the grouped path is hybrid: groups whose sub-blocks exceed this many
+    #: elements fall back to per-entry application. Measured crossover on v5e
+    #: (SU(2) DMRG matvec, slope-timed): grouped wins 1.63x at 128 multiplets
+    #: (blocks <= ~70^2) and 1.16x at 256, loses 0.87x at 512 where the stack
+    #: copies of large blocks cost more than the dispatch floor they save.
+    fusion_tree_grouped_max_block: int = 32768
 
 
 config = Config()

@@ -333,10 +333,18 @@ def test_grouped_plan_apply_equivalence(np_random):
                     config.fusion_tree_grouped_apply = True
                     B = ct.permute_legs(T, codomain=list(cod_idcs),
                                         domain=list(dom_idcs), levels=levels)
+                    # also exercise the large-block per-entry fallback branch
+                    old_max = config.fusion_tree_grouped_max_block
+                    config.fusion_tree_grouped_max_block = 1
+                    B2 = ct.permute_legs(T, codomain=list(cod_idcs),
+                                         domain=list(dom_idcs), levels=levels)
+                    config.fusion_tree_grouped_max_block = old_max
                 finally:
                     config.fusion_tree_grouped_apply = old
-                d = float(ct.norm(A + (-1.) * B))
-                assert d < 1e-12 * max(float(ct.norm(A)), 1e-300), \
+                nA = max(float(ct.norm(A)), 1e-300)
+                assert float(ct.norm(A + (-1.) * B)) < 1e-12 * nA, \
                     (sym, cod_idcs, dom_idcs)
+                assert float(ct.norm(A + (-1.) * B2)) < 1e-12 * nA, \
+                    (sym, cod_idcs, dom_idcs, 'fallback branch')
                 n_checked += 1
     assert n_checked > 30
