@@ -19,9 +19,9 @@ import numpy as np
 from ..dtypes import Dtype
 from ..symmetries import ElementarySpace
 from ..tensors import (
-    DiagonalTensor, SymmetricTensor, combine_legs, compose, dagger, entropy, inner,
-    item, norm, permute_legs, pinv, scale_axis, split_legs, svd_apply_mask, tdot,
-    trace, truncate_singular_values, svd,
+    DiagonalTensor, SymmetricTensor, combine_legs, compose, dagger, entropy, eye,
+    inner, item, linear_combination, norm, permute_legs, pinv, scale_axis,
+    split_legs, svd_apply_mask, tdot, trace, truncate_singular_values, svd,
 )
 
 __all__ = ['SimpleMPS', 'split_truncate_theta']
@@ -357,16 +357,38 @@ class SimpleMPS:
             E = tdot(dagger(M), t, ['vL*', 'p*'], ['vR*', 'p'])
         return _as_scalar(E)
 
-    def canonicalize_infinite(self, n_cells: int = 16):
+    def canonicalize_infinite(self, n_cells: int = None, method: str = None,
+                              tol: float = 0.0):
         """Restore canonical B form of an infinite MPS (in place).
 
-        Window method: unroll ``n_cells`` copies of the unit cell into a finite
-        MPS with open fat boundary legs, run the exact finite canonicalization
-        (QR sweep + SVD sweep — neither assumes dim-1 edges), and read the
-        central cell back. Boundary effects decay like (xi-dependent)
-        ``lambda_2^(n_cells/2)``; increase ``n_cells`` near criticality.
+        Two methods:
+
+        ``'fixed_point'`` (default): the standard transfer-matrix gauge fix
+        (Orus & Vidal, PRB 78, 155117 (2008); TeNPy ``canonical_form_infinite2``).
+        Arnoldi finds the dominant left/right fixed points of the unit-cell
+        transfer operator, their Hermitian square roots ``sigma_L = Y^dag Y``,
+        ``rho_R = X X^dag`` and the SVD ``Y X = U S V^dag`` fix the boundary
+        gauge exactly (``S`` = true boundary Schmidt values); one QR + one SVD
+        pass through the single cell then canonicalizes the interior. Cost is
+        O(iters * L * chi^3) independent of the correlation length's *prefactor*
+        — convergence is set by the transfer gap, which Arnoldi handles far
+        better than power-iterating windows.
+
+        ``'window'`` (used automatically when ``n_cells`` is given): unroll
+        ``n_cells`` copies of the cell into a finite MPS, run the exact finite
+        canonicalization, read the central cell back. Boundary effects decay
+        like ``lambda_2^(n_cells/2)``. O(n_cells) full sweeps; kept as the
+        fallback for non-injective states (degenerate transfer spectrum).
         """
         assert self.bc == 'infinite'
+        if method is None:
+            method = 'window' if n_cells is not None else 'fixed_point'
+        if method == 'fixed_point':
+            return self._canonicalize_fixed_point(tol)
+        assert method == 'window'
+        return self._canonicalize_window(16 if n_cells is None else n_cells)
+
+    def _canonicalize_window(self, n_cells: int = 16):
         L = self.L
         fin = SimpleMPS([self.Bs[i % L] for i in range(n_cells * L)],
                         [self.Ss[i % L] for i in range(n_cells * L)],
@@ -382,6 +404,168 @@ class SimpleMPS:
             raise ValueError(
                 'canonicalize_infinite: cell bonds did not converge to equal '
                 'spaces; increase n_cells')
+        self.Bs = new_Bs
+        self.Ss = new_Ss
+        return self
+
+    def _transfer_fixed_points(self, tol: float):
+        """Dominant (eta, rho_R, sigma_L) of the unit-cell transfer operator.
+
+        Both fixed points are returned Hermitian, PSD-projected and with unit
+        trace, as square tensors ``[v; v*]`` on the cell-boundary bond.
+        """
+        import scipy.sparse.linalg as spla
+
+        L, Bs = self.L, self.Bs
+        bond = Bs[0].get_leg_co_domain('vL')
+        backend = self.backend
+        is_real = not Bs[0].dtype.is_complex
+
+        def apply_right(rho):
+            # rho: codomain [bond] 'vL', domain [bond] 'vL*' (right-env layout)
+            t = rho
+            for i in range(L - 1, -1, -1):
+                x = tdot(Bs[i], t, 'vR', 'vL')             # [vL, p, vL*]
+                t = tdot(x, dagger(Bs[i]), ['p', 'vL*'], ['p*', 'vR*'])
+                t = permute_legs(t, codomain=['vL'], domain=['vL*'])
+            return t
+
+        def apply_left(sig):
+            # sig: codomain [bond] 'vR*', domain [bond] 'vR' (left-env layout,
+            # cf. _mpo_expectation)
+            t = sig
+            for i in range(L):
+                x = tdot(t, Bs[i], 'vR', 'vL')             # [vR*, p, vR]
+                t = tdot(dagger(Bs[i]), x, ['vL*', 'p*'], ['vR*', 'p'])
+                t = permute_legs(t, codomain=['vR*'], domain=['vR'])
+            return t
+
+        rho0 = eye([bond], backend=backend, labels=['vL', 'vL*'],
+                   dtype=Bs[0].dtype).as_SymmetricTensor()
+        sig0 = eye([bond], backend=backend, labels=['vR*', 'vR'],
+                   dtype=Bs[0].dtype).as_SymmetricTensor()
+        shape = rho0.shape
+        dim = int(np.prod(shape))
+
+        def solve(apply_fn, t0):
+            if dim < 3:  # chi = 1: any vector spans the space
+                t = t0
+                for _ in range(3):
+                    t2 = apply_fn(t)
+                    eta = complex(inner(t, t2, do_dagger=True)) \
+                        / complex(inner(t, t, do_dagger=True))
+                    t = (1. / float(norm(t2))) * t2
+                return eta, t
+
+            def mv(flat):
+                blk = np.ascontiguousarray(flat.reshape(shape))
+                t = SymmetricTensor.from_dense_block(
+                    blk, t0.codomain, t0.domain, backend, t0.labels, tol=None)
+                return np.asarray(apply_fn(t).to_numpy(),
+                                  dtype=np.complex128).reshape(-1)
+
+            op = spla.LinearOperator((dim, dim), matvec=mv, dtype=np.complex128)
+            v0 = np.asarray(t0.to_numpy(), dtype=np.complex128).reshape(-1)
+            vals, vecs = spla.eigs(op, k=1, which='LM', v0=v0, tol=tol)
+            t = SymmetricTensor.from_dense_block(
+                np.ascontiguousarray(vecs[:, 0].reshape(shape)), t0.codomain,
+                t0.domain, backend, t0.labels, tol=None)
+            return complex(vals[0]), t
+
+        def hermitize(t):
+            tr = complex(trace(t))
+            if abs(tr) > 1e-300:     # fix the Arnoldi phase: positive trace
+                t = (abs(tr) / tr) * t
+            dg = dagger(t).set_labels(t.labels)
+            t = linear_combination(0.5, t, 0.5, dg)
+            if is_real and t.dtype.is_complex:
+                t = SymmetricTensor.from_dense_block(
+                    np.ascontiguousarray(np.real(np.asarray(t.to_numpy()))),
+                    t.codomain, t.domain, backend, t.labels, tol=None)
+            return (1. / float(np.real(complex(trace(t))))) * t
+
+        eta_r, rho_R = solve(apply_right, rho0)
+        eta_l, sig_L = solve(apply_left, sig0)
+        eta = 0.5 * (abs(eta_r) + abs(eta_l))
+        return eta, hermitize(rho_R), hermitize(sig_L)
+
+    def _canonicalize_fixed_point(self, tol: float = 0.0,
+                                  dead_cutoff: float = 1e-12):
+        from ..tensors import compose, eigh, qr, sqrt, truncate_singular_values
+
+        L, Bs = self.L, self.Bs
+        eta, rho_R, sig_L = self._transfer_fixed_points(tol)
+
+        def drop_dead(U, S, Vh):
+            """Truncate numerically dead directions (relative ``dead_cutoff``):
+            they carry no state weight, but their pseudo-inverted 1/S rows
+            would leave non-isometric tensors behind."""
+            if float(S.min()) >= dead_cutoff * float(S.max()):
+                return U, S, Vh
+            mask, _, _ = truncate_singular_values(
+                S, svd_min=dead_cutoff * float(S.max()))
+            return svd_apply_mask(U, S, Vh, mask)
+
+        def sqrt_factors(rho):
+            """rho = F F^dag with F = V sqrt(w); also pinv(F) = pinv(sqrt(w)) V^dag."""
+            W, V = eigh(rho, new_labels=['e', 'e*'])
+            sq = sqrt(abs(W))        # PSD projection: |w| differs only at noise level
+            cut = float(sq.max()) * 1e-7   # sqrt of the eigenvalue noise floor
+            F = scale_axis(V, sq, -1)
+            Finv = scale_axis(dagger(V), pinv(sq, cutoff=cut), 0)
+            return F, Finv
+
+        X, Xinv = sqrt_factors(rho_R)       # rho_R = X X^dag
+        Yd, Ydinv = sqrt_factors(sig_L)     # sig_L = Y^dag Y, Yd = Y^dag
+        Y = dagger(Yd)
+        Yinv = dagger(Ydinv)
+        U, S, Vh = svd(compose(Y, X), new_labels=['vR', 'vL'])
+        U, S, Vh = drop_dead(U, S, Vh)
+        S = (1. / float(norm(S))) * S
+        g_left = compose(Vh, Xinv).relabelled(['vL', 'vR'])
+        g_right = scale_axis(compose(Yinv, U), S, -1)
+        g_right = (1. / np.sqrt(eta)) * g_right.relabelled(['vL', 'vR'])
+
+        Bt = [B for B in Bs]
+        B0 = tdot(g_left, Bt[0], 'vR', 'vL')
+        Bt[0] = permute_legs(B0, codomain=['vL', 'p'], domain=['vR'])
+        Bl = tdot(Bt[L - 1], g_right, 'vR', 'vL')
+        Bt[L - 1] = permute_legs(Bl, codomain=['vL', 'p'], domain=['vR'])
+        S_bound = S.relabelled(['vL', 'vL*'])
+
+        # interior: one QR pass (left-isometric As) + one SVD pass, seeded by
+        # the now-exact boundary gauge on both ends (cf. finite canonicalize)
+        As = []
+        T = scale_axis(Bt[0], S_bound, 'vL')
+        for i in range(L - 1):
+            Q, R = qr(T, new_labels=['vR', 'vL'])
+            As.append(Q)
+            T = tdot(R, Bt[i + 1], 'vR', 'vL')
+            T = permute_legs(T, codomain=['vL', 'p'], domain=['vR'])
+        new_Bs = [None] * L
+        new_Ss = [None] * L
+        new_Ss[0] = S_bound
+        for i in range(L - 1, 0, -1):
+            Tp = permute_legs(T, codomain=['vL'], domain=['vR', 'p'])
+            Ui, Si, Vhi = svd(Tp, new_labels=['vR', 'vL'])
+            Ui, Si, Vhi = drop_dead(Ui, Si, Vhi)
+            Si = (1. / float(norm(Si))) * Si
+            new_Bs[i] = permute_legs(Vhi, codomain=['vL', 'p'], domain=['vR'])
+            new_Ss[i] = Si.relabelled(['vL', 'vL*'])
+            T = tdot(As[i - 1], scale_axis(Ui, Si, 'vR'), 'vR', 'vL')
+            T = permute_legs(T, codomain=['vL', 'p'], domain=['vR'])
+        T = (1. / float(norm(T))) * T
+        # T == S_bound @ B_0 up to fixed-point noise. Factor by (phase-fixed)
+        # LQ rather than pinv(S): the L factor reabsorbs the noise instead of
+        # amplifying it by 1/S in near-dead directions, so B_0 is exactly
+        # row-isometric.
+        from ..tensors import lq as lq_
+        from .itdvp import _fix_lq_phases
+
+        Tp = permute_legs(T, codomain=['vL'], domain=['vR', 'p'])
+        Lf, Q = lq_(Tp, new_labels=['vR', 'vL'])
+        Lf, Q = _fix_lq_phases(Lf, Q)
+        new_Bs[0] = permute_legs(Q, codomain=['vL', 'p'], domain=['vR'])
         self.Bs = new_Bs
         self.Ss = new_Ss
         return self

@@ -37,11 +37,19 @@ def record_tdot(self, a, b, legs1, legs2):
     ia, ib, out_id, n_out = ab._cached_compose_plan(
         a_bi.tobytes(), a_bi.shape, tuple(legs1), tuple(a_keep),
         b_bi.tobytes(), b_bi.shape, tuple(legs2), tuple(b_keep))
+    # BlockSparseData lexsorts block_inds on construction, permuting the block
+    # list out of oid order -- replays must apply the same permutation per stage
+    out_rows = [None] * int(n_out)
+    for n1, n2, oid in zip(ia, ib, out_id):
+        if out_rows[int(oid)] is None:
+            out_rows[int(oid)] = tuple(a_bi[int(n1)][a_keep]) \
+                + tuple(b_bi[int(n2)][b_keep])
+    perm = np.lexsort(np.array(out_rows, dtype=np.intp).T)
     STAGES.append(dict(
         ia=[int(x) for x in ia], ib=[int(x) for x in ib],
         oid=[int(x) for x in out_id], n_out=int(n_out),
         legs1=list(legs1), legs2=list(legs2),
-        a_keep=a_keep, b_keep=b_keep,
+        a_keep=a_keep, b_keep=b_keep, perm=[int(p) for p in perm],
         b_blocks=[np.asarray(blk, dtype=np.float32) for blk in b.data.blocks],
         a_shapes=[np.asarray(blk).shape for blk in a.data.blocks],
     ))
@@ -70,7 +78,7 @@ def stage_fn(st, jnp):
             prod = jnp.tensordot(x_blocks[n1], st['jb'][n2],
                                  axes=(legs1, legs2))
             accum[oid] = prod if accum[oid] is None else accum[oid] + prod
-        return accum
+        return [accum[p] for p in st['perm']]
     return run
 
 
@@ -94,7 +102,7 @@ def stage_fn_mulsum(st, jnp):
             prod = (x_exp * w_t.reshape((1,) * (x.ndim - nc) + w_t.shape)).sum(
                 axis=tuple(range(x.ndim - nc, x.ndim)))
             accum[oid] = prod if accum[oid] is None else accum[oid] + prod
-        return accum
+        return [accum[p] for p in st['perm']]
     return run
 
 
@@ -189,6 +197,49 @@ def main():
         bench_chain('A  bf16 blocks  ', lambda: chain_16,
                     [b.astype(np.float32).astype(jnp.bfloat16) if hasattr(b, 'astype') else b
                      for b in theta_blocks], out_A, jax, jnp, prec='default')
+
+    if 'E' in which:  # small-operand-as-LHS chain: big chi dims stay minor
+        # hypothesis: the 2.3x-over-traffic-floor mixing cost is layout — the
+        # stage0 output's minor dim is wR(=3), so every elementwise/GEMM pass
+        # runs at ~3/128 lane utilization. Putting the SMALL tensor on the lhs
+        # keeps chi as the trailing (lane) dim of every intermediate.
+        import cyten_tpu as ct
+        from cyten_tpu.tensors import tdot as cttdot
+        backend = ct.get_backend(ct.u1_symmetry, 'numpy')
+        from bench import build_workload
+        LP, RP, W1, W2, theta = build_workload(backend, chi=chi)
+        STAGES.clear()
+        ab.AbelianBackend.tdot_data = record_tdot
+        x = cttdot(LP, theta, 'vR', 'vL')                    # [vR*, wR, p0, p1, vR]
+        x = cttdot(W1, x, ['p0*', 'wL'], ['p0', 'wR'])       # [p0, wR, vR*, p1, vR]
+        x = cttdot(W2, x, ['p1*', 'wL'], ['p1', 'wR'])       # [p1, wR, p0, vR*, vR]
+        x = cttdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])        # [p1, p0, vR*, vL*]
+        ab.AbelianBackend.tdot_data = _orig_tdot_data
+        for st in STAGES:
+            st['jb'] = [jnp.asarray(b) for b in st['b_blocks']]
+        # stages 0-2 have the x on the RHS: swap roles in the pair loop
+        def stage_fn_rhs(st):
+            legs1, legs2 = st['legs1'], st['legs2']
+
+            def run(x_blocks):
+                accum = [None] * st['n_out']
+                for n1, n2, oid in zip(st['ia'], st['ib'], st['oid']):
+                    prod = jnp.tensordot(st['jb'][n1], x_blocks[n2],
+                                         axes=(legs1, legs2))
+                    accum[oid] = prod if accum[oid] is None else accum[oid] + prod
+                return [accum[p] for p in st['perm']]
+            return run
+
+        e_fns = [stage_fn_rhs(STAGES[0]), stage_fn_rhs(STAGES[1]),
+                 stage_fn_rhs(STAGES[2]), stage_fn(STAGES[3], jnp)]
+        chain_E = lambda th: e_fns[3](e_fns[2](e_fns[1](e_fns[0](th))))
+        bench_chain('E  lhs-small 4-stage', lambda: chain_E,
+                    theta_blocks, None, jax, jnp)
+        bench_chain('E0 stage0 only', lambda: e_fns[0], theta_blocks, None, jax, jnp)
+        bench_chain('E01 stages 0-1', lambda: lambda th: e_fns[1](e_fns[0](th)),
+                    theta_blocks, None, jax, jnp)
+        bench_chain('E012 stages 0-2', lambda: lambda th: e_fns[2](e_fns[1](e_fns[0](th))),
+                    theta_blocks, None, jax, jnp)
 
     if 'B' in which:  # bond gate: W1*W2 prefused (3 tdot stages)
         import cyten_tpu as ct

@@ -107,6 +107,90 @@ def test_canonicalize_infinite():
     assert abs(e - tfi_exact_infinite_gs_energy(1.0, g)) < 1e-10
 
 
+def test_canonicalize_infinite_fixed_point():
+    """Transfer-matrix fixed-point canonicalization (the default): restores
+    exact B form after an arbitrary invertible gauge scrambling of the cell,
+    with unchanged physics (gauge invariance of the state)."""
+    from cyten_tpu.tensors import (
+        SymmetricTensor, dagger, eye, norm, permute_legs, tdot,
+    )
+
+    g = 1.5
+    model = TFIModel(L=2, J=1.0, g=g, conserve='parity', block_backend='numpy',
+                     bc='infinite')
+    psi0 = SimpleMPS.from_product_state(model.site_legs, [0, 0],
+                                        backend=model.backend, bc='infinite')
+    eng = iDMRGEngine(psi0, model, chi_max=16, eps=1e-12)
+    eng.run(n_steps=200, tol=1e-12)
+    psi = eng.psi
+    psi.canonicalize_infinite()   # default method: fixed_point
+
+    def iso_errs(p):
+        errs = []
+        for B in p.Bs:
+            E = tdot(B, dagger(B), ['p', 'vR'], ['p*', 'vR*'])
+            ey = eye([B.get_leg_co_domain('vL')], backend=B.backend,
+                     labels=['vL', 'vL*'], dtype=B.dtype).as_SymmetricTensor()
+            errs.append(float(norm(E + (-1.) * ey)))
+        return errs
+
+    assert max(iso_errs(psi)) < 1e-12
+    e_exact = tfi_exact_infinite_gs_energy(1.0, g)
+    assert abs(model.energy(psi) - e_exact) < 1e-10
+
+    # scramble the gauge on every bond with a random invertible (symmetric)
+    # matrix -- the physical state is invariant, the canonical form is ruined.
+    # Clip the gauge's singular values to [1/3, 3]: float64 representation
+    # roundoff is amplified by cond(G) (measured: cond=1764 scramble -> 3.7e-10
+    # energy error; cond<=10 -> ~1e-12), and we want the strict 1e-10 assertion
+    # to test the ALGORITHM, not roundoff amplification.
+    rng = np.random.default_rng(42)
+    backend = model.backend
+    L = psi.L
+    Gs, Ginvs = [], []
+    for i in range(L):
+        bond = psi.Bs[i].get_leg_co_domain('vL')
+        ey = eye([bond], backend=backend, labels=['vL', 'vR'],
+                 dtype=psi.Bs[i].dtype).as_SymmetricTensor()
+        D = int(bond.dim)
+        M = np.eye(D) + 0.3 * rng.standard_normal((D, D))
+        # project to the symmetric (block-diagonal) subspace FIRST, then clip
+        # the projected matrix's singular values -- clipping before projection
+        # leaves the projected gauge ill-conditioned again
+        G = SymmetricTensor.from_dense_block(M, ey.codomain, ey.domain,
+                                             backend, ey.labels, tol=None)
+        u_, s_, vt_ = np.linalg.svd(np.asarray(G.to_numpy()))
+        M = u_ @ np.diag(np.clip(s_, 1. / 3., 3.)) @ vt_
+        G = SymmetricTensor.from_dense_block(M, ey.codomain, ey.domain,
+                                             backend, ey.labels, tol=None)
+        Ginvs.append(SymmetricTensor.from_dense_block(
+            np.linalg.inv(np.asarray(G.to_numpy())), ey.codomain, ey.domain,
+            backend, ey.labels, tol=None))
+        Gs.append(G)
+    newBs = []
+    for i in range(L):
+        B = tdot(Gs[i], psi.Bs[i], 'vR', 'vL')
+        B = tdot(B, Ginvs[(i + 1) % L], 'vR', 'vL')
+        newBs.append(permute_legs(B, codomain=['vL', 'p'], domain=['vR']))
+    psi_g = SimpleMPS(newBs, list(psi.Ss), bc='infinite')
+    assert max(iso_errs(psi_g)) > 0.1   # thoroughly scrambled
+
+    psi_g.canonicalize_infinite()
+    assert max(iso_errs(psi_g)) < 1e-12
+    for i in range(L):
+        e_ref = complex(psi.bond_expectation_value(model.H_bonds[i], i)).real
+        e_new = complex(psi_g.bond_expectation_value(model.H_bonds[i], i)).real
+        assert abs(e_ref - e_new) < 1e-10
+    # Schmidt spectra agree (up to dead directions)
+    for a, b in zip(psi.Ss, psi_g.Ss):
+        va = np.sort(np.asarray(a.diagonal_as_numpy()
+                                if hasattr(a, 'diagonal_as_numpy') else
+                                np.diag(a.as_SymmetricTensor().to_numpy())))
+        vb = np.sort(np.asarray(np.diag(b.as_SymmetricTensor().to_numpy())))
+        n = min(len(va), len(vb))
+        assert np.allclose(va[-n:], vb[-n:], atol=1e-6)
+
+
 @pytest.mark.slow
 def test_itebd_ground_state():
     """iTEBD (imaginary time, dt schedule, window re-canonicalization) reaches
