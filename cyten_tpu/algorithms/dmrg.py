@@ -92,6 +92,21 @@ def _get_jitted_env_updates():
 
 
 def _heff_matvec_impl(LP, RP, W1, W2, theta):
+    from ..backends.abelian import AbelianBackend
+    from ..backends.no_symmetry import NoSymmetryBackend
+
+    if isinstance(theta.backend, (AbelianBackend, NoSymmetryBackend)):
+        # lhs-small operand order: the small static tensor (LP/W) goes on the
+        # left, so chi stays the trailing (TPU lane) dim of every intermediate.
+        # Measured 1.11x on the full chain at chi=2048 f32 (DESIGN §4, variant
+        # E). Only for symmetric-braiding backends: tdot's internal leg moves
+        # differ from the planar order below and may braid.
+        x = tdot(LP, theta, 'vR', 'vL')                  # [vR*, wR, p0, p1, vR]
+        x = tdot(W1, x, ['p0*', 'wL'], ['p0', 'wR'])     # [p0, wR, vR*, p1, vR]
+        x = tdot(W2, x, ['p1*', 'wL'], ['p1', 'wR'])     # [p1, wR, p0, vR*, vR]
+        x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])      # [p1, p0, vR*, vL*]
+        x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+        return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
     # every step below is a *planar* rearrangement (cyclic rotations + bends only),
     # so the same code runs for anyonic symmetries without braid chiralities.
     x = tdot(theta, LP, 'vL', 'vR')                    # [p0, p1, vR, vR*, wR]

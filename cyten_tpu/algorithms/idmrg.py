@@ -269,7 +269,9 @@ class MultiCellIDMRGEngine:
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32,
                  eps: float = 1e-12, lanczos_options: dict = None,
-                 n_inner_sweeps: int = 2, pad_chi_multiple: int = None):
+                 n_inner_sweeps: int = 2, pad_chi_multiple: int = None,
+                 mesh=None, shard_axis_name: str = 'mult',
+                 matmul_precision: str = None):
         assert psi.bc == 'infinite'
         L = psi.L
         assert L % 2 == 0 and L >= 2
@@ -280,6 +282,9 @@ class MultiCellIDMRGEngine:
         self.eps = eps
         self.pad_chi_multiple = pad_chi_multiple
         self.n_inner_sweeps = n_inner_sweeps
+        self.mesh = mesh
+        self.shard_axis_name = shard_axis_name
+        self.matmul_precision = matmul_precision
         self.lanczos_options = lanczos_options or {
             'N_max': 100, 'N_min': 5, 'P_tol': 1e-14, 'reortho': True}
         self.backend = psi.backend
@@ -308,9 +313,9 @@ class MultiCellIDMRGEngine:
         eng.chi_max = self.chi_max
         eng.eps = self.eps
         eng.orthogonal_to = []
-        eng.matmul_precision = None
-        eng.mesh = None
-        eng.shard_axis_name = 'mult'
+        eng.matmul_precision = self.matmul_precision
+        eng.mesh = self.mesh
+        eng.shard_axis_name = self.shard_axis_name
         eng.pad_chi_multiple = self.pad_chi_multiple
         eng.jit_env_updates = False
         eng.auto_static = False
@@ -360,12 +365,12 @@ class MultiCellIDMRGEngine:
         helper.backend = self.backend
         helper._eye_cache_key = None
         LP = LP - E * iDMRGEngine._eye_at_channel(helper, LP)
-        self.LP = LP
+        self.LP = iDMRGEngine._shard(self, LP, 'vR')
         RP = self.RP
         for k in range(L - 1, L // 2 - 1, -1):
             RP = _update_RP_impl(RP, self.model.H_mpo[(self.offset + k) % L],
                                  psi_w.Bs[k])
-        self.RP = RP
+        self.RP = iDMRGEngine._shard(self, RP, 'vL')
         # rotation trick: next window = [right half (B form)] + [left half,
         # re-gauged through the translated Schmidt values]
         Ss_w = [psi_w.Ss[i] for i in range(L)]

@@ -51,6 +51,7 @@ def record_tdot(self, a, b, legs1, legs2):
         legs1=list(legs1), legs2=list(legs2),
         a_keep=a_keep, b_keep=b_keep, perm=[int(p) for p in perm],
         b_blocks=[np.asarray(blk, dtype=np.float32) for blk in b.data.blocks],
+        a_blocks=[np.asarray(blk, dtype=np.float32) for blk in a.data.blocks],
         a_shapes=[np.asarray(blk).shape for blk in a.data.blocks],
     ))
     return _orig_tdot_data(self, a, b, legs1, legs2)
@@ -217,14 +218,15 @@ def main():
         ab.AbelianBackend.tdot_data = _orig_tdot_data
         for st in STAGES:
             st['jb'] = [jnp.asarray(b) for b in st['b_blocks']]
-        # stages 0-2 have the x on the RHS: swap roles in the pair loop
+            st['ja'] = [jnp.asarray(b) for b in st['a_blocks']]
+        # stages 0-2 have the x on the RHS: the WEIGHTS are operand a there
         def stage_fn_rhs(st):
             legs1, legs2 = st['legs1'], st['legs2']
 
             def run(x_blocks):
                 accum = [None] * st['n_out']
                 for n1, n2, oid in zip(st['ia'], st['ib'], st['oid']):
-                    prod = jnp.tensordot(st['jb'][n1], x_blocks[n2],
+                    prod = jnp.tensordot(st['ja'][n1], x_blocks[n2],
                                          axes=(legs1, legs2))
                     accum[oid] = prod if accum[oid] is None else accum[oid] + prod
                 return [accum[p] for p in st['perm']]

@@ -228,6 +228,27 @@ def test_multicell_idmrg_uniform_heisenberg():
     psi.Bs[0].test_sanity()
 
 
+@pytest.mark.slow
+def test_multicell_idmrg_mesh_option():
+    """MultiCellIDMRGEngine(mesh=...) shards window/environment bond axes over
+    the virtual 8-device mesh; energies match the unsharded engine exactly."""
+    from cyten_tpu.algorithms.idmrg import MultiCellIDMRGEngine
+    from cyten_tpu.parallel import make_mesh
+
+    m4 = HeisenbergModel(L=4, conserve='Sz', bc='infinite',
+                         block_backend='jax')
+    kw = dict(chi_max=8, eps=1e-12, n_inner_sweeps=1)
+    psi_a = SimpleMPS.from_product_state(m4.site_legs, [0, 1, 0, 1],
+                                         backend=m4.backend, bc='infinite')
+    psi_b = SimpleMPS.from_product_state(m4.site_legs, [0, 1, 0, 1],
+                                         backend=m4.backend, bc='infinite')
+    eng_plain = MultiCellIDMRGEngine(psi_a, m4, **kw)
+    eng_mesh = MultiCellIDMRGEngine(psi_b, m4, mesh=make_mesh(8), **kw)
+    e_plain = eng_plain.run(n_steps=3, tol=0.)
+    e_mesh = eng_mesh.run(n_steps=3, tol=0.)
+    assert abs(e_plain - e_mesh) < 1e-10
+
+
 def test_multicell_idmrg_dimerized_xx():
     """Genuinely period-2 Hamiltonian: dimerized XX chain vs the exact
     free-fermion energy density (two-band integral)."""
