@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..dtypes import Dtype
 from ..symmetries import ElementarySpace
 from ..tensors import (
     SymmetricTensor, compose, dagger, norm, permute_legs, pinv, scale_axis, tdot,
@@ -246,7 +247,8 @@ class DMRGEngine:
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
                  jit_env_updates: bool = None, mesh=None,
                  shard_axis_name: str = 'mult', matmul_precision: str = None,
-                 orthogonal_to=None, auto_static: bool | str = False):
+                 orthogonal_to=None, auto_static: bool | str = False,
+                 env_dtype: Dtype = None):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
@@ -280,6 +282,14 @@ class DMRGEngine:
         #: structures stop changing between sweeps (run() checks). True uses
         #: svd_mode='steady'; pass 'exact' to keep the QDWH SVD instead.
         self.auto_static = auto_static
+        #: storage dtype for the MPO environments LP/RP (mixed-precision mode).
+        #: ``Dtype.bfloat16`` halves the HBM traffic of the environment reads in
+        #: the Lanczos matvec — the measured bottleneck (docs/DESIGN.md §4) —
+        #: while theta and the Lanczos iterates stay in the working dtype, so
+        #: Krylov orthogonality is unaffected. The effective Hamiltonian then
+        #: carries ~bf16-eps (4e-3) relative perturbation; DMRG is variational,
+        #: so the energy error is second order (~1e-5 observed, test_bf16.py).
+        self.env_dtype = env_dtype
         self.backend = psi.backend
         L = psi.L
         self.LPs = [None] * L
@@ -386,7 +396,10 @@ class DMRGEngine:
         W = self.model.H_mpo[i]
         fn = _get_jitted_env_updates()[0] if self.jit_env_updates \
             else _update_LP_impl
-        self.LPs[i + 1] = self._shard(fn(self.LPs[i], W, A), 'vR')  # [vR*, wR, vR]
+        LP = fn(self.LPs[i], W, A)
+        if self.env_dtype is not None:
+            LP = LP.to_dtype(self.env_dtype)
+        self.LPs[i + 1] = self._shard(LP, 'vR')  # [vR*, wR, vR]
 
     def update_RP(self, i: int, B=None):
         """RPs[i-1] from RPs[i] and the right-isometric tensor B at site i."""
@@ -395,7 +408,10 @@ class DMRGEngine:
         W = self.model.H_mpo[i]
         fn = _get_jitted_env_updates()[1] if self.jit_env_updates \
             else _update_RP_impl
-        self.RPs[i - 1] = self._shard(fn(self.RPs[i], W, B), 'vL')  # [vL, wL, vL*]
+        RP = fn(self.RPs[i], W, B)
+        if self.env_dtype is not None:
+            RP = RP.to_dtype(self.env_dtype)
+        self.RPs[i - 1] = self._shard(RP, 'vL')  # [vL, wL, vL*]
 
     def sweep(self) -> float:
         L = self.psi.L

@@ -369,6 +369,8 @@ class AbelianBackend(TensorBackend):
         for res_key, mat in zip(out_rows, accum):
             shape = tuple(int(sp.multiplicities[i])
                           for sp, i in zip(a_spaces + b_spaces, res_key))
+            if bb.get_dtype(mat) != dtype:  # e.g. numpy promotes bf16 dots to f32
+                mat = bb.to_dtype(mat, dtype)
             blocks.append(bb.reshape(mat, shape if shape else ()))
             rows.append(res_key)
         n_legs = Ka + len(b_keep_cols)

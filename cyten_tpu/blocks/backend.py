@@ -34,6 +34,8 @@ __all__ = ['ArrayApiBlockBackend', 'Block', 'BlockBackend', 'JaxBlockBackend',
 
 Block = TypeVar('Block')  # jax.Array | np.ndarray
 
+_BF16 = Dtype.bfloat16.to_numpy  # ml_dtypes-registered numpy dtype, shared with jax
+
 
 class BlockBackend:
     """Dense-array contract. Instances are stateless except for an RNG for test data."""
@@ -341,6 +343,7 @@ class BlockBackend:
     # --- reductions -------------------------------------------------------------------
 
     def norm(self, block, order=2) -> float:
+        block, _ = self._linalg_upcast(block)  # accumulate reductions in f32
         flat = self.xp.reshape(block, (-1,))
         if order == 2:
             return float(self.xp.sqrt(self.xp.sum(self.xp.abs(flat) ** 2)))
@@ -414,6 +417,19 @@ class BlockBackend:
 
     # --- linear algebra --------------------------------------------------------------
 
+    # bfloat16 policy: bf16 is a *storage* dtype (halves HBM traffic — the measured
+    # bottleneck of the DMRG matvec, docs/DESIGN.md §4). All numerics that would
+    # suffer at 8-bit significand run in float32 internally: dots accumulate in f32
+    # (native on the MXU via preferred_element_type), reductions and factorizations
+    # upcast. Outputs are cast back to bf16 so the dtype contract (result dtype ==
+    # promoted input dtype) holds at every call site.
+
+    def _linalg_upcast(self, a):
+        """(a_f32, was_bf16): factorizations/reductions do not support bfloat16."""
+        if self.get_dtype(a) is Dtype.bfloat16:
+            return self.to_dtype(a, Dtype.float32), True
+        return a, False
+
     def matrix_dot(self, a, b):
         return self.xp.matmul(a, b)
 
@@ -424,7 +440,9 @@ class BlockBackend:
         return self.xp.tensordot(a, b, 0)
 
     def inner(self, a, b, do_dagger: bool):
-        """Frobenius inner product of same-shape blocks."""
+        """Frobenius inner product of same-shape blocks (f32 accumulation for bf16)."""
+        a, _ = self._linalg_upcast(a)
+        b, _ = self._linalg_upcast(b)
         if do_dagger:
             return self.xp.sum(self.xp.conj(a) * b)
         return self.xp.sum(a * b)
@@ -436,21 +454,35 @@ class BlockBackend:
 
     def matrix_svd(self, a, algorithm: str = None):
         """SVD of a matrix: U, S (1D real), Vh."""
+        a, half = self._linalg_upcast(a)
         u, s, vh = self.xp.linalg.svd(a, full_matrices=False)
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return u.astype(bf), s.astype(bf), vh.astype(bf)
         return u, s, vh
 
     def matrix_qr(self, a, full: bool = False):
-        return self.xp.linalg.qr(a, mode='complete' if full else 'reduced')
+        a, half = self._linalg_upcast(a)
+        q, r = self.xp.linalg.qr(a, mode='complete' if full else 'reduced')
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return q.astype(bf), r.astype(bf)
+        return q, r
 
     def matrix_lq(self, a, full: bool = False):
         q, r = self.matrix_qr(self.xp.transpose(a), full=full)
         return self.xp.transpose(r), self.xp.transpose(q)
 
     def matrix_eigh(self, a, sort: str = None):
+        a, half = self._linalg_upcast(a)
         w, v = self.xp.linalg.eigh(a)
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return w.astype(bf), v.astype(bf)
         return w, v  # ascending by default
 
     def matrix_eig(self, a):
+        a, half = self._linalg_upcast(a)
         w, v = np.linalg.eig(self.to_numpy(a))
         return self.xp.asarray(w), self.xp.asarray(v)
 
@@ -495,14 +527,22 @@ class NumpyBlockBackend(BlockBackend):
     def matrix_svd(self, a, algorithm: str = None):
         import scipy.linalg
 
+        a, half = self._linalg_upcast(a)
         if algorithm in (None, 'gesdd'):
             try:
-                return scipy.linalg.svd(a, full_matrices=False)
+                res = scipy.linalg.svd(a, full_matrices=False)
             except np.linalg.LinAlgError:
                 algorithm = 'gesvd'
+            else:
+                algorithm = 'done'
         if algorithm in ('gesvd', 'robust'):
-            return scipy.linalg.svd(a, full_matrices=False, lapack_driver='gesvd')
-        raise ValueError(f'unknown svd algorithm {algorithm}')
+            res = scipy.linalg.svd(a, full_matrices=False, lapack_driver='gesvd')
+        elif algorithm != 'done':
+            raise ValueError(f'unknown svd algorithm {algorithm}')
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return tuple(x.astype(bf) for x in res)
+        return res
 
     def matrix_exp(self, a):
         import scipy.linalg
@@ -580,6 +620,11 @@ class JaxBlockBackend(BlockBackend):
     def matrix_dot(self, a, b):
         from ..config import config
 
+        if a.dtype == _BF16 and b.dtype == _BF16 and config.bf16_accumulate_f32:
+            # single bf16 MXU pass, f32 accumulator, one cast in the epilogue —
+            # the precision ladder's 1-pass rung without bf16 summation error
+            return self.xp.matmul(
+                a, b, preferred_element_type=np.float32).astype(_BF16)
         if config.matmul_precision is None:
             return self.xp.matmul(a, b)
         with self.jax.default_matmul_precision(config.matmul_precision):
@@ -588,6 +633,10 @@ class JaxBlockBackend(BlockBackend):
     def tensordot(self, a, a_axes, b, b_axes):
         from ..config import config
 
+        if a.dtype == _BF16 and b.dtype == _BF16 and config.bf16_accumulate_f32:
+            return self.xp.tensordot(
+                a, b, (tuple(a_axes), tuple(b_axes)),
+                preferred_element_type=np.float32).astype(_BF16)
         if config.matmul_precision is None:
             return self.xp.tensordot(a, b, (tuple(a_axes), tuple(b_axes)))
         with self.jax.default_matmul_precision(config.matmul_precision):
@@ -601,6 +650,8 @@ class JaxBlockBackend(BlockBackend):
 
     def norm(self, block, order=2) -> float:
         if self._is_tracer(block):
+            if block.dtype == _BF16:
+                block = block.astype(np.float32)
             flat = self.xp.reshape(block, (-1,))
             if order == 2:
                 return self.xp.sqrt(self.xp.sum(self.xp.abs(flat) ** 2))

@@ -174,13 +174,15 @@ class TorchBlockBackend(BlockBackend):
 
     def to_internal_dtype(self, dtype: Dtype):
         t = self.torch
-        return {Dtype.bool: t.bool, Dtype.float32: t.float32,
+        return {Dtype.bool: t.bool, Dtype.bfloat16: t.bfloat16,
+                Dtype.float32: t.float32,
                 Dtype.float64: t.float64, Dtype.complex64: t.complex64,
                 Dtype.complex128: t.complex128}[dtype]
 
     def get_dtype(self, block) -> Dtype:
         t = self.torch
-        return {t.bool: Dtype.bool, t.float32: Dtype.float32,
+        return {t.bool: Dtype.bool, t.bfloat16: Dtype.bfloat16,
+                t.float32: Dtype.float32,
                 t.float64: Dtype.float64, t.complex64: Dtype.complex64,
                 t.complex128: Dtype.complex128}[block.dtype]
 

@@ -41,6 +41,13 @@ class Config:
     #: passes, 'default' = 1 pass. None leaves jax's own default. Engines can
     #: lower it for their heavy matvec via their matmul_precision= option.
     matmul_precision: str | None = 'float32'
+    #: for bfloat16-stored blocks: run block dots as a single bf16 MXU pass with an
+    #: f32 accumulator (``preferred_element_type``), casting back to bf16 in the GEMM
+    #: epilogue. This removes the bf16 *summation* error from the contraction
+    #: (K-dim reductions of thousands of terms) while keeping HBM traffic halved;
+    #: per-element input rounding (~4e-3) remains — bf16 storage is a mixed-precision
+    #: production mode, see docs/DESIGN.md §10.
+    bf16_accumulate_f32: bool = True
     #: pad per-sector matrix dims up to multiples of this when bucketing batched GEMMs
     mxu_pad_multiple: int = 128
     #: reserved: enable pallas kernels once the flat-buffer block storage lands.

@@ -26,6 +26,7 @@ class Dtype(enum.Enum):
     """
 
     bool = 2 * 1 + 0
+    bfloat16 = 2 * 2 + 0
     float32 = 2 * 4 + 0
     float64 = 2 * 8 + 0
     complex64 = 2 * 8 + 1
@@ -78,6 +79,10 @@ class Dtype(enum.Enum):
         """Machine epsilon of the (real part of the) dtype."""
         if self is Dtype.bool:
             raise ValueError('bool has no eps')
+        if self is Dtype.bfloat16:
+            import ml_dtypes
+
+            return float(ml_dtypes.finfo(ml_dtypes.bfloat16).eps)
         return float(np.finfo(self.to_numpy).eps)
 
     @property
@@ -127,13 +132,25 @@ def _promote(a: Dtype, b: Dtype) -> Dtype:
     return _BUILD[(real_bytes, cplx)]
 
 
-_TO_COMPLEX = {Dtype.float32: Dtype.complex64, Dtype.float64: Dtype.complex128,
+def _bfloat16_np_dtype() -> np.dtype:
+    # numpy has no native bfloat16; ml_dtypes (a jax dependency) registers one.
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+_TO_COMPLEX = {Dtype.bfloat16: Dtype.complex64,
+               Dtype.float32: Dtype.complex64, Dtype.float64: Dtype.complex128,
                Dtype.complex64: Dtype.complex64, Dtype.complex128: Dtype.complex128}
 _TO_REAL = {Dtype.complex64: Dtype.float32, Dtype.complex128: Dtype.float64}
-_BUILD = {(4, False): Dtype.float32, (8, False): Dtype.float64,
+# no 2-byte complex exists; promotion of bfloat16 with any complex dtype yields
+# real_bytes >= 4, so (2, True) is unreachable.
+_BUILD = {(2, False): Dtype.bfloat16,
+          (4, False): Dtype.float32, (8, False): Dtype.float64,
           (4, True): Dtype.complex64, (8, True): Dtype.complex128}
 _TO_NUMPY = {
     Dtype.bool: np.dtype(np.bool_),
+    Dtype.bfloat16: _bfloat16_np_dtype(),
     Dtype.float32: np.dtype(np.float32),
     Dtype.float64: np.dtype(np.float64),
     Dtype.complex64: np.dtype(np.complex64),

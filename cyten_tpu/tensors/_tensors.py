@@ -1166,8 +1166,8 @@ class Mask(Tensor):
     The small leg keeps the relative basis order of the large leg.
     """
 
-    _forbidden_dtypes = [Dtype.float32, Dtype.float64, Dtype.complex64,
-                         Dtype.complex128]
+    _forbidden_dtypes = [Dtype.bfloat16, Dtype.float32, Dtype.float64,
+                         Dtype.complex64, Dtype.complex128]
 
     def __init__(self, data, space_in: ElementarySpace, space_out: ElementarySpace,
                  is_projection: bool = None, backend=None, labels=None):
