@@ -243,12 +243,18 @@ _register_heff_pytree()
 class DMRGEngine:
     """Two-site DMRG sweeps with Lanczos ground-state search per bond."""
 
+    # class-level defaults: several engines (TDVP, MultiCellIDMRG) build partial
+    # DMRGEngines via __new__ to reuse the environment machinery; optional
+    # attributes must be safe there.
+    env_dtype = None
+    dynamic_svd = 'exact'
+
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
                  jit_env_updates: bool = None, mesh=None,
                  shard_axis_name: str = 'mult', matmul_precision: str = None,
                  orthogonal_to=None, auto_static: bool | str = False,
-                 env_dtype: Dtype = None):
+                 env_dtype: Dtype = None, dynamic_svd: str = 'exact'):
         self.psi = psi
         self.model = model
         self.chi_max = chi_max
@@ -290,6 +296,11 @@ class DMRGEngine:
         #: carries ~bf16-eps (4e-3) relative perturbation; DMRG is variational,
         #: so the energy error is second order (~1e-5 observed, test_bf16.py).
         self.env_dtype = env_dtype
+        #: SVD method for dynamic (non-static) bond updates: 'exact' (per-sector
+        #: QDWH) or 'randomized' (GEMM/QR range finder — cheaper on TPU while
+        #: chi_max is well below the theta block sizes, i.e. the growth phase).
+        #: Static mode has its own ladder (enable_static_mode(svd_mode=...)).
+        self.dynamic_svd = dynamic_svd
         self.backend = psi.backend
         L = psi.L
         self.LPs = [None] * L
@@ -665,7 +676,8 @@ class DMRGEngine:
         E, theta, n_iter = lanczos(Heff, theta0, self.lanczos_options)
         self.E = E
         A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps,
-                                            pad_to_multiple=self.pad_chi_multiple)
+                                            pad_to_multiple=self.pad_chi_multiple,
+                                            method=self.dynamic_svd)
         self.trunc_err = max(self.trunc_err, err)
         # restore B form on site i: B_i = S_i^{-1} A S_new
         Sinv = pinv(psi.Ss[i], cutoff=1e-14)

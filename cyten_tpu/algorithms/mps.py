@@ -628,7 +628,8 @@ def _as_scalar(res):
 
 
 def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True,
-                         pad_to_multiple: int = None):
+                         pad_to_multiple: int = None, method: str = 'exact',
+                         rng=None):
     """Split a two-site wavefunction and truncate.
 
     Parameters
@@ -637,6 +638,11 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
         Two-site wavefunction, labels [vL, p0, p1, vR] (any codomain/domain split).
     chi_max, eps
         Truncation: keep at most chi_max singular values, discard those below eps.
+    method : 'exact' | 'randomized'
+        'randomized' uses the GEMM/QR-heavy randomized range finder
+        (:func:`~cyten_tpu.tensors.randomized.randomized_truncated_svd`) —
+        cheaper on TPU when ``chi_max`` is well below the theta block sizes
+        (the chi-growth phase; docs/DESIGN.md §8).
 
     Returns
     -------
@@ -646,12 +652,20 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
     err : truncation error
     """
     theta = permute_legs(theta, codomain=['vL', 'p0'], domain=['vR', 'p1'])
-    U, S, Vh = svd(theta, new_labels=['vR', 'vL'])
-    mask, err, new_norm = truncate_singular_values(
-        S, chi_max=chi_max, svd_min=eps, pad_to_multiple=pad_to_multiple)
-    U, S, Vh = svd_apply_mask(U, S, Vh, mask)
-    if normalize:
-        S = (1. / new_norm) * S
+    if method == 'randomized':
+        from ..tensors.randomized import randomized_truncated_svd
+
+        U, S, Vh, err, _ = randomized_truncated_svd(
+            theta, chi_max=chi_max, svd_min=eps, new_labels=['vR', 'vL'],
+            pad_to_multiple=pad_to_multiple, rng=rng,
+            normalize_to=1. if normalize else None)
+    else:
+        U, S, Vh = svd(theta, new_labels=['vR', 'vL'])
+        mask, err, new_norm = truncate_singular_values(
+            S, chi_max=chi_max, svd_min=eps, pad_to_multiple=pad_to_multiple)
+        U, S, Vh = svd_apply_mask(U, S, Vh, mask)
+        if normalize:
+            S = (1. / new_norm) * S
     A = U.relabelled({'p0': 'p'})
     B = permute_legs(Vh, codomain=['vL', 'p1'], domain=['vR']).relabelled({'p1': 'p'})
     return A, S, B, err

@@ -27,6 +27,8 @@ from .krylov_based import (
     lanczos_arpack,
 )
 from .compiled import CompiledContractionChain, GatherPlan, compile_heff_chain
+from .steady import steady_truncated_svd
+from .randomized import randomized_truncated_svd
 
 __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
            'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
@@ -43,4 +45,5 @@ __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Ident
            'Arnoldi', 'KrylovBased', 'LanczosGroundState', 'LanczosEvolution',
            'lanczos', 'lanczos_arpack',
            'CompiledContractionChain', 'GatherPlan', 'compile_heff_chain',
+           'steady_truncated_svd', 'randomized_truncated_svd',
            'compiled', 'krylov_based', 'planar', 'sparse']

@@ -192,7 +192,8 @@ def dagger(tensor: Tensor) -> Tensor:
         res._labels = labels
         return res
     if isinstance(tensor, ChargedTensor):
-        inv = dagger(tensor.invariant_part)  # charge leg now in codomain, last pos
+        inv = dagger(tensor.invariant_part)  # charge leg now codomain[0], label '!*'
+        inv.set_label(0, ChargedTensor._CHARGE_LEG_LABEL)
         inv = move_leg(inv, ChargedTensor._CHARGE_LEG_LABEL, domain_pos=0)
         state = tensor.charged_state
         bb = tensor.backend.block_backend
@@ -578,7 +579,20 @@ def tdot(tensor1: Tensor, tensor2: Tensor, legs1=-1, legs2=0, relabel1=None,
 
     if isinstance(tensor1, ChargedTensor):
         if isinstance(tensor2, ChargedTensor):
-            raise NotImplementedError('tdot of two ChargedTensors')
+            # contract the invariant parts; both charge legs stay open and are
+            # combined into one (reference _tensors.py:5335-5351).
+            if (tensor1.charged_state is None) != (tensor2.charged_state is None):
+                raise ValueError(
+                    'Mismatched: specified and unspecified ChargedTensor.charged_state')
+            bang = ChargedTensor._CHARGE_LEG_LABEL
+            inv = tdot(tensor1.invariant_part, tensor2.invariant_part, legs1, legs2,
+                       relabel1={**(relabel1 or {}), bang: bang + '1'},
+                       relabel2={**(relabel2 or {}), bang: bang + '2'})
+            inv = move_leg(inv, bang + '1', domain_pos=0)
+            # domain_pos 1: moving to 0 would braid with the '!1' leg
+            inv = move_leg(inv, bang + '2', domain_pos=1)
+            return ChargedTensor.from_two_charge_legs(
+                inv, tensor1.charged_state, tensor2.charged_state)
         inv = tdot(tensor1.invariant_part, tensor2, legs1, legs2,
                    relabel1=relabel1, relabel2=relabel2)
         inv = move_leg(inv, ChargedTensor._CHARGE_LEG_LABEL, domain_pos=0)
@@ -1422,9 +1436,18 @@ def eigh(tensor: Tensor, new_labels=None, new_leg_dual: bool = False, sort=None)
 
 
 def exp(obj):
-    """Matrix exponential of a square tensor (or exp of a scalar)."""
+    """Matrix exponential of a square tensor (or exp of a scalar).
+
+    For a DiagonalTensor this coincides with the elementwise exponential and
+    stays diagonal (reference _tensors.py:4744-4752).
+    """
     if isinstance(obj, Number):
         return math.exp(obj) if not isinstance(obj, complex) else np.exp(obj).item()
+    if isinstance(obj, DiagonalTensor):
+        return obj._elementwise_unary(obj.backend.block_backend.exp,
+                                      maps_zero_to_zero=False)
+    if isinstance(obj, ChargedTensor):
+        raise TypeError('ChargedTensor can not be exponentiated.')
     return _act_block_diagonal(obj, 'matrix_exp')
 
 

@@ -515,32 +515,38 @@ class Tensor(LabelledLegs, metaclass=ABCMeta):
 
     @property
     def ascii_diagram(self) -> str:
-        """ASCII rendering of the tensor with numbered legs (cf. reference
-        _tensors.py:167-174)."""
+        """ASCII rendering of the tensor with labeled legs (cf. reference
+        _tensors.py:167-174; leg labels shown like the reference's diagrams,
+        falling back to leg numbers when unlabeled)."""
         K, M = self.num_codomain_legs, self.num_domain_legs
-        width = max(K, M, 1) * 4 + 3
+
+        def tag(idx):
+            lbl = self._labels[idx]
+            return str(idx) if lbl is None else lbl
+
+        top_tags = [tag(i) for i in range(self.num_legs - 1, K - 1, -1)][::-1]
+        bot_tags = [tag(i) for i in range(K)]
+        cell = max([4] + [len(t) + 2 for t in top_tags + bot_tags])
+        width = max(K, M, 1) * cell + 3
         name = type(self).__name__[:width - 2]
 
-        def leg_row(count, offset, numbers):
+        def leg_row(count):
             cells = [' '] * width
             for k in range(count):
-                pos = 2 + 4 * k
-                cells[pos] = '|'
+                cells[2 + cell * k] = '|'
             return ''.join(cells)
 
-        def num_row(numbers):
+        def tag_row(tags):
             cells = [' '] * width
-            for k, n in enumerate(numbers):
-                pos = 2 + 4 * k
-                s = str(n)
+            for k, s in enumerate(tags):
+                pos = 2 + cell * k
                 cells[pos:pos + len(s)] = s
             return ''.join(cells)
 
-        top_nums = list(range(self.num_legs - 1, K - 1, -1))
         rows = []
         if M:
-            rows.append(num_row(top_nums[::-1]))
-            rows.append(leg_row(M, 0, None))
+            rows.append(tag_row(top_tags))
+            rows.append(leg_row(M))
         body = '+' + '-' * (width - 2) + '+'
         rows.append(body)
         pad = (width - 2 - len(name)) // 2
@@ -548,8 +554,8 @@ class Tensor(LabelledLegs, metaclass=ABCMeta):
                     + '|')
         rows.append(body)
         if K:
-            rows.append(leg_row(K, 0, None))
-            rows.append(num_row(range(K)))
+            rows.append(leg_row(K))
+            rows.append(tag_row(bot_tags))
         return '\n'.join(rows)
 
     def dbg(self):
