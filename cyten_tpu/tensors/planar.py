@@ -184,6 +184,54 @@ class PlanarDiagram:
                     seen.add(m)
                     stack.append(m)
         assert seen == set(names), 'diagram is not connected'
+        self._check_planarity()
+
+    def _check_planarity(self):
+        """Genus-0 check of the combinatorial map (reference planar.py validates
+        planarity on construction; evaluation would otherwise silently braid).
+
+        Each tensor's label list is its counterclockwise boundary order (legs ==
+        [*codomain, *reversed(domain)] walks the box boundary). Open legs end in
+        free pendant vertices — their far ends can always be redrawn without
+        crossings, so they do not constrain the embedding. The diagram is planar
+        iff the rotation system has Euler characteristic V - E + F == 2.
+        """
+        # darts: (tensor, label); rotation σ: next dart counterclockwise at vertex
+        rotation: dict[tuple, tuple] = {}
+        for name, ph in self.tensors.items():
+            darts = [(name, l) for l in ph.labels]
+            for i, d in enumerate(darts):
+                rotation[d] = darts[(i + 1) % len(darts)]
+        open_entries = [e for e in self.definition if e[2] is None]
+        pendant_darts = [('__open__', f'{e[0]}.{e[1]}') for e in open_entries]
+        for d in pendant_darts:
+            rotation[d] = d  # degree-1 vertex
+        # involution α: opposite dart of the same edge
+        alpha: dict[tuple, tuple] = {}
+        for e in self.definition:
+            d1 = (e[0], e[1])
+            d2 = (e[2], e[3]) if e[2] is not None \
+                else ('__open__', f'{e[0]}.{e[1]}')
+            alpha[d1] = d2
+            alpha[d2] = d1
+        n_vertices = len(self.tensors) + len(open_entries)
+        n_edges = len(self.definition)
+        # faces = orbits of φ = σ ∘ α
+        unvisited = set(alpha)
+        n_faces = 0
+        while unvisited:
+            d = next(iter(unvisited))
+            n_faces += 1
+            while d in unvisited:
+                unvisited.remove(d)
+                d = rotation[alpha[d]]
+        euler = n_vertices - n_edges + n_faces
+        if euler != 2:
+            genus = (2 - euler) // 2
+            raise ValueError(
+                f'diagram is not planar (genus {genus}): contractions cross for '
+                f'the declared leg orders. Reorder legs/tensors or use tdot with '
+                f'explicit braiding levels instead.')
 
     def contracted_pairs(self, group1: set, group2: set):
         """Contraction entries between two groups of tensor names."""

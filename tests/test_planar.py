@@ -115,3 +115,71 @@ def test_planar_diagram_optimal_order(setup):
     expect = _dense_expectation(theta, op)
     np.testing.assert_allclose(complex(ct.item(res)), expect, rtol=1e-10,
                                atol=1e-12)
+
+
+def test_planarity_validation():
+    """Non-planar diagrams are rejected at construction (reference planar.py
+    validates planarity; evaluating one would silently braid on fermions).
+
+    The check is the Euler characteristic of the rotation system given by each
+    tensor's cyclic leg order, with free pendant ends for open legs.
+    """
+    # interleaved self-traces (a, b, a*, b*): the classic crossing
+    with pytest.raises(ValueError, match='not planar'):
+        PlanarDiagram(tensors='T[a, b, ax, bx]',
+                      definition='T:a @ T:ax, T:b @ T:bx')
+    # nested self-traces (a, b, b*, a*) are planar
+    PlanarDiagram(tensors='T[a, b, bx, ax]',
+                  definition='T:a @ T:ax, T:b @ T:bx')
+    # three parallel edges with the SAME cyclic order at both ends: genus 1
+    with pytest.raises(ValueError, match='not planar'):
+        PlanarDiagram(tensors='A[x, y, z], B[x, y, z]',
+                      definition='A:x @ B:x, A:y @ B:y, A:z @ B:z')
+    # opposite cyclic orders: planar
+    PlanarDiagram(tensors='A[x, y, z], B[z, y, x]',
+                  definition='A:x @ B:x, A:y @ B:y, A:z @ B:z')
+
+
+def test_planar_permute_rejects_noncyclic(setup):
+    theta, op = setup
+    with pytest.raises(ValueError, match='cyclic'):
+        planar_permute_legs(theta, codomain=['p0', 'vL', 'p1'], domain=['vR'])
+    # cyclic rotations are fine and roundtrip
+    rot = planar_permute_legs(theta, codomain=['p0', 'p1', 'vR'], domain=['vL'])
+    rot.test_sanity()
+    back = planar_permute_legs(rot, codomain=['vL', 'p0', 'p1'], domain=['vR'])
+    assert ct.almost_equal(back, theta, rtol=1e-12, atol=1e-12)
+
+
+def test_planar_ops_on_anyons(np_random):
+    """Planar decompositions and traces work on anyonic tensors (no levels)."""
+    from cyten_tpu.tensors import (
+        planar_eigh, planar_partial_trace, planar_qr, planar_svd,
+        planar_truncated_svd,
+    )
+
+    fib = ct.fibonacci_anyon_category
+    be = ct.get_backend(fib, block_backend='numpy')
+    V = ElementarySpace(fib, [[0], [1]], [2, 2])
+    T = SymmetricTensor.from_random_normal([V, V], [V, V], backend=be,
+                                           labels=['a', 'b', 'c', 'd'],
+                                           rng=np_random)
+    U, S, Vh = planar_svd(T)
+    rec = ct.compose(ct.compose(U, S.as_SymmetricTensor()), Vh)
+    assert ct.norm(rec - T) < 1e-10 * ct.norm(T)
+    Ut, St, Vht, err, _ = planar_truncated_svd(T, chi_max=3)
+    assert St.leg.num_sectors <= 2
+    Q, R = planar_qr(T)
+    assert ct.norm(ct.compose(Q, R) - T) < 1e-10 * ct.norm(T)
+    # hermitian: planar_eigh reconstructs (eigh returns (eigenvalues, vectors))
+    H = ct.compose(T, ct.dagger(T))
+    D, W = planar_eigh(H)
+    rec = ct.compose(ct.compose(W, D.as_SymmetricTensor()), ct.dagger(W))
+    assert ct.norm(rec - H) < 1e-9 * ct.norm(H)
+    # planar partial trace over the adjacent (b, c) pair
+    M = ct.permute_legs(T, codomain=['a', 'b'], domain=['d', 'c'])
+    tr1 = planar_partial_trace(M, ['b', 'c'])
+    tr1.test_sanity()
+    # oracle: the same trace through the nonplanar path
+    tr2 = ct.partial_trace(M, ['b', 'c'])
+    assert ct.norm(tr1 - tr2) < 1e-10 * max(1., ct.norm(tr1))
