@@ -169,6 +169,62 @@ class AbelianBackend(TensorBackend):
         return BlockSparseData([], np.zeros((0, n_legs), np.intp), dtype,
                                is_sorted=True)
 
+    def from_grid(self, grid, new_codomain, new_domain, row_pos: int,
+                  col_pos: int, row_slices: dict, col_slices: dict, dtype):
+        """Blockwise direct-sum assembly of a 2D grid of tensors.
+
+        Scatters each operand block into the enlarged block addressed by the
+        same sector combination, at the multiplicity offsets of its grid
+        row/column — no dense detour (reference abelian.py:969-1014, adapted to
+        arbitrary stacking positions ``row_pos``/``col_pos`` in legs order).
+
+        ``row_slices[sector_tuple]`` are the cumulative multiplicity offsets of
+        the grid rows within that sector of the new row leg (len ``rows + 1``);
+        ``col_slices`` likewise for columns.
+        """
+        bb = self.block_backend
+        legs_order = list(new_codomain.factors) + \
+            list(reversed(new_domain.factors))
+        new_row_leg = legs_order[row_pos]
+        new_col_leg = legs_order[col_pos]
+        accumulators: dict[tuple, np.ndarray] = {}
+        np_dtype = np.dtype(dtype.to_numpy)
+        for i, row in enumerate(grid):
+            for j, op in enumerate(row):
+                if op is None:
+                    continue
+                op_legs = list(op.codomain.factors) + \
+                    list(reversed(op.domain.factors))
+                for bi, block in zip(op.data.block_inds, op.data.blocks):
+                    row_sec = tuple(int(x) for x in
+                                    op_legs[row_pos].sector_decomposition[bi[row_pos]])
+                    col_sec = tuple(int(x) for x in
+                                    op_legs[col_pos].sector_decomposition[bi[col_pos]])
+                    new_bi = list(int(x) for x in bi)
+                    new_bi[row_pos] = new_row_leg.sector_decomposition_where(
+                        np.asarray(row_sec))
+                    new_bi[col_pos] = new_col_leg.sector_decomposition_where(
+                        np.asarray(col_sec))
+                    key = tuple(new_bi)
+                    acc = accumulators.get(key)
+                    if acc is None:
+                        shape = [int(leg.multiplicities[n])
+                                 for leg, n in zip(legs_order, new_bi)]
+                        acc = np.zeros(shape, dtype=np_dtype)
+                        accumulators[key] = acc
+                    sl = [slice(None)] * len(legs_order)
+                    ro = row_slices[row_sec]
+                    co = col_slices[col_sec]
+                    sl[row_pos] = slice(int(ro[i]), int(ro[i + 1]))
+                    sl[col_pos] = slice(int(co[j]), int(co[j + 1]))
+                    acc[tuple(sl)] += np.asarray(bb.to_numpy(block),
+                                                 dtype=np_dtype)
+        keys = list(accumulators)
+        block_inds = np.array(keys, dtype=np.intp).reshape(len(keys),
+                                                           len(legs_order))
+        blocks = [bb.as_block(accumulators[k], dtype) for k in keys]
+        return BlockSparseData(blocks, block_inds, dtype, is_sorted=False)
+
     def eye_data(self, codomain, domain, dtype):
         K = codomain.num_factors
         grid = make_grid([s.num_sectors for s in codomain.factors], cstyle=False)

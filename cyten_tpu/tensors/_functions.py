@@ -1127,6 +1127,30 @@ def tensor_from_grid(grid, labels=None, row_leg=0, col_leg=None) -> SymmetricTen
     domain = TensorProduct(dom_factors, symmetry=proto.symmetry)
     labels = labels if labels is not None else proto.labels
 
+    if hasattr(backend, 'from_grid'):
+        # blockwise scatter, no dense detour (abelian backend)
+        from ..dtypes import Dtype
+
+        def mult_slices(parts):
+            keys = {tuple(int(x) for x in sec)
+                    for part in parts for sec in part.sector_decomposition}
+            res = {}
+            for key in keys:
+                per_part = []
+                for part in parts:
+                    idx = part.sector_decomposition_where(np.asarray(key))
+                    per_part.append(0 if idx is None
+                                    else int(part.multiplicities[idx]))
+                res[key] = np.concatenate([[0], np.cumsum(per_part)])
+            return res
+
+        dtype = Dtype.common(*[t.dtype for row in grid for t in row
+                               if t is not None])
+        data = backend.from_grid(grid, codomain, domain, row_pos, col_pos,
+                                 mult_slices(row_spaces), mult_slices(col_spaces),
+                                 dtype)
+        return SymmetricTensor(data, codomain, domain, backend, labels)
+
     if proto.symmetry.can_be_dropped:
         shape = tuple(int(sp.dim) for sp in codomain.factors) \
             + tuple(int(sp.dim) for sp in reversed(domain.factors))
