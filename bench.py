@@ -433,9 +433,9 @@ def main():
             try:
                 chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
                 t_su2, _ = su2_run(chi_mult, lengths=(2, 10), skip_numpy=True)
-                result['su2_matvec_512mult_ms'] = round(t_su2 * 1e3, 4)
+                result[f'su2_matvec_{chi_mult}mult_ms'] = round(t_su2 * 1e3, 4)
             except Exception as e:  # pragma: no cover - keep the main metric
-                result['su2_matvec_512mult_ms'] = f'failed: {e}'
+                result['su2_matvec_ms'] = f'failed: {e}'
         print(json.dumps(result))
         return
     if scenario == 'hubbard':
