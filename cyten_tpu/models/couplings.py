@@ -284,7 +284,11 @@ def pairing(sites, D=1., species: str = '', name='pairing') -> Coupling:
     Cd1 = sites[1].get_op_numpy('Cd' + species)
     C1 = sites[1].get_op_numpy('C' + species)
     JW0 = sites[0].get_op_numpy('JW')
-    terms = [(D, Cd0 @ JW0, Cd1), (D, C0 @ JW0, C1)]
+    # JW convention: c†_i c†_j = (Cd JW) x Cd, and the h.c. term
+    # c_j c_i = (JW C) x C — the string multiplies lowering ops from the LEFT
+    # (JW C = -C JW); using C @ JW here would flip the sign and break
+    # hermiticity (caught by test_couplings_extra.py::test_pairing_dense).
+    terms = [(D, Cd0 @ JW0, Cd1), (D, JW0 @ C0, C1)]
     return _two_site_sum_from_numpy(terms, sites, name=name)
 
 
