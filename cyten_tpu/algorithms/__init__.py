@@ -10,7 +10,7 @@ from .models import (
     FermiHubbardModel, HeisenbergModel, TFIModel, heisenberg_exact_finite_gs_energy,
     mpo_from_bond_op, mpo_from_bond_ops, tfi_exact_finite_gs_energy,
 )
-from .models import GoldenChainModel, SpinChainModel
+from .models import GoldenChainModel, KitaevChainModel, SpinChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
 from .dmrg1 import DMRG1SEngine, HEffective1
 from .idmrg import MultiCellIDMRGEngine, iDMRGEngine
@@ -21,7 +21,7 @@ from .tdvp import TDVP2Engine, TDVPEngine, TDVPQREngine
 from .vumps import VUMPSEngine
 
 __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compress_mpo', 'TFIModel', 'HeisenbergModel',
-           'FermiHubbardModel', 'GoldenChainModel', 'SpinChainModel',
+           'FermiHubbardModel', 'GoldenChainModel', 'KitaevChainModel', 'SpinChainModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
            'tfi_exact_infinite_gs_energy',

@@ -652,3 +652,80 @@ class SpinChainModel:
         e = float(np.real(sum(psi.bond_expectation_value(h, i)
                               for i, h in enumerate(self.H_bonds))))
         return e / self.L if self.bc == 'infinite' else e
+
+
+class KitaevChainModel:
+    r"""Kitaev chain (p-wave superconductor):
+    :math:`H = \sum_i [-t (c^\dagger_i c_{i+1} + h.c.)
+    + \Delta (c^\dagger_i c^\dagger_{i+1} + h.c.)] - \mu \sum_i n_i`.
+
+    Built from the ``hopping`` / ``pairing`` / ``chemical_potential`` coupling
+    factories on :class:`SpinlessFermionSite` with graded fermion statistics.
+    Pairing breaks particle number, so ``conserve='parity'`` (default) or
+    ``'None'``. The reference has no Kitaev model (its models layer stops at
+    the couplings, cyten/models/couplings.py:476,503); the exact references
+    here are the open-chain BdG solution and sparse ED.
+    """
+
+    def __init__(self, L: int, t: float = 1., delta: float = 1., mu: float = 0.,
+                 conserve: str = 'parity', backend=None, block_backend=None):
+        from ..models.couplings import chemical_potential, hopping, pairing
+        from ..models.sites import SpinlessFermionSite
+        from ..models.tenpy_models import CouplingModel
+
+        assert conserve in ('parity', 'None', None)
+        self.L = L
+        self.t = t
+        self.delta = delta
+        self.mu = mu
+        site = SpinlessFermionSite(conserve or 'None', backend=backend)
+        self.site = site
+        self.site_leg = site.leg
+        from ..backends import get_backend
+
+        self.backend = backend if backend is not None else (
+            site.backend if block_backend is None
+            else get_backend(site.leg.symmetry, block_backend))
+        site.backend = self.backend
+        cm = CouplingModel([site] * L)
+        for i in range(L - 1):
+            cm.add_coupling(i, hopping([site, site], t=t))
+            if delta != 0:
+                cm.add_coupling(i, pairing([site, site], D=delta))
+        if mu != 0:
+            for i in range(L):
+                cm.add_onsite(i, chemical_potential([site], mu=mu))
+        self.H_bonds = cm.all_bond_ops()
+        self.H_mpo = mpo_from_bond_ops(self.H_bonds)
+
+    @property
+    def site_legs(self):
+        return [self.site_leg] * self.L
+
+    def exact_finite_gs_energy(self, parity: str = None) -> float:
+        """BdG ground energy of the open chain; optionally parity-resolved.
+
+        The global ground state fills all negative BdG modes:
+        ``E = (tr(h) - sum_k eps_k) / 2``. Its fermion parity is the sign of
+        the Pfaffian of the Majorana form; rather than computing it, the
+        parity-resolved energies are returned as the two candidates
+        ``{E, E + eps_min}`` (flipping the lowest mode flips parity), resolved
+        against the vacuum-parity reference for small systems via ED in tests.
+        """
+        L, t, D, mu = self.L, self.t, self.delta, self.mu
+        h = np.zeros((L, L))
+        d = np.zeros((L, L))
+        for i in range(L - 1):
+            h[i, i + 1] = h[i + 1, i] = -t
+            d[i, i + 1] = D
+            d[i + 1, i] = -D
+        np.fill_diagonal(h, -mu)
+        bdg = np.block([[h, d], [-d, -h]])
+        eps = np.linalg.eigvalsh(bdg)
+        pos = eps[eps > 1e-12]
+        E = 0.5 * (np.trace(h) - pos.sum())
+        if parity is None:
+            return float(E)
+        # candidates: global GS and the cheapest single-mode flip
+        eps_min = float(pos.min()) if len(pos) else 0.
+        return float(E), float(E + eps_min)

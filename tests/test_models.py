@@ -306,3 +306,35 @@ def test_variational_apply_mpo():
     phiv, nv = variational_apply_mpo(psi2, model.H_mpo, chi_max=32)
     assert abs(nz - nv) < 1e-6 * abs(nz)
     assert abs(abs(phiz.overlap(phiv)) - 1) < 1e-7
+
+
+def test_kitaev_chain_dmrg():
+    """Kitaev chain (hopping + p-wave pairing, graded parity symmetry):
+    DMRG from the vacuum vs parity-resolved ED, and the BdG global energy."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import KitaevChainModel
+
+    L, t, D, mu = 8, 1.0, 0.6, 0.4
+    model = KitaevChainModel(L=L, t=t, delta=D, mu=mu, block_backend='numpy')
+    # ED oracle from the model's own bonds (same as FermiHubbard pattern)
+    d = 2
+    Hd = np.zeros((d ** L, d ** L))
+    for i, h in enumerate(model.H_bonds):
+        hd = h.to_numpy().transpose(0, 1, 3, 2).reshape(d * d, d * d)
+        Hd += np.kron(np.kron(np.eye(d ** i), hd), np.eye(d ** (L - 2 - i)))
+    vals, vecs = np.linalg.eigh(Hd)
+    Z = np.diag([1., -1.])
+    P = Z
+    for _ in range(L - 1):
+        P = np.kron(P, Z)
+    parities = np.einsum('ij,ij->j', vecs, np.diag(P)[:, None] * vecs)
+    E_even = min(v for v, p in zip(vals, parities) if p > 0)
+    # BdG cross-check of the global ground energy
+    np.testing.assert_allclose(model.exact_finite_gs_energy(), vals[0],
+                               atol=1e-10)
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    E = DMRGEngine(psi, model, chi_max=32, eps=1e-13).run(n_sweeps=10)
+    assert abs(E - E_even) < 1e-9
