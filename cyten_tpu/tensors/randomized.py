@@ -40,12 +40,46 @@ from ._tensors import SymmetricTensor
 __all__ = ['randomized_truncated_svd']
 
 
+def _range_finder(prepped, omega, n_power: int, new_leg_dual: bool):
+    """Sketch + power iterations + projection + small SVD (steps 1-4)."""
+    Y = compose(prepped, omega)
+    Q, _ = qr(Y)
+    for _ in range(int(n_power)):
+        Z = compose(dagger(prepped), Q)
+        Qz, _ = qr(Z)
+        Y = compose(prepped, Qz)
+        Q, _ = qr(Y)
+    B = compose(dagger(Q), prepped)
+    U_B, S, Vh = svd(B, new_leg_dual=new_leg_dual)
+    U = compose(Q, U_B)
+    return U, S, Vh
+
+
+_JITTED_RANGE_FINDER = None
+
+
+def _get_jitted_range_finder():
+    """One jitted range finder; jax caches compilations per block structure.
+
+    Fusing the whole chain into a single device program removes the per-op
+    dispatch round trips (~30 ms each over the tunnel) that otherwise dominate
+    the randomized path — measured host-driven it LOSES to per-sector QDWH
+    (0.44-0.78x, scripts/exp_randomized_svd_tpu.py); fused it pays one RTT.
+    """
+    global _JITTED_RANGE_FINDER
+    if _JITTED_RANGE_FINDER is None:
+        import jax
+
+        _JITTED_RANGE_FINDER = jax.jit(_range_finder, static_argnums=(2, 3))
+    return _JITTED_RANGE_FINDER
+
+
 def randomized_truncated_svd(tensor, chi_max: int, new_labels=None,
                              new_leg_dual: bool = False, n_oversample: int = 16,
                              n_power: int = 1, sector_ranks=None, rng=None,
                              normalize_to: float = None, chi_min=None,
                              degeneracy_tol=None, trunc_cut=None, svd_min=None,
-                             pad_to_multiple: int = None):
+                             pad_to_multiple: int = None, fused: bool = None):
     """Truncated SVD via a randomized range finder. Same return convention as
     :func:`truncated_svd`: ``(U, S, Vh, err, renormalize)``.
 
@@ -112,18 +146,15 @@ def randomized_truncated_svd(tensor, chi_max: int, new_labels=None,
         dom_factors, [G], backend=prepped.backend, rng=rng,
         dtype=prepped.dtype)
 
-    # range finder with power iterations (re-orthogonalized each half-step)
-    Y = compose(prepped, omega)
-    Q, _ = qr(Y)
-    for _ in range(int(n_power)):
-        Z = compose(dagger(prepped), Q)
-        Qz, _ = qr(Z)
-        Y = compose(prepped, Qz)
-        Q, _ = qr(Y)
-
-    B = compose(dagger(Q), prepped)
-    U_B, S, Vh = svd(B, new_leg_dual=new_leg_dual)
-    U = compose(Q, U_B)
+    # range finder with power iterations (re-orthogonalized each half-step);
+    # on jit-capable block backends the whole chain runs as ONE device program
+    if fused is None:
+        fused = prepped.backend.block_backend.can_jit
+    if fused:
+        U, S, Vh = _get_jitted_range_finder()(prepped, omega, int(n_power),
+                                              bool(new_leg_dual))
+    else:
+        U, S, Vh = _range_finder(prepped, omega, n_power, new_leg_dual)
     norm_S_all_sq = float(norm(S)) ** 2  # total computed weight (qdim-weighted)
 
     # global truncation over the computed values

@@ -35,7 +35,7 @@ def build_theta(chi, backend, rng, d=2):
         labels=['vL', 'p0', 'p1', 'vR'], dtype=ct.dtypes.Dtype.float32)
 
 
-def timed(fn, n=3):
+def timed(fn, n=2):
     # warmup (compiles)
     out = fn()
     ts = []
@@ -63,25 +63,25 @@ def main():
             float(ct.norm(S))  # result-dependent fetch = sync
             return err
 
-        def run_rand(n_power):
+        def run_rand(n_power, fused):
             U, S, Vh, err, _ = randomized_truncated_svd(
                 theta, chi_max=chi_max, n_power=n_power, n_oversample=16,
-                rng=rng)
+                rng=rng, fused=fused)
             float(ct.norm(S))
             return err
 
         t_exact, err_exact = timed(run_exact)
-        t_r1, err_r1 = timed(lambda: run_rand(1))
-        t_r2, err_r2 = timed(lambda: run_rand(2))
+        t_host, err_host = timed(lambda: run_rand(2, False))
+        t_fused, err_fused = timed(lambda: run_rand(2, True))
         row = {
             'chi': chi, 'chi_max': chi_max,
             'exact_ms': round(t_exact * 1e3, 1),
-            'rand_q1_ms': round(t_r1 * 1e3, 1),
-            'rand_q2_ms': round(t_r2 * 1e3, 1),
+            'rand_host_ms': round(t_host * 1e3, 1),
+            'rand_fused_ms': round(t_fused * 1e3, 1),
             'err_exact': float(err_exact),
-            'err_rand_q1': float(err_r1),
-            'err_rand_q2': float(err_r2),
-            'speedup_q2': round(t_exact / t_r2, 2),
+            'err_rand_host': float(err_host),
+            'err_rand_fused': float(err_fused),
+            'speedup_fused': round(t_exact / t_fused, 2),
         }
         print(json.dumps(row))
         results.append(row)
