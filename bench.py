@@ -402,6 +402,38 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
     return t_step, flops * (n_lanczos + 2)
 
 
+def svd_timing(chi, precision='float32', repeats=3):
+    """Time one exact truncation-grade SVD of the theta matrix (per-sector QDWH,
+    the BASELINE.md 'per-sector SVD time' metric). One jitted program; the
+    ~30 ms fetch RTT is negligible against the hundreds-of-ms QDWH cost."""
+    import jax
+
+    import cyten_tpu as ct
+    from cyten_tpu.config import config
+    from cyten_tpu.tensors import norm, svd
+
+    backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    *_, theta = build_workload(backend, chi=chi)
+
+    old = config.matmul_precision
+    config.matmul_precision = precision
+    try:
+        @jax.jit
+        def run(th):
+            U, S, Vh = svd(th)
+            return norm(S)
+
+        float(run(theta))  # compile + sync
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(theta))
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        config.matmul_precision = old
+    return best
+
+
 def main():
     chi = int(os.environ.get('BENCH_CHI', '4096'))
     # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
@@ -428,6 +460,14 @@ def main():
             'matvec_tflops': round(flops / (n_lanczos + 2) / t_matvec / 1e12,
                                    4),
         }
+        # per-sector (QDWH) SVD time at the bench chi — the BASELINE.md
+        # companion metric to the step throughput
+        if os.environ.get('BENCH_SVD_TIMING', '1') != '0':
+            try:
+                result['svd_exact_ms'] = round(
+                    svd_timing(chi, precision) * 1e3, 1)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['svd_exact_ms'] = f'failed: {e}'
         # non-abelian (fusion-tree) tracking metric in the same line
         if os.environ.get('BENCH_SU2', '1') != '0':
             try:
