@@ -721,8 +721,11 @@ class KitaevChainModel:
             d[i + 1, i] = -D
         np.fill_diagonal(h, -mu)
         bdg = np.block([[h, d], [-d, -h]])
-        eps = np.linalg.eigvalsh(bdg)
-        pos = eps[eps > 1e-12]
+        eps = np.sort(np.linalg.eigvalsh(bdg))
+        # particle-hole symmetry: spectrum comes in +/- pairs; the upper half
+        # are the quasiparticle energies (a threshold filter would drop the
+        # exponentially small Majorana mode in the topological phase)
+        pos = eps[L:]
         E = 0.5 * (np.trace(h) - pos.sum())
         if parity is None:
             return float(E)
