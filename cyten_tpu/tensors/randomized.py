@@ -21,6 +21,12 @@ is an upper-bound-correct estimate, not a guess.
 Use when bond structures still change (growth phase); once they freeze, the
 warm-started steady SVD (``tensors/steady.py``) is cheaper still.
 
+**Measured on TPU v5e (docs/DESIGN.md §8c): XLA's QDWH runs near GEMM rate on
+realistic DMRG blocks, so the exact per-sector SVD beats this path at every
+truncation ratio up to 32 — the engines therefore default to 'exact'.** This
+module remains the right tool where the classic randomized-SVD assumption
+(factorizations orders of magnitude slower than matmul) actually holds.
+
 The reference has no counterpart (its per-sector LAPACK SVDs are cheap on CPU);
 this is a TPU-native addition. Truncation semantics follow the reference solver
 (reference cyten/backends/_backend.py:791-909) via ``truncate_singular_values``.

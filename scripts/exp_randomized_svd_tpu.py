@@ -54,7 +54,9 @@ def main():
 
     rng = np.random.default_rng(0)
     results = []
-    for chi, chi_max in [(1024, 256), (2048, 512), (4096, 1024)]:
+    import os
+    configs = os.environ.get('RSVD_CONFIGS', '1024:256,2048:512,4096:1024')
+    for chi, chi_max in [tuple(map(int, c.split(':'))) for c in configs.split(',')]:
         backend = ct.get_backend(ct.u1_symmetry, 'jax')
         theta = build_theta(chi, backend, rng)
 
