@@ -72,6 +72,10 @@ class BlockBackend:
         return Dtype.from_numpy(block.dtype)
 
     def to_dtype(self, block, dtype: Dtype):
+        if self.get_dtype(block).is_complex and not dtype.is_complex:
+            # take the real part explicitly: complex->real astype is deprecated
+            # in jax and raises ComplexWarning in numpy
+            block = block.real
         return block.astype(self.to_internal_dtype(dtype))
 
     # --- creation / conversion ----------------------------------------------------

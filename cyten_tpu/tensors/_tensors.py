@@ -779,6 +779,9 @@ class SymmetricTensor(Tensor):
         block = self.backend.get_sector_block(self, trivial) \
             if hasattr(self.backend, 'get_sector_block') else None
         if block is None:
+            if hasattr(self.data, 'block'):
+                # no-symmetry backend: the dense block IS the trivial sector
+                return bb.reshape(self.data.block, (int(leg.dim),))
             # generic path via the data: find the block of the trivial sector
             i = int(np.nonzero(np.all(
                 leg.sector_decomposition == trivial[None, :], axis=1))[0][0])
