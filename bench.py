@@ -477,7 +477,9 @@ def main():
         if os.environ.get('BENCH_SU2', '1') != '0':
             try:
                 chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
-                t_su2, _ = su2_run(chi_mult, lengths=(2, 10), skip_numpy=True)
+                # lengths long enough that the slope is clean: the short (2, 10)
+                # pair inflated 0.93 ms/iter to 1.6 (validated 2026-08-18)
+                t_su2, _ = su2_run(chi_mult, lengths=(10, 50), skip_numpy=True)
                 result[f'su2_matvec_{chi_mult}mult_ms'] = round(t_su2 * 1e3, 4)
             except Exception as e:  # pragma: no cover - keep the main metric
                 result['su2_matvec_ms'] = f'failed: {e}'
