@@ -247,7 +247,8 @@ def test_charged_correlation_fermions():
         np.pi * np.outer(np.arange(1, L + 1), k) / (L + 1))
     Cexact = phi[:, eps < 0] @ phi[:, eps < 0].T
     Cd, C = site.get_op('Cd'), site.get_op('C')
-    for i, j in [(0, 1), (0, 5), (1, 4), (2, 3)]:
+    # two pairs suffice: one long-range (crosses 4 JW strings), one adjacent
+    for i, j in [(0, 5), (2, 3)]:
         v = psi.correlation_function(Cd, i, C, j)
         assert abs(v - Cexact[i, j]) < 1e-9, (i, j, v, Cexact[i, j])
 
@@ -412,7 +413,8 @@ def test_static_mode_steady_svd():
     )
     from cyten_tpu.tensors import SymmetricTensor, compose, dagger, norm
 
-    L = 8
+    L = 6  # enough distinct bond structures to exercise the steady path;
+    # L=8 only added compile time (the suite's slowest test at ~200 s)
     E_exact = heisenberg_exact_finite_gs_energy(L, 1.)
     model = HeisenbergModel(L=L, conserve='Sz', block_backend='jax')
     psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),

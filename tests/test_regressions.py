@@ -168,7 +168,7 @@ def test_grouped_gemm_equivalence():
 
     sym = ct.u1_symmetry * ct.u1_symmetry.factors[0]
     backend = ct.get_backend(sym, 'jax')
-    args = build_hubbard_workload(backend, chi=64)
+    args = build_hubbard_workload(backend, chi=48)
     out1 = _heff_matvec_impl(*args)
     old_pad = config.mxu_pad_multiple
     config.use_grouped_gemm = True

@@ -41,9 +41,9 @@ def test_vumps_heisenberg_critical():
     directly (no growing-window transient), truncation-limited at chi=32."""
     model = HeisenbergModel(L=2, conserve='Sz', block_backend='numpy',
                             bc='infinite')
-    psi = _warm_start(model, [0, 1], chi=32, n_steps=40)
+    psi = _warm_start(model, [0, 1], chi=32, n_steps=20)
     eng = VUMPSEngine(psi, model)
-    e = eng.run(max_iter=80, tol=1e-9)
+    e = eng.run(max_iter=40, tol=1e-9)
     assert abs(e - model.exact_infinite_gs_energy()) < 5e-5
 
 
