@@ -230,6 +230,24 @@ class SimpleMPS:
         op_th = permute_legs(op_th, codomain=['vL', 'p'], domain=['vR'])
         return inner(theta, op_th, do_dagger=True)
 
+    def apply_local_op(self, op, i: int, canonicalize: bool = True) -> SimpleMPS:
+        """Apply a single-site operator at site ``i``; returns a NEW SimpleMPS.
+
+        ``op`` is a SymmetricTensor (codomain ``[p]``, domain ``[p]``). The
+        resulting state is NOT normalized (its norm is physical — e.g. for
+        spectral functions ``<psi| op_j(t) op_i |psi>``); with ``canonicalize``
+        (finite bc only) the canonical B form and Schmidt values are restored
+        so the state can seed time evolution. Planar rearrangements only.
+        """
+        res = self.copy()
+        op = op.relabelled(['p', 'p*'])
+        B = permute_legs(self.Bs[i], codomain=['p'], domain=['vL', 'vR'])
+        new_B = compose(op, B)  # codomain [p], domain [vL, vR]
+        res.Bs[i] = permute_legs(new_B, codomain=['vL', 'p'], domain=['vR'])
+        if canonicalize and self.bc == 'finite':
+            res.canonicalize(normalize=False)
+        return res
+
     def bond_expectation_value(self, op, i: int):
         """<psi| op_{i,i+1} |psi> for a 2-site op (codomain [p0,p1], domain [p0,p1])."""
         theta = self.get_theta2(i)

@@ -501,3 +501,29 @@ def test_auto_static_mode():
     E = eng.run(n_sweeps=8, tol=1e-13)
     assert getattr(eng, 'static_mode', False) is True
     assert abs(E - tfi_exact_finite_gs_energy(L, 1., g)) < 1e-9
+
+
+def test_apply_local_op():
+    """apply_local_op: consistency with site_expectation_value, norm of a
+    unitary application, and canonical form of the result."""
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel
+
+    L = 8
+    m = TFIModel(L=L, J=1., g=1.3, conserve='None', block_backend='numpy')
+    psi = SimpleMPS.from_product_state(m.site_legs, [0] * L, backend=m.backend)
+    DMRGEngine(psi, m, chi_max=16, eps=1e-12).run(n_sweeps=8)
+    sx = ct.SymmetricTensor.from_dense_block(
+        np.array([[0., 1.], [1., 0.]]), [m.site_leg], [m.site_leg],
+        backend=m.backend, labels=['p', 'p*'])
+    for i in (0, 3, L - 1):
+        phi = psi.apply_local_op(sx, i)
+        # <psi|sx_i|psi> == <psi|phi>
+        a = complex(psi.site_expectation_value(sx, i))
+        b = complex(psi.overlap(phi))
+        assert abs(a - b) < 1e-10
+        # sx is unitary: |phi| = 1; result is canonical (B form restored)
+        assert abs(complex(phi.overlap(phi)) - 1) < 1e-10
+        for B in phi.Bs:
+            B.test_sanity()
