@@ -475,14 +475,15 @@ def main():
                 result['svd_exact_ms'] = f'failed: {e}'
         # non-abelian (fusion-tree) tracking metric in the same line
         if os.environ.get('BENCH_SU2', '1') != '0':
+            chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
+            su2_key = f'su2_matvec_{chi_mult}mult_ms'
             try:
-                chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
                 # lengths long enough that the slope is clean: the short (2, 10)
                 # pair inflated 0.93 ms/iter to 1.6 (validated 2026-08-18)
                 t_su2, _ = su2_run(chi_mult, lengths=(10, 50), skip_numpy=True)
-                result[f'su2_matvec_{chi_mult}mult_ms'] = round(t_su2 * 1e3, 4)
+                result[su2_key] = round(t_su2 * 1e3, 4)
             except Exception as e:  # pragma: no cover - keep the main metric
-                result['su2_matvec_ms'] = f'failed: {e}'
+                result[su2_key] = f'failed: {e}'
         print(json.dumps(result))
         return
     if scenario == 'hubbard':

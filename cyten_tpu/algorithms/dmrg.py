@@ -652,6 +652,11 @@ class DMRGEngine:
         psi.Bs[i] = new_B
         psi.Ss[i + 1] = S.relabelled(['vL', 'vL*'])
         psi.Bs[i + 1] = B
+        if self.env_dtype is not None:
+            # keep the mixed-precision environment contract in static mode too
+            # (update_LP/update_RP apply the same cast on the dynamic path)
+            LP_new = LP_new.to_dtype(self.env_dtype)
+            RP_new = RP_new.to_dtype(self.env_dtype)
         self.LPs[i + 1] = self._shard(LP_new, 'vR')
         self.RPs[i] = self._shard(RP_new, 'vL')
 

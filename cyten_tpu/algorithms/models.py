@@ -702,15 +702,16 @@ class KitaevChainModel:
     def site_legs(self):
         return [self.site_leg] * self.L
 
-    def exact_finite_gs_energy(self, parity: str = None) -> float:
-        """BdG ground energy of the open chain; optionally parity-resolved.
+    def exact_finite_gs_energy(self, parity: str = None):
+        """BdG ground energy of the open chain.
 
         The global ground state fills all negative BdG modes:
-        ``E = (tr(h) - sum_k eps_k) / 2``. Its fermion parity is the sign of
-        the Pfaffian of the Majorana form; rather than computing it, the
-        parity-resolved energies are returned as the two candidates
-        ``{E, E + eps_min}`` (flipping the lowest mode flips parity), resolved
-        against the vacuum-parity reference for small systems via ED in tests.
+        ``E = (tr(h) - sum_k eps_k) / 2``. ``parity=None`` returns that float.
+        ``parity='both'`` returns the UNORDERED pair ``(E, E + eps_min)`` of
+        the two parity sectors' lowest energies (flipping the lowest mode
+        flips parity; which of the two is even would require the Pfaffian
+        sign, which is not computed — resolve against ED or the known initial
+        parity, as the tests do).
         """
         L, t, D, mu = self.L, self.t, self.delta, self.mu
         h = np.zeros((L, L))
@@ -729,6 +730,8 @@ class KitaevChainModel:
         E = 0.5 * (np.trace(h) - pos.sum())
         if parity is None:
             return float(E)
-        # candidates: global GS and the cheapest single-mode flip
+        if parity != 'both':
+            raise ValueError("parity must be None or 'both' (sector labels "
+                             'would need the Pfaffian sign; see docstring)')
         eps_min = float(pos.min()) if len(pos) else 0.
         return float(E), float(E + eps_min)

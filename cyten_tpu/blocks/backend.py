@@ -486,7 +486,10 @@ class BlockBackend:
         return w, v  # ascending by default
 
     def matrix_eig(self, a):
-        a, half = self._linalg_upcast(a)
+        # intentional exception to the bf16 round-trip policy: general eig of a
+        # real matrix has complex eigenpairs and there is no complex-bf16, so
+        # results stay in the upcast (f32-grade complex) dtype
+        a, _ = self._linalg_upcast(a)
         w, v = np.linalg.eig(self.to_numpy(a))
         return self.xp.asarray(w), self.xp.asarray(v)
 
@@ -715,7 +718,9 @@ class JaxBlockBackend(BlockBackend):
         return expm(a)
 
     def matrix_eig(self, a):
-        # jax.numpy.linalg.eig is CPU-only; go through numpy (host-side op)
+        # jax.numpy.linalg.eig is CPU-only; go through numpy (host-side op).
+        # bf16 upcasts to f32; results stay complex-f32-grade (no complex-bf16)
+        a, _ = self._linalg_upcast(a)
         w, v = np.linalg.eig(np.asarray(a))
         return self.xp.asarray(w), self.xp.asarray(v)
 

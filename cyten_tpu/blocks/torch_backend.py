@@ -225,14 +225,30 @@ class TorchBlockBackend(BlockBackend):
         return res
 
     def matrix_svd(self, a, algorithm: str = None):
+        # bf16 policy: torch linalg kernels do not support bfloat16 either —
+        # upcast to f32 and cast back, like the generic backend
+        a, half = self._linalg_upcast(a)
         u, s, vh = self.torch.linalg.svd(a, full_matrices=False)
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return u.to(bf), s.to(bf), vh.to(bf)
         return u, s, vh
 
     def matrix_qr(self, a, full: bool = False):
-        return self.torch.linalg.qr(a, mode='complete' if full else 'reduced')
+        a, half = self._linalg_upcast(a)
+        q, r = self.torch.linalg.qr(a, mode='complete' if full else 'reduced')
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return q.to(bf), r.to(bf)
+        return q, r
 
     def matrix_eigh(self, a, sort: str = None):
-        return self.torch.linalg.eigh(a)
+        a, half = self._linalg_upcast(a)
+        w, v = self.torch.linalg.eigh(a)
+        if half:
+            bf = self.to_internal_dtype(Dtype.bfloat16)
+            return w.to(bf), v.to(bf)
+        return w, v
 
     def matrix_exp(self, a):
         return self.torch.linalg.matrix_exp(a)

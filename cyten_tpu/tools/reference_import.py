@@ -334,11 +334,15 @@ def _conv_mask(r, node):
             f'unsupported backend data for Mask at {node.name!r}')
     _, blocks, block_inds, _dtype = data
     blocks = [np.asarray(b, bool) for b in blocks]
-    large_leg = domain.factors[0]
-    small_leg = codomain.factors[0]
+    # projection masks map large (domain) -> small (codomain); inclusions are
+    # the dagger orientation with the large leg in the codomain (reference
+    # _tensors.py:2345-2430)
+    # (the reference does not persist is_projection; with equal dims the mask
+    # keeps everything and both orientations carry identical content)
+    is_projection = codomain.factors[0].dim <= domain.factors[0].dim
     mask = Mask(MaskBlockData(blocks, block_inds),
-                space_in=large_leg, space_out=small_leg,
-                is_projection=True, backend=backend)
+                space_in=domain.factors[0], space_out=codomain.factors[0],
+                is_projection=is_projection, backend=backend)
     mask.test_sanity()
     return mask
 

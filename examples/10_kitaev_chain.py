@@ -30,7 +30,7 @@ def main():
         psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
                                            backend=model.backend)
         E = DMRGEngine(psi, model, chi_max=32, eps=1e-12).run(n_sweeps=12)
-        E0, E1 = model.exact_finite_gs_energy(parity='even')
+        E0, E1 = model.exact_finite_gs_energy(parity='both')
         err = min(abs(E - E0), abs(E - E1))
         # Majorana splitting: exponentially small in L for mu < 2t, O(1) above
         print(f'{mu:5.1f} {E:16.10f} {E0:16.10f} {err:9.1e} {E1 - E0:11.2e}')

@@ -146,3 +146,44 @@ def test_dmrg_bf16_environments():
     E_true = model.energy(psi)
     assert E_true > E_exact - 1e-10
     assert abs(E_true - E_exact) / abs(E_exact) < 2e-4
+
+
+def test_bf16_torch_factorizations():
+    """The torch block backend honors the bf16 storage / f32 numerics policy
+    for svd/qr/eigh (torch LAPACK kernels do not support bfloat16)."""
+    torch = pytest.importorskip('torch')
+    bb = get_block_backend('torch')
+    a32 = torch.randn(12, 8)
+    a = bb.to_dtype(a32, Dtype.bfloat16)
+    u, s, vh = bb.matrix_svd(a)
+    assert bb.get_dtype(u) == Dtype.bfloat16
+    rec = (u.to(torch.float32) * s.to(torch.float32)) @ vh.to(torch.float32)
+    assert float(torch.linalg.norm(rec - a.to(torch.float32))) < 0.15
+    q, r = bb.matrix_qr(a)
+    assert bb.get_dtype(q) == Dtype.bfloat16
+    h = a32 @ a32.T
+    hb = bb.to_dtype(h, Dtype.bfloat16)
+    w, v = bb.matrix_eigh(hb)
+    assert bb.get_dtype(v) == Dtype.bfloat16
+
+
+def test_static_mode_keeps_env_dtype():
+    """env_dtype=bfloat16 persists through static-mode bond updates (the cast
+    used to live only on the dynamic path)."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import TFIModel
+
+    L = 6
+    model = TFIModel(L=L, J=1., g=1.5, conserve='parity', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0] * L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=8, eps=1e-12,
+                     env_dtype=Dtype.bfloat16)
+    for _ in range(3):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=10)
+    eng.sweep()
+    for LP in eng.LPs[1:-1]:
+        assert LP.dtype == Dtype.bfloat16, LP
+    for RP in eng.RPs[1:-1]:
+        assert RP.dtype == Dtype.bfloat16, RP

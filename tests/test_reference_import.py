@@ -186,3 +186,24 @@ def test_unsupported_raises(ref, ref_io, tmp_path):
     fn = _ref_write(ref_io, tmp_path, {'w': Weird()})
     with pytest.raises(ReferenceImportError, match='pickle'):
         _load(fn)
+
+
+def test_mask_inclusion(ref, ref_io, tmp_path):
+    """Inclusion masks (is_projection=False, large leg in the codomain) import
+    with the correct orientation — previously mis-imported as projections."""
+    rng = np.random.default_rng(12)
+    leg = ref.ElementarySpace(ref.u1_symmetry, [[-1], [0], [1]], [2, 3, 2])
+    backend = ref.get_backend(ref.u1_symmetry, 'numpy')
+    flags = rng.random(leg.dim) < 0.6
+    if not flags.any():
+        flags[0] = True
+    proj = ref.Mask.from_block_mask(flags, large_leg=leg, backend=backend)
+    import cyten.tensors as ref_tensors
+    incl = ref_tensors.dagger(proj)
+    assert not incl.is_projection
+    fn = _ref_write(ref_io, tmp_path, incl)
+    mine = _load(fn)
+    assert isinstance(mine, ct.Mask)
+    assert not mine.is_projection
+    np.testing.assert_array_equal(np.asarray(mine.to_numpy()),
+                                  incl.to_numpy())
