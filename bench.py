@@ -333,10 +333,15 @@ def build_step_state(backend, chi, seed=0):
 
 
 def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
-             svd_mode='steady'):
+             svd_mode='steady', env_dtype=None):
     """Slope-time the FULL north-star step: one static-mode bond update (theta
     assembly + fused Lanczos + SVD + frozen-chi truncation + both environment
     updates) per scan iteration, state fed back as the carry.
+
+    ``env_dtype='bfloat16'`` benches the mixed-precision production path
+    (``DMRGEngine(env_dtype=...)``): LP/RP — the dominant HBM reads of the
+    matvec chain — stored half-width, theta and the Lanczos iterates in the
+    working dtype (docs/DESIGN.md §10).
 
     Returns (seconds/step, contraction FLOPs/step). The contraction FLOPs are
     the exact GEMM counts of the matvec chain x (n_lanczos + 2 env-update
@@ -350,8 +355,14 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
     from cyten_tpu.config import config
     from cyten_tpu.tensors import norm, scalar_multiply
 
+    from cyten_tpu.dtypes import Dtype
+
     backend = ct.get_backend(ct.u1_symmetry, 'jax')
     LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = build_step_state(backend, chi)
+    env_dtype = Dtype[env_dtype] if isinstance(env_dtype, str) else env_dtype
+    if env_dtype is not None:
+        LP = LP.to_dtype(env_dtype)
+        RP = RP.to_dtype(env_dtype)
     impl = _get_static_bond_fn(n_lanczos, svd_mode)
 
     def make_run(n_iter):
@@ -364,6 +375,10 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
                                                  mask)
                 LPn = scalar_multiply(1. / norm(LPn), LPn)
                 RPn = scalar_multiply(1. / norm(RPn), RPn)
+                if env_dtype is not None:
+                    # the engine's static path applies the same cast
+                    LPn = LPn.to_dtype(env_dtype)
+                    RPn = RPn.to_dtype(env_dtype)
                 S2 = S2.relabelled(['vL', 'vL*'])
                 return (S2, nB1, B2n, LPn, RPn), E
 
@@ -452,11 +467,15 @@ def main():
         # production path; 'BENCH_SVD_MODE=exact' benches per-sector QDWH).
         svd_mode = os.environ.get('BENCH_SVD_MODE', 'steady')
         n_lanczos = int(os.environ.get('BENCH_N_LANCZOS', '10'))
+        # mixed-precision production path: BENCH_ENV_DTYPE=bfloat16 stores the
+        # MPO environments half-width (DMRGEngine(env_dtype=...), DESIGN §10)
+        env_dtype = os.environ.get('BENCH_ENV_DTYPE') or None
         t_step, flops = step_run(chi, n_lanczos=n_lanczos, precision=precision,
-                                 svd_mode=svd_mode)
+                                 svd_mode=svd_mode, env_dtype=env_dtype)
         t_matvec = jax_run(chi, precision=precision)
+        suffix = f'_{env_dtype}env' if env_dtype else ''
         result = {
-            'metric': f'u1_dmrg_step_chi{chi}_{svd_mode}_tflops',
+            'metric': f'u1_dmrg_step_chi{chi}_{svd_mode}{suffix}_tflops',
             'value': round(flops / t_step / 1e12, 4),
             'unit': 'TFLOP/s',
             'vs_baseline': round(numpy_run(chi)[0] * (n_lanczos + 2) / t_step,
