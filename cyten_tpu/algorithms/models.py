@@ -22,7 +22,7 @@ from ..tensors import (
 )
 
 __all__ = ['TFIModel', 'HeisenbergModel', 'FermiHubbardModel', 'spin_half_site',
-           'mpo_from_bond_op', 'mpo_from_bond_ops',
+           'mpo_from_bond_op', 'mpo_from_bond_ops', 'mpo_from_terms',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy']
 
 # Pauli matrices in the (|up>, |down>) basis
@@ -49,16 +49,16 @@ def spin_half_site(conserve: str = 'None', backend=None):
     return leg
 
 
-def _factorize_bond(h_bond: SymmetricTensor, svd_cut: float = 1e-12):
-    """``h = sum_k A_k ⊗ B_k`` by SVD across the bond, in MPO-entry form.
+def _factorize_pair(h_pair: SymmetricTensor, svd_cut: float = 1e-12):
+    """``h = sum_k A_k ⊗ B_k`` by SVD across the pair, in MPO-entry form.
 
-    Returns ``(A, B, Id)`` with legs ``[wL, p, wR, p*]`` each (trivial wL on A,
-    trivial wR on B). The reference's ``horizontal_factorization`` idea
-    (cyten/tensors/planar.py:1102); all moves planar.
+    Works for heterogeneous site legs. Returns ``(A, B, k_leg)``: ``A`` with
+    legs ``[wL(trivial), p, wR=k, p*]``, ``B`` with ``[wL=k, p, wR(trivial),
+    p*]``, and ``k_leg`` the factorization bond space carried between them
+    (``B``'s wL codomain factor). The reference's ``horizontal_factorization``
+    idea (cyten/tensors/planar.py:1102); all moves planar.
     """
-    backend = h_bond.backend
-    p = h_bond.codomain.factors[0]
-    h = h_bond.relabelled(['p0', 'p1', 'p1*', 'p0*'])
+    h = h_pair.relabelled(['p0', 'p1', 'p1*', 'p0*'])
     # planar horizontal cut: left arc (p0*, p0) vs right arc (p1*, p1)
     X = permute_legs(h, codomain=['p0*', 'p0'], domain=['p1*', 'p1'])
     U, S, Vh = svd(X, new_labels=['wR', 'wL'])
@@ -73,10 +73,26 @@ def _factorize_bond(h_bond: SymmetricTensor, svd_cut: float = 1e-12):
     B_k = permute_legs(B_k, codomain=['wL', 'p1'], domain=['p1*'])
     B_k = add_trivial_leg(B_k, 2, label='wR', to_domain=True, is_dual=True)
     B_k = B_k.relabelled({'p1': 'p', 'p1*': 'p*'})
+    return A_k, B_k, B_k.codomain.factors[0]
+
+
+def _eye_mpo_cell(p, backend, dtype):
+    """Identity MPO cell ``[wL(trivial), p, wR(trivial), p*]``."""
     eye_p = SymmetricTensor.from_eye([p], backend=backend, labels=['p'],
-                                     dtype=h_bond.dtype)
+                                     dtype=dtype)
     Id = add_trivial_leg(eye_p, 0, label='wL')
-    Id = add_trivial_leg(Id, 2, label='wR', to_domain=True, is_dual=True)
+    return add_trivial_leg(Id, 2, label='wR', to_domain=True, is_dual=True)
+
+
+def _factorize_bond(h_bond: SymmetricTensor, svd_cut: float = 1e-12):
+    """``h = sum_k A_k ⊗ B_k`` by SVD across the bond, in MPO-entry form.
+
+    Returns ``(A, B, Id)`` with legs ``[wL, p, wR, p*]`` each (trivial wL on A,
+    trivial wR on B).
+    """
+    A_k, B_k, _ = _factorize_pair(h_bond, svd_cut)
+    p = h_bond.codomain.factors[0]
+    Id = _eye_mpo_cell(p, h_bond.backend, h_bond.dtype)
     return A_k, B_k, Id
 
 
@@ -156,6 +172,143 @@ def _boundary_selector(W: SymmetricTensor, left: bool) -> SymmetricTensor:
     diag = DiagonalTensor.from_sector_block_func(func, leg, backend=W.backend)
     mask = Mask.from_DiagonalTensor(diag)
     return apply_mask(W, mask, label)
+
+
+def _passthrough_cell(k_leg, p, backend, dtype):
+    """Identity passthrough ``[wL=k, p, wR=k, p*]`` carrying a term's
+    factorization bond leg across a gap site.
+
+    For graded symmetries this IS the Jordan-Wigner string: an odd ``k``
+    sector crossing the site picks up the grading signs automatically from
+    the symmetric-tensor structure — no explicit string operators.
+    """
+    P = SymmetricTensor.from_eye([k_leg, p], backend=backend,
+                                 labels=['wL', 'p'], dtype=dtype)
+    # legs [wL, p, p*, wL*] -> [wL, p, wR, p*]
+    P = P.relabelled({'wL*': 'wR'})
+    return permute_legs(P, codomain=['wL', 'p'], domain=['p*', 'wR'])
+
+
+def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
+                   svd_cut: float = 1e-12):
+    """Finite-chain MPO from arbitrary-range one- and two-site terms.
+
+    A finite-state-machine ('MPO graph') construction generalizing
+    :func:`mpo_from_bond_ops` to couplings between ANY pair of sites ``i < j``
+    — next-nearest-neighbor (J1-J2), 2D cylinders via snake mapping,
+    long-range hopping. Each coupling is SVD-factorized across its pair
+    (:func:`_factorize_pair`) and the factorization's bond leg is carried
+    through the gap sites by identity passthroughs; terms sharing a pair
+    ``(i, j)`` are summed before factorizing. For graded symmetries
+    (fermions), an odd passthrough sector reproduces the Jordan-Wigner string
+    automatically — statistics live in the category, not in explicit strings.
+
+    Parameters
+    ----------
+    site_legs : list[ElementarySpace]
+        The physical leg of each site.
+    onsite : iterable of ``(i, op)`` or ``(i, op, strength)``
+        ``op``: dense ``(d, d)`` array or a SymmetricTensor ``[p | p*]``.
+    couplings : iterable of ``(i, j, h)`` or ``(i, j, h, strength)``
+        ``0 <= i < j < L`` at any distance; ``h`` acts on ``(site_i, site_j)``
+        *as if adjacent*: dense ``(d_i*d_j, d_i*d_j)`` in ``kron(op_i, op_j)``
+        convention, or a SymmetricTensor with legs ``[p0, p1 | p1*, p0*]``.
+
+    Returns
+    -------
+    list[SymmetricTensor]
+        MPO tensors ``[wL, p, wR, p*]``, boundary-selected at the ends
+        (directly usable as ``model.H_mpo`` by the engines).
+
+    Notes
+    -----
+    Counterpart of tenpy's ``MPOGraph``; the reference cyten has no MPO
+    builder at all (its models layer stops at two-site couplings,
+    cyten/models/couplings.py:476).
+    """
+    from ..tensors import scalar_multiply, tensor_from_grid
+    from ..backends import get_backend
+
+    L = len(site_legs)
+    if backend is None:
+        backend = get_backend(site_legs[0].symmetry, None)
+
+    def as_onsite(i, op, strength):
+        p = site_legs[i]
+        if not isinstance(op, SymmetricTensor):
+            op = SymmetricTensor.from_dense_block(
+                np.asarray(op), [p], [p], backend=backend, labels=['p', 'p*'])
+        else:
+            op = op.relabelled(['p', 'p*'])
+        op = add_trivial_leg(op, 0, label='wL')
+        op = add_trivial_leg(op, 2, label='wR', to_domain=True, is_dual=True)
+        return scalar_multiply(strength, op)
+
+    def as_pair(i, j, h, strength):
+        pi, pj = site_legs[i], site_legs[j]
+        if not isinstance(h, SymmetricTensor):
+            h = np.asarray(h)
+            block = h.reshape(pi.dim, pj.dim, pi.dim, pj.dim).transpose(0, 1, 3, 2)
+            h = SymmetricTensor.from_dense_block(
+                block, [pi, pj], [pi, pj], backend=backend,
+                labels=['p0', 'p1', 'p1*', 'p0*'])
+        return scalar_multiply(strength, h)
+
+    onsite_map = {}
+    for i, op, *rest in onsite:
+        t = as_onsite(i, op, rest[0] if rest else 1.)
+        onsite_map[i] = t if i not in onsite_map else onsite_map[i] + t
+    pair_map = {}
+    for i, j, h, *rest in couplings:
+        if not 0 <= i < j < L:
+            raise ValueError(f'need 0 <= i < j < L, got ({i}, {j})')
+        t = as_pair(i, j, h, rest[0] if rest else 1.)
+        key = (i, j)
+        pair_map[key] = t if key not in pair_map else pair_map[key] + t
+
+    terms = []  # (i, j, A, B, k_leg) in canonical order
+    for (i, j) in sorted(pair_map):
+        A, B, k_leg = _factorize_pair(pair_map[(i, j)], svd_cut)
+        terms.append((i, j, A, B, k_leg))
+
+    cell_dtypes = [t.dtype for t in onsite_map.values()] + \
+        [t[2].dtype for t in terms] or [Dtype.float64]
+    dtype = Dtype.common(*cell_dtypes)
+
+    mpos = []
+    for m in range(L):
+        p = site_legs[m]
+        # FSM states at the bond left/right of site m: ready, one state per
+        # term whose factorization leg crosses that bond, done
+        rows = ['R'] + [t for t in range(len(terms))
+                        if terms[t][0] < m <= terms[t][1]] + ['D']
+        cols = ['R'] + [t for t in range(len(terms))
+                        if terms[t][0] <= m < terms[t][1]] + ['D']
+        eye = _eye_mpo_cell(p, backend, dtype)
+        grid = [[None] * len(cols) for _ in rows]
+
+        def put(r, c, t):
+            grid[rows.index(r)][cols.index(c)] = t
+
+        put('R', 'R', eye)
+        put('D', 'D', eye)
+        if m in onsite_map:
+            put('R', 'D', onsite_map[m].to_dtype(dtype))
+        for t, (i, j, A, B, k_leg) in enumerate(terms):
+            if i == m:
+                put('R', t, A.to_dtype(dtype))
+            if i < m < j:
+                put(t, t, _passthrough_cell(k_leg, p, backend, dtype))
+            if j == m:
+                put(t, 'D', B.to_dtype(dtype))
+        W = tensor_from_grid(grid, labels=['wL', 'p', 'wR', 'p*'],
+                             row_leg='wL', col_leg='wR')
+        if m == 0:
+            W = _boundary_selector(W, left=True)
+        if m == L - 1:
+            W = _boundary_selector(W, left=False)
+        mpos.append(W)
+    return mpos
 
 
 class TFIModel:

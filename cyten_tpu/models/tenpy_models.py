@@ -25,23 +25,52 @@ class CouplingModel:
         self.L = len(sites)
         self.onsite_terms: list[tuple[int, Coupling]] = []
         self.bond_terms: list[tuple[int, Coupling]] = []
+        self.pair_terms: list[tuple[int, int, Coupling]] = []
 
     def add_onsite(self, i: int, coupling: Coupling):
         assert coupling.num_sites == 1
         self.onsite_terms.append((i, coupling))
         return self
 
-    def add_coupling(self, i: int, coupling: Coupling):
-        """Add a 2-site coupling acting on sites (i, i+1)."""
+    def add_coupling(self, i: int, coupling: Coupling, j: int = None):
+        """Add a 2-site coupling acting on sites ``(i, j)``; default j = i+1.
+
+        ``j > i + 1`` (arbitrary range — J1-J2, 2D lattices snake-mapped to the
+        chain) is supported through the FSM MPO builder; such models provide
+        ``H_mpo`` via :meth:`build_H_mpo` (``all_bond_ops`` covers only the
+        nearest-neighbor + onsite part).
+        """
         assert coupling.num_sites == 2
-        assert i + 1 < self.L
-        self.bond_terms.append((i, coupling))
+        j = i + 1 if j is None else j
+        assert 0 <= i < j < self.L
+        if j == i + 1:
+            self.bond_terms.append((i, coupling))
+        else:
+            self.pair_terms.append((i, j, coupling))
         return self
+
+    def build_H_mpo(self, backend=None, svd_cut: float = 1e-12):
+        """The full Hamiltonian as an MPO (FSM construction, any-range terms).
+
+        See :func:`cyten_tpu.algorithms.models.mpo_from_terms`.
+        """
+        from ..algorithms.models import mpo_from_terms
+
+        backend = backend if backend is not None else self.sites[0].backend
+        onsite = [(i, c.to_tensor()) for i, c in self.onsite_terms]
+        couplings = [(i, i + 1, c.to_tensor()) for i, c in self.bond_terms]
+        couplings += [(i, j, c.to_tensor()) for i, j, c in self.pair_terms]
+        return mpo_from_terms([s.leg for s in self.sites], onsite=onsite,
+                              couplings=couplings, backend=backend,
+                              svd_cut=svd_cut)
 
     def all_bond_ops(self):
         """H_bonds: per-bond two-site operators (onsite terms split half-half)."""
         from ..tensors import add_trivial_leg, outer
 
+        if self.pair_terms:
+            raise ValueError('model has couplings beyond nearest neighbors; '
+                             'H_bonds do not exist — use build_H_mpo()')
         bonds = {}
         for i, c in self.bond_terms:
             t = c.to_tensor()
