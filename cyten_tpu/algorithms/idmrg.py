@@ -53,6 +53,16 @@ class iDMRGEngine:
         assert psi.L == 2, 'two-site unit cell for now'
         assert getattr(model, 'bc', 'finite') == 'infinite', \
             "iDMRG needs a model built with bc='infinite'"
+        if getattr(model.H_mpo, 'max_range', 1) > 1:
+            # measured: the McCulloch fixed point oscillates at the 1e-1 level
+            # when the MPO carries in-flight passthrough channels (range > 1
+            # terms from mpo_from_terms) — the 2-site insertion window never
+            # contains a full term and the energy telescoping destabilizes
+            raise ValueError(
+                'iDMRGEngine does not support MPOs with couplings beyond '
+                'nearest neighbors (in-flight channels). Use finite DMRG '
+                'with mpo_from_terms, or group sites so all terms become '
+                'nearest-neighbor.')
         self.model = model
         self.chi_max = chi_max
         self.eps = eps

@@ -190,8 +190,8 @@ def _passthrough_cell(k_leg, p, backend, dtype):
 
 
 def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
-                   svd_cut: float = 1e-12):
-    """Finite-chain MPO from arbitrary-range one- and two-site terms.
+                   svd_cut: float = 1e-12, bc: str = 'finite'):
+    """MPO from arbitrary-range one- and two-site terms (finite or infinite).
 
     A finite-state-machine ('MPO graph') construction generalizing
     :func:`mpo_from_bond_ops` to couplings between ANY pair of sites ``i < j``
@@ -210,15 +210,22 @@ def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
     onsite : iterable of ``(i, op)`` or ``(i, op, strength)``
         ``op``: dense ``(d, d)`` array or a SymmetricTensor ``[p | p*]``.
     couplings : iterable of ``(i, j, h)`` or ``(i, j, h, strength)``
-        ``0 <= i < j < L`` at any distance; ``h`` acts on ``(site_i, site_j)``
+        ``0 <= i < j`` at any distance; ``h`` acts on ``(site_i, site_j)``
         *as if adjacent*: dense ``(d_i*d_j, d_i*d_j)`` in ``kron(op_i, op_j)``
         convention, or a SymmetricTensor with legs ``[p0, p1 | p1*, p0*]``.
+        Finite bc requires ``j < L``; infinite bc requires ``i < L`` and lets
+        ``j >= L`` wrap into the next unit cell(s) — every term is implicitly
+        summed over all translates by ``L``.
+    bc : ``'finite' | 'infinite'``
+        Infinite bc emits one tensor per unit-cell site with matching wrap
+        legs (``W[0].wL == W[L-1].wR``), ready channel at dense index 0 and
+        done channel last — directly usable by ``iDMRGEngine`` / ``VUMPSEngine``.
 
     Returns
     -------
     list[SymmetricTensor]
-        MPO tensors ``[wL, p, wR, p*]``, boundary-selected at the ends
-        (directly usable as ``model.H_mpo`` by the engines).
+        MPO tensors ``[wL, p, wR, p*]``; for finite bc boundary-selected at
+        the ends (directly usable as ``model.H_mpo`` by the engines).
 
     Notes
     -----
@@ -254,15 +261,20 @@ def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
                 labels=['p0', 'p1', 'p1*', 'p0*'])
         return scalar_multiply(strength, h)
 
+    if bc not in ('finite', 'infinite'):
+        raise ValueError(f'invalid bc: {bc!r}')
+    infinite = bc == 'infinite'
+
     onsite_map = {}
     for i, op, *rest in onsite:
         t = as_onsite(i, op, rest[0] if rest else 1.)
         onsite_map[i] = t if i not in onsite_map else onsite_map[i] + t
     pair_map = {}
     for i, j, h, *rest in couplings:
-        if not 0 <= i < j < L:
-            raise ValueError(f'need 0 <= i < j < L, got ({i}, {j})')
-        t = as_pair(i, j, h, rest[0] if rest else 1.)
+        if not (0 <= i < j and i < L and (infinite or j < L)):
+            raise ValueError(f'need 0 <= i < j (< L for finite bc), '
+                             f'got ({i}, {j})')
+        t = as_pair(i, j % L if infinite else j, h, rest[0] if rest else 1.)
         key = (i, j)
         pair_map[key] = t if key not in pair_map else pair_map[key] + t
 
@@ -275,15 +287,29 @@ def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
         [t[2].dtype for t in terms] or [Dtype.float64]
     dtype = Dtype.common(*cell_dtypes)
 
+    def states_at_bond(b):
+        """FSM states crossing bond b (the left bond of site b).
+
+        Finite: term (i, j) crosses iff i < b <= j (one state per term).
+        Infinite: states are (t, s) = 'term t started s sites ago', present
+        iff (i_t + s) == b (mod L) for s in 1..j-i — every translate of every
+        term is live somewhere in the cell.
+        """
+        if not infinite:
+            return [(t, None) for t in range(len(terms))
+                    if terms[t][0] < b <= terms[t][1]]
+        out = []
+        for t, (i, j, *_) in enumerate(terms):
+            for s in range(1, j - i + 1):
+                if (i + s) % L == b % L:
+                    out.append((t, s))
+        return out
+
     mpos = []
     for m in range(L):
         p = site_legs[m]
-        # FSM states at the bond left/right of site m: ready, one state per
-        # term whose factorization leg crosses that bond, done
-        rows = ['R'] + [t for t in range(len(terms))
-                        if terms[t][0] < m <= terms[t][1]] + ['D']
-        cols = ['R'] + [t for t in range(len(terms))
-                        if terms[t][0] <= m < terms[t][1]] + ['D']
+        rows = ['R'] + states_at_bond(m) + ['D']
+        cols = ['R'] + states_at_bond(m + 1) + ['D']
         eye = _eye_mpo_cell(p, backend, dtype)
         grid = [[None] * len(cols) for _ in rows]
 
@@ -295,20 +321,46 @@ def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
         if m in onsite_map:
             put('R', 'D', onsite_map[m].to_dtype(dtype))
         for t, (i, j, A, B, k_leg) in enumerate(terms):
-            if i == m:
-                put('R', t, A.to_dtype(dtype))
-            if i < m < j:
-                put(t, t, _passthrough_cell(k_leg, p, backend, dtype))
-            if j == m:
-                put(t, 'D', B.to_dtype(dtype))
+            span = j - i
+            if infinite:
+                if i == m:
+                    put('R', (t, 1), A.to_dtype(dtype))
+                for s in range(1, span):
+                    if (i + s) % L == m:
+                        put((t, s), (t, s + 1),
+                            _passthrough_cell(k_leg, p, backend, dtype))
+                if (i + span) % L == m:
+                    put((t, span), 'D', B.to_dtype(dtype))
+            else:
+                if i == m:
+                    put('R', (t, None), A.to_dtype(dtype))
+                if i < m < j:
+                    put((t, None), (t, None),
+                        _passthrough_cell(k_leg, p, backend, dtype))
+                if j == m:
+                    put((t, None), 'D', B.to_dtype(dtype))
         W = tensor_from_grid(grid, labels=['wL', 'p', 'wR', 'p*'],
                              row_leg='wL', col_leg='wR')
-        if m == 0:
+        if not infinite and m == 0:
             W = _boundary_selector(W, left=True)
-        if m == L - 1:
+        if not infinite and m == L - 1:
             W = _boundary_selector(W, left=False)
         mpos.append(W)
-    return mpos
+    res = MpoTensors(mpos)
+    res.max_range = max((j - i for (i, j, *_) in terms), default=1) if terms \
+        else 1
+    return res
+
+
+class MpoTensors(list):
+    """A list of MPO tensors annotated with the maximal coupling range.
+
+    ``max_range`` lets the infinite engines detect in-flight passthrough
+    channels (range > 1), which their fixed-point accounting does not support
+    yet (see :func:`mpo_from_terms`).
+    """
+
+    max_range = 1
 
 
 class TFIModel:

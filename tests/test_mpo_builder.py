@@ -190,6 +190,75 @@ def test_invalid_pair_raises():
                        backend=m.backend)
 
 
+def test_infinite_uniform_nn():
+    """bc='infinite': uniform FSM MPO for a 2-site cell, wrap legs matching,
+    iDMRG energy density == exact infinite TFI."""
+    from cyten_tpu.algorithms.idmrg import iDMRGEngine
+
+    m = TFIModel(L=2, J=1., g=1.5, conserve='parity', block_backend='numpy',
+                 bc='infinite')
+    mpo = mpo_from_terms(
+        [m.site_leg] * 2,
+        onsite=[(0, _sz, -1.5), (1, _sz, -1.5)],
+        couplings=[(0, 1, np.kron(_sx, _sx), -1.0),
+                   (1, 2, np.kron(_sx, _sx), -1.0)],
+        backend=m.backend, bc='infinite')
+    assert mpo.max_range == 1
+    assert (mpo[0].get_leg_co_domain('wL').dim
+            == mpo[1].get_leg_co_domain('wR').dim)
+
+    class M:
+        bc = 'infinite'
+        H_mpo = mpo
+
+    psi = SimpleMPS.from_product_state([m.site_leg] * 2, [0, 0],
+                                       backend=m.backend, bc='infinite')
+    e = iDMRGEngine(psi, M(), chi_max=24, eps=1e-12).run(n_steps=150)
+    assert abs(e - m.exact_infinite_gs_energy()) < 1e-8
+
+
+def test_infinite_long_range_tensors_and_guard():
+    """Range-2 infinite FSM tensors are exactly the finite builder's bulk
+    (finite-ification equality on a converged state); the iDMRG engine
+    refuses in-flight MPOs with guidance."""
+    from cyten_tpu.algorithms.idmrg import iDMRGEngine
+    from cyten_tpu.algorithms.models import _boundary_selector
+
+    hm = HeisenbergModel(L=2, conserve='Sz', block_backend='numpy',
+                         bc='infinite')
+    W = mpo_from_terms(
+        [hm.site_leg] * 2,
+        couplings=[(0, 1, _SS, 1.), (1, 2, _SS, 1.),
+                   (0, 2, _SS, 0.5), (1, 3, _SS, 0.5)],
+        backend=hm.backend, bc='infinite')
+    assert W.max_range == 2
+
+    L = 8
+    fin_from_inf = [W[i % 2] for i in range(L)]
+    fin_from_inf[0] = _boundary_selector(fin_from_inf[0], left=True)
+    fin_from_inf[-1] = _boundary_selector(fin_from_inf[-1], left=False)
+    fin = mpo_from_terms(
+        [hm.site_leg] * L,
+        couplings=[(i, i + 1, _SS, 1.) for i in range(L - 1)] +
+                  [(i, i + 2, _SS, 0.5) for i in range(L - 2)],
+        backend=hm.backend)
+    psi = SimpleMPS.from_product_state([hm.site_leg] * L,
+                                       [i % 2 for i in range(L)],
+                                       backend=hm.backend)
+    DMRGEngine(psi, _MpoModel(fin), chi_max=16, eps=1e-12).run(n_sweeps=6)
+    assert abs(psi.expectation_value_mpo(fin)
+               - psi.expectation_value_mpo(fin_from_inf)) < 1e-12
+
+    class M:
+        bc = 'infinite'
+        H_mpo = W
+
+    psi_i = SimpleMPS.from_product_state([hm.site_leg] * 2, [0, 1],
+                                         backend=hm.backend, bc='infinite')
+    with pytest.raises(ValueError, match='nearest neighbors'):
+        iDMRGEngine(psi_i, M(), chi_max=16)
+
+
 def test_coupling_model_long_range():
     """CouplingModel.add_coupling(i, c, j=...) + build_H_mpo: the user-facing
     path to arbitrary-range models (Majumdar-Ghosh anchor)."""
