@@ -484,6 +484,18 @@ def main():
             'matvec_tflops': round(flops / (n_lanczos + 2) / t_matvec / 1e12,
                                    4),
         }
+        # mixed-precision companion metric: the same step with bf16-stored MPO
+        # environments (the recommended converged-sweep configuration,
+        # DESIGN §10: 1.40x at chi=4096, 30.4 TFLOP/s at chi=8192)
+        if env_dtype is None and os.environ.get('BENCH_BF16', '1') != '0':
+            try:
+                t_b, fl_b = step_run(chi, n_lanczos=n_lanczos,
+                                     precision=precision, svd_mode=svd_mode,
+                                     env_dtype='bfloat16')
+                result['step_bf16env_ms'] = round(t_b * 1e3, 3)
+                result['step_bf16env_tflops'] = round(fl_b / t_b / 1e12, 4)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['step_bf16env_ms'] = f'failed: {e}'
         # per-sector (QDWH) SVD time at the bench chi — the BASELINE.md
         # companion metric to the step throughput
         if os.environ.get('BENCH_SVD_TIMING', '1') != '0':
