@@ -60,9 +60,10 @@ class iDMRGEngine:
             # contains a full term and the energy telescoping destabilizes
             raise ValueError(
                 'iDMRGEngine does not support MPOs with couplings beyond '
-                'nearest neighbors (in-flight channels). Use finite DMRG '
-                'with mpo_from_terms, or group sites so all terms become '
-                'nearest-neighbor.')
+                'nearest neighbors (in-flight channels). Use VUMPSEngine '
+                '(fixed-point environments handle any uniform MPO; warm-start '
+                'from an iDMRG run on the nearest-neighbor part), or finite '
+                'DMRG with mpo_from_terms.')
         self.model = model
         self.chi_max = chi_max
         self.eps = eps

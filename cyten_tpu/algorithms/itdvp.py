@@ -95,6 +95,7 @@ class iTDVPEngine:
         self.ALs = self._left_isometries_from_state()
         self.LW = None
         self.RW = None
+        self.env_energy_cell = None   # subtracted LW growth rate per cell
         self.env_iters = 0    # cell absorptions in the last fixed-point solve
         self.n_steps = 0
 
@@ -195,6 +196,10 @@ class iTDVPEngine:
             LWn = LWn - e * eyeL
             dL = float(norm(LWn + (-1.) * LW))
             LW = LWn
+            # at convergence, the subtracted growth rate IS the energy added
+            # per absorbed unit cell — valid for ANY upper-triangular MPO,
+            # including in-flight (range > 1) channels
+            self.env_energy_cell = e
             RWn = RW
             for i in range(L - 1, -1, -1):
                 RWn = _update_RP_impl(RWn, self.model.H_mpo[i], self.ARs[i])
@@ -305,8 +310,21 @@ class iTDVPEngine:
         return SimpleMPS(Bs, Ss, bc='infinite')
 
     def energy_density(self) -> float:
-        """Energy per site from bond expectation values of the current state."""
-        return float(self.model.energy(self.psi))
+        """Energy per site.
+
+        Uses ``model.energy(psi)`` (bond expectation values) when the model
+        provides it; otherwise falls back to the MPO environments' per-cell
+        growth rate — which is exact for ANY uniform MPO, including the
+        in-flight channels of range > 1 couplings from
+        :func:`~cyten_tpu.algorithms.models.mpo_from_terms`. (The
+        ``lam_AC - lam_C`` VUMPS estimate is NOT reliable for such MPOs —
+        measured on the Majumdar-Ghosh point it returns 0 while this growth
+        rate gives the exact -0.375 per site.)
+        """
+        if hasattr(self.model, 'energy'):
+            return float(self.model.energy(self.psi))
+        self._solve_environments()   # warm-started; cheap at convergence
+        return float(self.env_energy_cell) / self.L
 
 
 def compose_iso(Q, Qd):

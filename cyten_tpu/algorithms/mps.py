@@ -42,6 +42,17 @@ class SimpleMPS:
         return SimpleMPS([B.copy(deep=False) for B in self.Bs],
                          [S.copy(deep=False) for S in self.Ss], self.bc)
 
+    def enlarge_unit_cell(self, factor: int) -> SimpleMPS:
+        """The same infinite state on a ``factor * L``-site unit cell.
+
+        Useful to bring cross-cell sites into indexable range (e.g. for
+        ``correlation_function`` between sites of different cells)."""
+        assert self.bc == 'infinite', 'only meaningful for infinite MPS'
+        assert factor >= 1
+        return SimpleMPS([B.copy(deep=False) for B in self.Bs * factor],
+                         [S.copy(deep=False) for S in self.Ss * factor],
+                         bc='infinite')
+
     @classmethod
     def from_product_state(cls, site_legs, basis_states, backend=None,
                            dtype=Dtype.float64, bc: str = 'finite') -> SimpleMPS:

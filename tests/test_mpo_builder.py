@@ -259,6 +259,58 @@ def test_infinite_long_range_tensors_and_guard():
         iDMRGEngine(psi_i, M(), chi_max=16)
 
 
+def test_infinite_long_range_vumps():
+    """The supported path for range > 1 infinite models: warm-start iDMRG on
+    the nearest-neighbor part, then VUMPS on the full MPO. Majumdar-Ghosh:
+    energy density (MPO-environment growth rate) and state correlators both
+    hit the exact -0.375."""
+    from cyten_tpu.algorithms.idmrg import iDMRGEngine
+    from cyten_tpu.algorithms.vumps import VUMPSEngine
+    from cyten_tpu.models.sites import SpinSite
+
+    hm = HeisenbergModel(L=2, conserve='Sz', block_backend='numpy',
+                         bc='infinite')
+
+    class M:
+        bc = 'infinite'
+
+    m_nn = M()
+    m_nn.H_mpo = mpo_from_terms(
+        [hm.site_leg] * 2, couplings=[(0, 1, _SS, 1.), (1, 2, _SS, 1.)],
+        backend=hm.backend, bc='infinite')
+    psi = SimpleMPS.from_product_state([hm.site_leg] * 2, [0, 1],
+                                       backend=hm.backend, bc='infinite')
+    eng = iDMRGEngine(psi, m_nn, chi_max=16, eps=1e-12)
+    for _ in range(30):
+        eng.step()
+    psi_w = eng.psi
+    psi_w.canonicalize_infinite()
+
+    m_full = M()
+    m_full.H_mpo = mpo_from_terms(
+        [hm.site_leg] * 2,
+        couplings=[(0, 1, _SS, 1.), (1, 2, _SS, 1.),
+                   (0, 2, _SS, 0.5), (1, 3, _SS, 0.5)],
+        backend=hm.backend, bc='infinite')
+    v = VUMPSEngine(psi_w, m_full)
+    e = v.run(max_iter=150, tol=1e-10)
+    assert abs(e + 0.375) < 1e-9          # MPO-native growth-rate energy
+    assert abs(v.env_energy_cell + 0.75) < 1e-9
+
+    # independent cross-check on the state itself
+    site = SpinSite(0.5, conserve='Sz', backend=hm.backend)
+    big = v.psi.enlarge_unit_cell(3)
+    Szt, Spt, Smt = site.get_op('Sz'), site.get_op('Sp'), site.get_op('Sm')
+
+    def ss(i, j):
+        return (0.5 * (big.correlation_function(Spt, i, Smt, j)
+                       + big.correlation_function(Smt, i, Spt, j))
+                + big.correlation_function(Szt, i, Szt, j)).real
+
+    e_state = 0.5 * (ss(2, 3) + ss(3, 4)) + 0.25 * (ss(2, 4) + ss(3, 5))
+    assert abs(e_state + 0.375) < 1e-9
+
+
 def test_coupling_model_long_range():
     """CouplingModel.add_coupling(i, c, j=...) + build_H_mpo: the user-facing
     path to arbitrary-range models (Majumdar-Ghosh anchor)."""
