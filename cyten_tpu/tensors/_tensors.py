@@ -1124,11 +1124,28 @@ class DiagonalTensor(SymmetricTensor):
     def any(self) -> bool:
         return self.backend.diagonal_any(self)
 
+    def _reduce_real(self, np_func):
+        """Blockwise reduction to a float; works for every symmetry (no dense
+        representation needed). Missing blocks count as implicit zeros.
+        Reference: cyten/backends/abelian.py:1776 (reduce_DiagonalTensor)."""
+        assert self.dtype.is_real
+        bb = self.backend.block_backend
+        data = self.data
+        block = getattr(data, 'block', None)
+        if block is not None:  # no-symmetry storage: one dense block
+            return float(np_func(bb.to_numpy(block)))
+        vals = [float(np_func(bb.to_numpy(b))) for b in data.blocks]
+        if len(data.blocks) < self.leg.num_sectors:
+            vals.append(0.)  # missing sectors are implicit zeros
+        if not vals:
+            return 0.
+        return float(np_func(vals))
+
     def max(self):
-        return float(np.max(self.diag_numpy))
+        return self._reduce_real(np.max)
 
     def min(self):
-        return float(np.min(self.diag_numpy))
+        return self._reduce_real(np.min)
 
     def sum(self):
         return self.backend.diagonal_sum_all(self)

@@ -368,14 +368,24 @@ class PlanarDiagram:
 
     def evaluate(self, **tensors) -> Tensor:
         """Contract concrete tensors. Labels must match the placeholders."""
-        from ._functions import tdot, trace
+        from ._functions import partial_trace, tdot
 
         assert set(tensors) == set(self.tensors), \
             f'expected tensors {set(self.tensors)}'
 
         def walk(tree):
             if tree.leaf is not None:
-                return tensors[tree.leaf], {tree.leaf}
+                t = tensors[tree.leaf]
+                # apply self-trace pairs (both edge ends on this tensor) up front;
+                # planarity of such pairs was validated at construction
+                self_pairs = [
+                    [f'{tree.leaf}.{e[1]}', f'{tree.leaf}.{e[3]}']
+                    for e in self.definition
+                    if e[2] is not None and e[0] == e[2] == tree.leaf
+                ]
+                if self_pairs:
+                    t = partial_trace(t, *self_pairs)
+                return t, {tree.leaf}
             t1, g1 = walk(tree.left)
             t2, g2 = walk(tree.right)
             pairs = self.contracted_pairs(g1, g2)
