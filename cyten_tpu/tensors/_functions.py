@@ -644,58 +644,70 @@ def partial_compose(tensor1: Tensor, tensor2: Tensor, tensor1_first_leg,
     `tensor2` attaches to part of tensor1's domain (tensor2 sits below). The result's
     legs are those of `tensor1` with the contracted ones replaced by the open legs
     of `tensor2`.
+
+    The contraction is routed *planarly* (cyclic rotation -> compose -> rotate
+    back, bends only), so it works for anyonic symmetries without braid levels —
+    matching the reference, whose dedicated ``backend.partial_compose`` never
+    braids.
     """
     i0 = tensor1.get_leg_idx(tensor1_first_leg)
     K = tensor1.num_codomain_legs
     n1 = tensor1.num_legs
+    lab1 = list(tensor1.labels)
+    if relabel1:
+        lab1 = [relabel1.get(l, l) for l in lab1]
     if i0 < K:
-        # tensor2 sits on top: its full domain attaches to codomain legs i0..i0+m-1;
-        # tensor1.codomain[i0] pairs with tensor2.domain[0] (legs position n2-1)
+        # tensor2 sits on top: its full domain attaches to codomain legs
+        # i0..i0+m-1; tensor1.codomain[i0] pairs with tensor2.domain[0]
         m = tensor2.num_domain_legs
-        n2 = tensor2.num_legs
-        legs1 = list(range(i0, i0 + m))
-        legs2 = list(range(n2 - 1, n2 - 1 - m, -1))
-        res = tdot(tensor2, tensor1, legs2, legs1,
-                   relabel1=relabel2, relabel2=relabel1)
-        # res legs: [t2 codomain..., t1 codomain others..., rev(t1 domain)]
-        n2_open = tensor2.num_codomain_legs
-        new_cod = []
-        pos1 = n2_open
-        for i in range(K):
-            if i == i0:
-                new_cod.extend(range(n2_open))
-            elif i0 < i < i0 + m:
-                continue
-            else:
-                new_cod.append(pos1)
-                pos1 += 1
-        new_dom_lr = list(reversed([i for i in range(res.num_legs)
-                                    if i not in new_cod]))
-        return permute_legs(res, codomain=new_cod, domain=new_dom_lr)
-    # tensor2 sits below: its full codomain attaches to domain legs i0..i0+m-1;
-    # tensor1 leg i0 pairs with tensor2.codomain[-1]
+        m2 = tensor2.num_codomain_legs
+        assert i0 + m <= K, 'contracted legs exceed the codomain'
+        t2_open = list(tensor2.labels[:m2])
+        if relabel2:
+            t2_open = [relabel2.get(l, l) for l in t2_open]
+        res_labels = lab1[:i0] + t2_open + lab1[i0 + m:]
+        out = _partial_compose_top(tensor1, tensor2, i0, m, m2)
+        return out.relabelled(res_labels)
+    # tensor2 sits below: its full codomain attaches to domain legs (in legs
+    # order) i0..i0+m-1; tensor1 leg i0 pairs with tensor2.codomain[-1].
+    # Implemented as the dagger-mirror of the top case (dagger is planar/exact).
     m = tensor2.num_codomain_legs
-    legs1 = list(range(i0, i0 + m))
-    legs2 = list(range(m - 1, -1, -1))
-    res = tdot(tensor1, tensor2, legs1, legs2,
-               relabel1=relabel1, relabel2=relabel2)
-    # res legs: [t1 codomain..., t1 other domain legs (legs order), rev(t2 domain)]
-    n1_open = n1 - m
-    t2_dom = tensor2.num_domain_legs
-    target_tail = []  # legs order positions (in res) for the result's tail
-    for i in range(K, n1):
-        if i == i0:
-            # t2's open legs, in res they are positions n1_open.. (t2 domain rev)
-            target_tail.extend(range(n1_open, n1_open + t2_dom))
-        elif i0 < i < i0 + m:
-            continue
-        else:
-            # position of this t1 leg in res: count t1 open legs before it
-            shift = sum(1 for j in range(i0, min(i, i0 + m)))
-            target_tail.append(i - (shift if i > i0 else 0))
-    new_cod = list(range(K))
-    new_dom_lr = list(reversed(target_tail))
-    return permute_legs(res, codomain=new_cod, domain=new_dom_lr)
+    m2 = tensor2.num_domain_legs
+    assert i0 + m <= n1, 'contracted legs exceed the legs'
+    t2_open = list(tensor2.labels[m:])  # open legs in legs order
+    if relabel2:
+        t2_open = [relabel2.get(l, l) for l in t2_open]
+    res_labels = lab1[:i0] + t2_open + lab1[i0 + m:]
+    i0_d = n1 - i0 - m  # mirrored slice start in dagger(tensor1)'s codomain
+    out = dagger(_partial_compose_top(dagger(tensor1), dagger(tensor2),
+                                      i0_d, m, m2))
+    return out.relabelled(res_labels)
+
+
+def _partial_compose_top(t1: Tensor, t2: Tensor, i0: int, m: int, m2: int
+                         ) -> Tensor:
+    """``t2`` (m2 <- m legs) attached on top of codomain legs i0..i0+m-1 of ``t1``.
+
+    Planar route: cyclically rotate ``t1`` so the slice IS the codomain (bends
+    only), contract the full boundary via tdot (which dispatches Mask/Diagonal/
+    Charged specializations), rotate back. No step braids, so no levels needed.
+    """
+    K = t1.num_codomain_legs
+    n1 = t1.num_legs
+    assert 0 < m
+    # rotate: codomain = the slice; domain = the rest, keeping the cyclic order
+    cod = list(range(i0, i0 + m))
+    dom = [*range(i0 - 1, -1, -1), *range(n1 - 1, i0 + m - 1, -1)]
+    rot = permute_legs(t1, codomain=cod, domain=dom)
+    # contract t2.domain (factors j = legs n2-1-j) with rot.codomain (factor j)
+    n2 = t2.num_legs
+    res = tdot(t2, rot, list(range(n2 - 1, n2 - 1 - m, -1)), list(range(m)))
+    # res legs (as t1/t2 legs): [t2 open (m2), t1: i0+m..n1-1, t1: 0..i0-1]
+    base2 = m2 + (K - i0 - m)   # start of t1's original domain legs in res
+    base3 = base2 + (n1 - K)    # start of t1 legs 0..i0-1 in res
+    new_cod = [*range(base3, base3 + i0), *range(0, m2 + K - i0 - m)]
+    new_dom = list(range(base2 + (n1 - K) - 1, base2 - 1, -1))
+    return permute_legs(res, codomain=new_cod, domain=new_dom)
 
 
 def tensor(obj, codomain, domain=None, backend=None, labels=None, dtype=None

@@ -190,6 +190,43 @@ def test_planar_diagram_with_traces(any_symmetry, block_backend, np_random):
         <= 1e-10 * max(1., abs(complex(expect)))
 
 
+def test_partial_compose_matrix(any_symmetry, block_backend, np_random):
+    """partial_compose routes planarly: works for anyons without levels
+    (reference backend.partial_compose never braids, _tensors.py:5206)."""
+    be = ct.get_backend(any_symmetry, block_backend)
+    V = random_space(any_symmetry, np_random, max_sectors=3, max_mult=3,
+                     is_dual=False)
+    T = SymmetricTensor.from_random_normal(
+        [V, V, V], [V], backend=be, labels=['a', 'b', 'c', 'd'], rng=np_random)
+    # top: operator on the middle codomain leg; eye leaves T invariant
+    eye = SymmetricTensor.from_eye([V], backend=T.backend, labels=['x', 'x*'],
+                                   dtype=T.dtype)
+    R = ct.partial_compose(T, eye, 'b')
+    assert R.labels == ['a', 'x', 'c', 'd']
+    assert norm(R - T.relabelled(['a', 'x', 'c', 'd'])) <= 1e-12 * norm(T)
+    op = SymmetricTensor.from_random_normal([V], [V], backend=T.backend,
+                                            labels=['x', 'x*'], rng=np_random)
+    R2 = ct.partial_compose(T, op, 'b')
+    if any_symmetry.can_be_dropped:
+        expect = np.einsum('xb,abcd->axcd', op.to_numpy(), T.to_numpy())
+        np.testing.assert_allclose(R2.to_numpy(), expect, atol=1e-10)
+    # below: operator on a (dual) domain leg
+    M = permute_legs(T, codomain=['a', 'b'], domain=['d', 'c'])
+    Vc = M.domain.factors[1]
+    eye2 = SymmetricTensor.from_eye([Vc], backend=T.backend, labels=['x', 'x*'],
+                                    dtype=T.dtype)
+    R3 = ct.partial_compose(M, eye2, 'c')
+    assert norm(R3 - M.relabelled(['a', 'b', 'x*', 'd'])) <= 1e-12 * norm(M)
+    op2 = SymmetricTensor.from_random_normal([Vc], [Vc], backend=T.backend,
+                                             labels=['x', 'x*'], rng=np_random)
+    R4 = ct.partial_compose(M, op2, 'c')
+    if any_symmetry.can_be_dropped:
+        m_ = M.to_numpy()  # legs [a, b, c, d]
+        expect = np.einsum('abxd,xc->abcd', m_, op2.to_numpy())
+        np.testing.assert_allclose(
+            R4.to_numpy(), expect.transpose(0, 1, 2, 3), atol=1e-10)
+
+
 def test_planar_linear_operator_matrix(any_symmetry, block_backend, np_random):
     """PlanarLinearOperator matvec == explicit contraction (reference :1199)."""
     be = ct.get_backend(any_symmetry, block_backend)
