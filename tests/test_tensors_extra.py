@@ -192,6 +192,56 @@ def test_tensor_from_grid(block_backend, np_random):
     assert arr.shape == (Va.dim + Vb.dim, p.dim, p.dim, Wa.dim + Wb.dim)
 
 
+@pytest.mark.parametrize('sym_name', ['SU2', 'Fib', 'Ising'])
+def test_tensor_from_grid_fusion_tree_pipes(sym_name, np_random):
+    """Direct sums over fusion-tree *pipe* legs: the pipe is flattened to the
+    fused flat leg via the unitary fuser (split is a data no-op; the planar
+    partial_compose attaches the fuser without braid levels), then summed.
+    Closes the last parity edge vs reference _tensors.py:6166."""
+    sym = {'SU2': ct.su2_symmetry, 'Fib': ct.fibonacci_anyon_category,
+           'Ising': ct.ising_anyon_category}[sym_name]
+    be = ct.get_backend(sym, 'numpy')
+    V = ElementarySpace(sym, [[0], [1]], [1, 2])
+
+    def rt(cod, dom, labels):
+        return SymmetricTensor.from_random_normal(cod, dom, backend=be,
+                                                  labels=labels, rng=np_random)
+
+    # row direct sum over a codomain pipe
+    A = ct.combine_legs(rt([V, V], [V], ['a', 'b', 'c']), ['a', 'b'])
+    B = ct.combine_legs(rt([V, V], [V], ['a', 'b', 'c']), ['a', 'b'])
+    G = ct.tensor_from_grid([[A], [B]], row_leg=0)
+    G.test_sanity()
+    assert abs(float(G.codomain.factors[0].dim)
+               - 2 * float(A.codomain.factors[0].dim)) < 1e-10
+    np.testing.assert_allclose(ct.norm(G) ** 2,
+                               ct.norm(A) ** 2 + ct.norm(B) ** 2, rtol=1e-10)
+    if sym.can_be_dropped:
+        # dense oracle: stacking the fuser-flattened entries
+        from cyten_tpu.tensors import fuser_tensor
+        S = fuser_tensor([V, V], backend=be)
+        flat = [ct.compose(ct.dagger(S), ct.bend_legs(ct.split_legs(t, 0),
+                                                      num_codomain_legs=2))
+                for t in (A, B)]
+        dense = np.concatenate([f.to_numpy() for f in flat], axis=0)
+        np.testing.assert_allclose(G.to_numpy(), dense, atol=1e-10)
+    # column direct sum over a domain pipe + 2x2 block-diagonal grid
+    C = ct.combine_legs(rt([V], [V, V], ['a', 'b', 'c']), ['b', 'c'])
+    D = ct.combine_legs(rt([V], [V, V], ['a', 'b', 'c']), ['b', 'c'])
+    G2 = ct.tensor_from_grid([[C, D]], row_leg=0, col_leg='(b.c)')
+    G2.test_sanity()
+    np.testing.assert_allclose(ct.norm(G2) ** 2,
+                               ct.norm(C) ** 2 + ct.norm(D) ** 2, rtol=1e-10)
+    P = ct.combine_legs(ct.combine_legs(
+        rt([V, V], [V, V], ['a', 'b', 'c', 'd']), ['a', 'b']), ['c', 'd'])
+    Q = ct.combine_legs(ct.combine_legs(
+        rt([V, V], [V, V], ['a', 'b', 'c', 'd']), ['a', 'b']), ['c', 'd'])
+    G3 = ct.tensor_from_grid([[P, None], [None, Q]], row_leg=0, col_leg=1)
+    G3.test_sanity()
+    np.testing.assert_allclose(ct.norm(G3) ** 2,
+                               ct.norm(P) ** 2 + ct.norm(Q) ** 2, rtol=1e-10)
+
+
 def test_combine_split_with_dualities(make_compatible_backend, spaces, np_random,
                                       any_symmetry):
     """combine_legs with mixed ket/bra legs, then split, is the identity.
