@@ -474,12 +474,17 @@ def main():
                                  svd_mode=svd_mode, env_dtype=env_dtype)
         t_matvec = jax_run(chi, precision=precision)
         suffix = f'_{env_dtype}env' if env_dtype else ''
+        if os.environ.get('BENCH_VS_BASELINE', '1') != '0':
+            # per-block numpy matvec baseline; skippable on slow hosts / large
+            # chi, where the single-core numpy pass dominates the bench time
+            vs_baseline = round(numpy_run(chi)[0] * (n_lanczos + 2) / t_step, 3)
+        else:
+            vs_baseline = None
         result = {
             'metric': f'u1_dmrg_step_chi{chi}_{svd_mode}{suffix}_tflops',
             'value': round(flops / t_step / 1e12, 4),
             'unit': 'TFLOP/s',
-            'vs_baseline': round(numpy_run(chi)[0] * (n_lanczos + 2) / t_step,
-                                 3),
+            'vs_baseline': vs_baseline,
             'step_ms': round(t_step * 1e3, 3),
             'matvec_tflops': round(flops / (n_lanczos + 2) / t_matvec / 1e12,
                                    4),

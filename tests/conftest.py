@@ -30,7 +30,7 @@ from cyten_tpu import ElementarySpace, Symmetry
 
 def pytest_addoption(parser):
     # reference parity (reference conftest.py:160-162)
-    parser.addoption('--block-backends', action='store', default='numpy,jax',
+    parser.addoption('--block-backends', action='store', default='numpy,jax,torch',
                      help='Comma-separated block-backend names to test')
     parser.addoption('--rng-seed', action='store', default=12345, type=int,
                      help='The rng seed')
