@@ -366,8 +366,12 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
     impl = _get_static_bond_fn(n_lanczos, svd_mode)
 
     def make_run(n_iter):
+        # theta_tmpl MUST be an argument: closed over, its chi^2 d^2 block
+        # would be baked into the HLO as a literal constant, which blows up
+        # compile time and (behind the axon tunnel) the compile-request size
+        # (HTTP 413 at chi >= 12288, measured 2026-08-18)
         @jax.jit
-        def run(LP, RP, W1, W2, S, B1, B2):
+        def run(LP, RP, W1, W2, S, B1, B2, theta_tmpl):
             def body(carry, _):
                 S, B1, B2, LP, RP = carry
                 H = HEffective(LP, RP, W1, W2)
@@ -393,11 +397,11 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
         times = {}
         for n in lengths:
             run = make_run(n)
-            float(run(LP, RP, W1, W2, S, B1, B2))  # compile + sync
+            float(run(LP, RP, W1, W2, S, B1, B2, theta_tmpl))  # compile + sync
             best = np.inf
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                float(run(LP, RP, W1, W2, S, B1, B2))
+                float(run(LP, RP, W1, W2, S, B1, B2, theta_tmpl))
                 best = min(best, time.perf_counter() - t0)
             times[n] = best
     finally:

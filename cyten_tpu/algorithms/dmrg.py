@@ -492,15 +492,23 @@ class DMRGEngine:
         diag = DiagonalTensor.from_sector_block_func(func, full,
                                                      backend=self.backend)
         mask = Mask.from_DiagonalTensor(diag)
-        # the mask (and zero template) must be trace-time CONSTANTS — mask
-        # application resolves data-dependent shapes host-side — so the jitted
-        # program closes over them (one compile per bond structure)
+        # the mask must be a trace-time CONSTANT — mask application resolves
+        # data-dependent shapes host-side — so the jitted program closes over
+        # it (one compile per bond structure). The zero theta template however
+        # is pure STRUCTURE (its values are never read at trace time): it is
+        # passed as a jit ARGUMENT — closed over, its chi^2 d^2 zero block
+        # would be embedded in the HLO as a literal, blowing up compile time
+        # and hitting the 2 GB program-proto limit at chi >~ 12k (measured).
         import jax
 
         impl = _get_static_bond_fn(self._static_n_lanczos,
                                    getattr(self, '_static_svd_mode', 'exact'))
-        fn = jax.jit(lambda H, S_i, B_i, B_ip1: impl(
-            H, S_i, B_i, B_ip1, theta_tmpl, mask))
+        jfn = jax.jit(lambda H, S_i, B_i, B_ip1, tmpl: impl(
+            H, S_i, B_i, B_ip1, tmpl, mask))
+
+        def fn(H, S_i, B_i, B_ip1, _jfn=jfn, _tmpl=theta_tmpl):
+            return _jfn(H, S_i, B_i, B_ip1, _tmpl)
+
         self._static_cache[('consts', i)] = (theta_tmpl, mask)
         entry = self._static_cache[i] = fn
         return entry
@@ -542,7 +550,7 @@ class DMRGEngine:
                                    getattr(self, '_static_svd_mode', 'exact'))
 
         if right:
-            def half(LP0, S0, B0, xs):
+            def half(LP0, S0, B0, xs, theta_tmpl):
                 """Right pass over a uniform run: carry (LP_i, S_i, B_i); xs
                 per bond i (ascending): (B_{i+1}, RP_{i+1}, W_i, W_{i+1})."""
                 def body(carry, x):
@@ -556,7 +564,7 @@ class DMRGEngine:
 
                 return jax.lax.scan(body, (LP0, S0, B0), xs)
         else:
-            def half(RP0, B0, xs):
+            def half(RP0, B0, xs, theta_tmpl):
                 """Left pass: carry (RP_{i+1}, B_{i+1}); xs per bond i
                 (DESCENDING): (S_i, B_i, LP_i, W_i, W_{i+1})."""
                 def body(carry, x):
@@ -569,7 +577,13 @@ class DMRGEngine:
                     return (RPn, nB), (E, S2, B2, RPn, nB)
 
                 return jax.lax.scan(body, (RP0, B0), xs)
-        fn = jax.jit(half)
+        # theta_tmpl is a jit ARGUMENT (see _static_consts: as a closed-over
+        # constant its zero block would be embedded in the HLO)
+        jfn = jax.jit(half)
+
+        def fn(*args, _jfn=jfn, _tmpl=theta_tmpl):
+            return _jfn(*args, _tmpl)
+
         self._static_cache[('half', key, right)] = fn
         return fn
 
