@@ -200,8 +200,13 @@ class TorchBlockBackend(BlockBackend):
         return block.to(self.to_internal_dtype(dtype))
 
     def to_numpy(self, block, numpy_dtype=None):
-        res = block.resolve_conj().cpu().numpy() if self.is_block(block) \
-            else np.asarray(block)
+        if self.is_block(block):
+            block = block.resolve_conj().cpu()
+            if block.dtype == self.torch.bfloat16:  # numpy has no bf16
+                block = block.float()
+            res = block.numpy()
+        else:
+            res = np.asarray(block)
         if numpy_dtype is not None:
             res = res.astype(numpy_dtype)
         return res
@@ -254,7 +259,35 @@ class TorchBlockBackend(BlockBackend):
         return self.torch.linalg.matrix_exp(a)
 
     def norm(self, block, order=2):
+        block, _ = self._linalg_upcast(block)  # accumulate reductions in f32
         return float(self.torch.linalg.vector_norm(block.flatten(), ord=order))
+
+    def _dot_dtypes(self, a, b):
+        """(a, b, cast_back): torch requires equal dtypes; bf16 dots accumulate
+        in f32 (same policy as the jax backend's preferred_element_type path)."""
+        from ..config import config
+
+        bf = self.torch.bfloat16
+        if a.dtype == bf and b.dtype == bf:
+            if config.bf16_accumulate_f32:
+                return a.float(), b.float(), bf
+            return a, b, None
+        if a.dtype != b.dtype:
+            common = self.torch.promote_types(a.dtype, b.dtype)
+            if common == bf:  # promote_types keeps bf16 only if both were bf16
+                common = self.torch.float32
+            return a.to(common), b.to(common), None
+        return a, b, None
+
+    def matrix_dot(self, a, b):
+        a, b, cast_back = self._dot_dtypes(a, b)
+        res = self.torch.matmul(a, b)
+        return res.to(cast_back) if cast_back is not None else res
+
+    def tensordot(self, a, a_axes, b, b_axes):
+        a, b, cast_back = self._dot_dtypes(a, b)
+        res = self.torch.tensordot(a, b, dims=(tuple(a_axes), tuple(b_axes)))
+        return res.to(cast_back) if cast_back is not None else res
 
     def apply_mask(self, block, mask, ax: int):
         idx = self.torch.nonzero(self.xp.asarray(mask)).flatten()

@@ -22,11 +22,11 @@ from ..tensors import (
 )
 from .degrees_of_freedom import AnyonDOF, Site
 
-__all__ = ['Coupling', 'spin_spin_coupling', 'heisenberg_coupling', 'aklt_coupling',
-           'chiral_3spin_coupling', 'chemical_potential', 'onsite_interaction',
-           'density_density_interaction', 'hopping', 'pairing', 'onsite_pairing',
-           'clock_coupling', 'clock_field', 'sector_projection_coupling',
-           'gold_coupling']
+__all__ = ['Coupling', 'spin_spin_coupling', 'spin_field_coupling', 'heisenberg_coupling',
+           'aklt_coupling', 'chiral_3spin_coupling', 'chemical_potential',
+           'onsite_interaction', 'density_density_interaction', 'hopping', 'pairing',
+           'onsite_pairing', 'clock_coupling', 'clock_clock_coupling', 'clock_field',
+           'clock_field_coupling', 'sector_projection_coupling', 'gold_coupling']
 
 
 class Coupling:
@@ -300,6 +300,51 @@ def onsite_pairing(sites, D=1., name='onsite_pairing') -> Coupling:
     Cdu, Cddn, Cu, Cdn = (s.get_op_numpy(k) for k in ('Cdu', 'Cddn', 'Cu', 'Cdn'))
     op_np = D * (Cdu @ Cddn + Cdn @ Cu)
     op = SymmetricTensor.from_dense_block(op_np, [s.leg], [s.leg],
+                                          backend=s.backend, labels=['p', 'p*'])
+    return Coupling.from_tensor(op, sites, name=name)
+
+
+def spin_field_coupling(sites, hx=0., hy=0., hz=0., name='spin-field') -> Coupling:
+    r""":math:`h_x S^x + h_y S^y + h_z S^z` on one site (reference couplings.py:241)."""
+    assert len(sites) == 1
+    site = sites[0]
+    Sp, Sm, Sz = _spin_ops_numpy(site)
+    Sx = (Sp + Sm) / 2.
+    Sy = (Sp - Sm) / 2.j
+    h = hx * Sx + hy * Sy + hz * Sz
+    if np.allclose(h.imag, 0):
+        h = h.real
+    op = SymmetricTensor.from_dense_block(h, [site.leg], [site.leg],
+                                          backend=site.backend, labels=['p', 'p*'])
+    return Coupling.from_tensor(op, sites, name=name)
+
+
+def clock_clock_coupling(sites, Jx=0., Jz=0., name='clock-clock') -> Coupling:
+    r""":math:`J_x X_i X_j^\dagger + J_z Z_i Z_j^\dagger + h.c.`
+    (reference couplings.py:585; sign convention of the reference, cf. our
+    :func:`clock_coupling` which carries the ferromagnetic minus sign)."""
+    assert len(sites) == 2
+    X0 = sites[0].get_op_numpy('X')
+    Z0 = sites[0].get_op_numpy('Z')
+    X1 = sites[1].get_op_numpy('X')
+    Z1 = sites[1].get_op_numpy('Z')
+    terms = [(Jx, X0, X1.conj().T), (Jz, Z0, Z1.conj().T),
+             (Jx, X0.conj().T, X1), (Jz, Z0.conj().T, Z1)]
+    terms = [t for t in terms if abs(t[0]) > 0]
+    return _two_site_sum_from_numpy(terms, sites, name=name)
+
+
+def clock_field_coupling(sites, hx=0., hz=0., name='clock-field') -> Coupling:
+    r""":math:`h_x (X + X^\dagger) + h_z (Z + Z^\dagger)` on one site
+    (reference couplings.py:611; reference sign convention)."""
+    assert len(sites) == 1
+    s = sites[0]
+    X = s.get_op_numpy('X')
+    Z = s.get_op_numpy('Z')
+    h = hx * (X + X.conj().T) + hz * (Z + Z.conj().T)
+    if np.allclose(h.imag, 0):
+        h = h.real
+    op = SymmetricTensor.from_dense_block(h, [s.leg], [s.leg],
                                           backend=s.backend, labels=['p', 'p*'])
     return Coupling.from_tensor(op, sites, name=name)
 

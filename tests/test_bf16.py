@@ -165,6 +165,10 @@ def test_bf16_torch_factorizations():
     hb = bb.to_dtype(h, Dtype.bfloat16)
     w, v = bb.matrix_eigh(hb)
     assert bb.get_dtype(v) == Dtype.bfloat16
+    # numpy has no bf16: to_numpy upcasts through f32
+    back = bb.to_numpy(a)
+    assert back.dtype == np.float32
+    np.testing.assert_allclose(back, bb.to_numpy(bb.to_dtype(a, Dtype.float32)))
 
 
 def test_static_mode_keeps_env_dtype():

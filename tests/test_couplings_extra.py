@@ -11,9 +11,10 @@ import pytest
 
 import cyten_tpu as ct
 from cyten_tpu.models.couplings import (
-    chemical_potential, chiral_3spin_coupling, clock_coupling, clock_field,
+    chemical_potential, chiral_3spin_coupling, clock_clock_coupling,
+    clock_coupling, clock_field, clock_field_coupling,
     density_density_interaction, hopping, onsite_interaction, onsite_pairing,
-    pairing, sector_projection_coupling, spin_spin_coupling,
+    pairing, sector_projection_coupling, spin_field_coupling, spin_spin_coupling,
 )
 from cyten_tpu.models.sites import (
     ClockSite, SpinHalfFermionSite, SpinSite, SpinlessFermionSite,
@@ -172,6 +173,63 @@ def test_clock_field_dense():
     # the site's own X may use the opposite shift convention; h is symmetric
     # under that choice
     np.testing.assert_allclose(got, h, atol=1e-12)
+
+
+@pytest.mark.parametrize('conserve', ['parity', 'None'])
+def test_spin_field_dense(conserve):
+    """h . S against explicit Pauli/2 matrices (reference couplings.py:241)."""
+    Sz = np.diag([0.5, -0.5])
+    Sp = np.array([[0., 1.], [0., 0.]])
+    Sx = 0.5 * (Sp + Sp.T)
+    Sy = -0.5j * (Sp - Sp.T)
+    if conserve == 'parity':
+        hx, hy, hz = 0., 0., 1.3   # parity allows Sz only... actually Sz is fine
+        c = spin_field_coupling([SpinSite(0.5, conserve)], hz=hz)
+        h = hz * Sz
+    else:
+        hx, hy, hz = 0.6, 0.4, 1.3
+        c = spin_field_coupling([SpinSite(0.5, conserve)], hx=hx, hy=hy, hz=hz)
+        h = hx * Sx + hy * Sy + hz * Sz
+    got = dense1(c)
+    np.testing.assert_allclose(got, h, atol=1e-12)
+
+
+def test_spin_field_rejects_Sz_conservation_with_transverse():
+    with pytest.raises(Exception):
+        spin_field_coupling([SpinSite(0.5, 'Sz')], hx=1.)
+
+
+@pytest.mark.parametrize('q', [3, 4])
+def test_clock_clock_coupling_dense(q):
+    """Jx X Xdag + Jz Z Zdag + h.c. (reference couplings.py:585; note the
+    opposite sign convention from our ferromagnetic clock_coupling)."""
+    s = ClockSite(q, 'Z')
+    Z = np.diag(np.exp(2j * np.pi * np.arange(q) / q))
+    c = clock_coupling([s] * 2, J=1.0)
+    cc = clock_clock_coupling([s] * 2, Jz=1.0)
+    np.testing.assert_allclose(dense2(cc), -dense2(c), atol=1e-12)
+    # Jx term needs X, which breaks Z-charge conservation
+    s0 = ClockSite(q, 'None')
+    X = s0.get_op_numpy('X')
+    ccx = clock_clock_coupling([s0] * 2, Jx=0.7, Jz=0.3)
+    h = (0.7 * (np.kron(X, X.conj().T) + np.kron(X.conj().T, X))).astype(complex)
+    h += 0.3 * (np.kron(Z, Z.conj().T) + np.kron(Z.conj().T, Z))
+    np.testing.assert_allclose(dense2(ccx), h, atol=1e-12)
+
+
+def test_clock_field_coupling_dense():
+    """hx (X + Xdag) + hz (Z + Zdag) (reference couplings.py:611)."""
+    s = ClockSite(3, 'None')
+    X = s.get_op_numpy('X')
+    Z = s.get_op_numpy('Z')
+    c = clock_field_coupling([s], hx=0.9, hz=0.4)
+    h = 0.9 * (X + X.conj().T) + 0.4 * (Z + Z.conj().T)
+    assert np.allclose(h.imag, 0)
+    np.testing.assert_allclose(dense1(c), h.real, atol=1e-12)
+    # reference-convention relation to our clock_field: hz=0 term is -g-scaled
+    cf = clock_field([s], g=0.9)
+    np.testing.assert_allclose(dense1(clock_field_coupling([s], hx=0.9)),
+                               -dense1(cf), atol=1e-12)
 
 
 def test_clock_field_rejects_Z_conservation():
