@@ -8,7 +8,7 @@ Capability-equivalent to the reference tenpy/cyten library, redesigned TPU-first
 """
 
 from . import config as _config_module
-from .config import config
+from .config import config, printoptions
 from .dtypes import Dtype
 from .version import full_version as __version__
 from . import symmetries

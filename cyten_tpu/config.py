@@ -87,3 +87,35 @@ class Config:
 
 
 config = Config()
+
+
+class _PrintOptions:
+    """Reference-named view (``cyten.dummy_config.printoptions``,
+    dummy_config.py:5-14) onto :class:`Config`'s printing fields.
+
+    Reading/writing ``printoptions.linewidth``/``precision``/``skip_data``
+    aliases the ``config.printoptions_*`` fields; the remaining reference
+    knobs live here directly.
+    """
+
+    _map = {'linewidth': 'printoptions_linewidth',
+            'precision': 'printoptions_precision',
+            'skip_data': 'printoptions_skip_data'}
+    indent: int = 2
+    maxlines_spaces: int = 15
+    maxlines_tensors: int = 30
+    summarize_blocks: bool = False
+
+    def __getattr__(self, name):
+        if name in type(self)._map:
+            return getattr(config, type(self)._map[name])
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in type(self)._map:
+            setattr(config, type(self)._map[name], value)
+        else:
+            object.__setattr__(self, name, value)
+
+
+printoptions = _PrintOptions()

@@ -9,12 +9,28 @@ Role-equivalent to reference ``cyten/models/tenpy_models.py`` (:32-169), where
 from __future__ import annotations
 
 import numpy as np
+from typing import Protocol
 
 from .couplings import Coupling, gold_coupling, sector_projection_coupling
 from .degrees_of_freedom import Site
 from .sites import GoldenSite, SpinHalfSite
 
-__all__ = ['CouplingModel', 'TFIModel', 'GoldenModel', 'GoldenChain']
+__all__ = ['CouplingModel', 'CouplingFactory', 'CouplingLike', 'TFIModel',
+           'GoldenModel', 'GoldenChain']
+
+
+class CouplingFactory(Protocol):
+    """Protocol for functions that create couplings (reference tenpy_models.py:21).
+
+    Matches the factories in :mod:`cyten_tpu.models.couplings`: called with a
+    list of sites (plus keyword parameters), returns a :class:`Coupling`.
+    """
+
+    def __call__(self, sites: list[Site], *, name: str | None = ...) -> Coupling: ...
+
+
+#: anything :class:`CouplingModel` methods accept as a coupling term
+CouplingLike = Coupling | CouplingFactory
 
 
 class CouplingModel:

@@ -17,7 +17,8 @@ from math import factorial, sqrt
 
 import numpy as np
 
-__all__ = ['clebsch_gordan', 'six_j', 'racah_w', 'f_symbol', 'fusion_tensor', 'Z_iso']
+__all__ = ['clebsch_gordan', 'six_j', 'racah_w', 'racah_W', 'f_symbol',
+           'fusion_tensor', 'Z_iso']
 
 CACHE = 20_000
 
@@ -107,6 +108,10 @@ def racah_w(jj1: int, jj2: int, JJ: int, jj3: int, JJ12: int, JJ23: int) -> floa
     """Racah W coefficient W(j1 j2 J j3; J12 J23) = (-1)^(j1+j2+j3+J) {j1 j2 J12; j3 J J23}."""
     phase = -1 if ((jj1 + jj2 + jj3 + JJ) // 2) % 2 else 1
     return phase * six_j(jj1, jj2, JJ12, jj3, JJ, JJ23)
+
+
+#: reference-cased alias (reference _su2data.py:94)
+racah_W = racah_w
 
 
 @lru_cache(maxsize=CACHE)

@@ -12,15 +12,16 @@ from ._functions import *  # noqa: F401,F403
 from ._functions import __all__ as _functions_all
 from . import compiled, krylov_based, planar, sparse
 from .planar import (
-    ContractionTree, PlanarDiagram, PlanarLinearOperator, horizontal_factorization,
-    planar_combine_legs, planar_contraction, planar_eigh, planar_lq,
-    planar_partial_trace, planar_permute_legs, planar_qr, planar_svd,
+    ContractionTree, ContractionTreeNode, PlanarDiagram, PlanarLinearOperator,
+    horizontal_factorization, parse_leg_bipartition, planar_almost_equal,
+    planar_combine_legs, planar_contraction, planar_decomposition, planar_eigh,
+    planar_lq, planar_partial_trace, planar_permute_legs, planar_qr, planar_svd,
     planar_truncated_svd,
 )
 from .sparse import (
-    HermitianNumpyArrayLinearOperator, LinearOperator, NumpyArrayLinearOperator,
-    ProjectedLinearOperator, ShiftedLinearOperator, SumLinearOperator,
-    TensorLinearOperator, gram_schmidt,
+    HermitianNumpyArrayLinearOperator, LinearOperator, LinearOperatorWrapper,
+    NumpyArrayLinearOperator, ProjectedLinearOperator, ShiftedLinearOperator,
+    SumLinearOperator, TensorLinearOperator, gram_schmidt,
 )
 from .krylov_based import (
     Arnoldi, KrylovBased, LanczosEvolution, LanczosGroundState, lanczos,
@@ -33,12 +34,15 @@ from .randomized import randomized_truncated_svd
 __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
            'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
            'get_same_device', *_functions_all,
-           'ContractionTree', 'PlanarDiagram', 'PlanarLinearOperator',
-           'planar_contraction',
-           'planar_permute_legs', 'planar_combine_legs', 'planar_svd', 'planar_qr',
+           'ContractionTree', 'ContractionTreeNode', 'PlanarDiagram',
+           'PlanarLinearOperator', 'planar_contraction',
+           'planar_permute_legs', 'planar_combine_legs', 'planar_decomposition',
+           'planar_svd', 'planar_qr',
            'planar_lq', 'planar_eigh', 'planar_truncated_svd',
-           'planar_partial_trace', 'horizontal_factorization',
-           'LinearOperator', 'TensorLinearOperator', 'SumLinearOperator',
+           'planar_partial_trace', 'planar_almost_equal', 'parse_leg_bipartition',
+           'horizontal_factorization',
+           'LinearOperator', 'LinearOperatorWrapper',
+           'TensorLinearOperator', 'SumLinearOperator',
            'ShiftedLinearOperator', 'ProjectedLinearOperator',
            'NumpyArrayLinearOperator', 'HermitianNumpyArrayLinearOperator',
            'gram_schmidt',

@@ -32,18 +32,38 @@ from ..tools.misc import duplicate_entries, to_iterable
 
 __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
            'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
-           'get_same_device']
+           'get_same_device', 'CONTRACT_SYMBOL', 'LEG_SELECT_SYMBOL',
+           'OPEN_LEG_SYMBOL', 'FORBIDDEN_LEG_LABEL_CHARS']
 
 
 # --- label utilities -------------------------------------------------------------------
 
+CONTRACT_SYMBOL = '@'
+"""Reserved character: contractions in planar diagrams (reference _tensors.py:46)."""
+
+LEG_SELECT_SYMBOL = ':'
+"""Reserved character: leg selection in planar diagrams (reference _tensors.py:49)."""
+
+OPEN_LEG_SYMBOL = '->'
+"""Reserved characters: open legs in planar diagrams (reference _tensors.py:52)."""
+
+FORBIDDEN_LEG_LABEL_CHARS = [' ', '\t', '\n', ',',
+                             CONTRACT_SYMBOL, LEG_SELECT_SYMBOL, *OPEN_LEG_SYMBOL]
+"""Characters forbidden in leg labels — whitespace plus the planar-DSL syntax
+(reference _tensors.py:55). Labels containing them would be unparseable in
+:class:`~cyten_tpu.tensors.PlanarDiagram` definitions."""
+
+
 def is_valid_leg_label(label) -> bool:
-    """None, or a string; '?' marks unlabeled slots inside combined labels only."""
+    """None, or a string without reserved characters; '?' marks unlabeled slots
+    inside combined labels only."""
     if label is None:
         return True
     if not isinstance(label, str) or label.startswith('?'):
         return False
     if '?' in label and not (label.startswith('(') and label.endswith(')')):
+        return False
+    if any(c in label for c in FORBIDDEN_LEG_LABEL_CHARS):
         return False
     return True
 
@@ -141,6 +161,9 @@ class LabelledLegs:
         labels = list(labels)
         assert len(labels) == self.num_legs
         assert not duplicate_entries(labels, ignore=[None])
+        invalid = [l for l in labels if not is_valid_leg_label(l)]
+        if invalid:
+            raise ValueError(f'Invalid leg label(s): {invalid}')
         self._labels = labels
 
     def get_leg_idx(self, which_leg) -> int:
@@ -168,6 +191,8 @@ class LabelledLegs:
             and len(labels) == self.num_legs
 
     def set_label(self, pos: int, label: str | None):
+        if not is_valid_leg_label(label):
+            raise ValueError(f'Invalid leg label: {label!r}')
         self._labels[self.get_leg_idx(pos)] = label
         return self
 
@@ -317,8 +342,12 @@ class Tensor(LabelledLegs, metaclass=ABCMeta):
 
     @labels.setter
     def labels(self, labels):
-        self._labels = self._init_parse_labels(labels, self.codomain, self.domain)
-        assert not duplicate_entries(self._labels, ignore=[None])
+        parsed = self._init_parse_labels(labels, self.codomain, self.domain)
+        assert not duplicate_entries(parsed, ignore=[None])
+        invalid = [l for l in parsed if not is_valid_leg_label(l)]
+        if invalid:
+            raise ValueError(f'Invalid leg label(s): {invalid}')
+        self._labels = parsed
 
     @property
     def codomain_labels(self) -> list[str | None]:
@@ -348,6 +377,8 @@ class Tensor(LabelledLegs, metaclass=ABCMeta):
         return res
 
     def set_label(self, pos: int, label: str | None):
+        if not is_valid_leg_label(label):
+            raise ValueError(f'Invalid leg label: {label!r}')
         self._labels[self.get_leg_idx(pos)] = label
         return self
 

@@ -24,11 +24,12 @@ from ._functions import compose, permute_legs, svd, svd_apply_mask, \
     truncated_svd as _truncated_svd, partial_trace as _partial_trace
 from ._tensors import SymmetricTensor, Tensor
 
-__all__ = ['TensorPlaceholder', 'ContractionTree', 'PlanarDiagram',
-           'PlanarLinearOperator', 'planar_contraction', 'planar_permute_legs',
-           'planar_combine_legs', 'planar_svd', 'planar_qr', 'planar_lq',
-           'planar_eigh', 'planar_truncated_svd', 'planar_partial_trace',
-           'horizontal_factorization']
+__all__ = ['TensorPlaceholder', 'ContractionTree', 'ContractionTreeNode',
+           'PlanarDiagram', 'PlanarLinearOperator', 'planar_contraction',
+           'planar_permute_legs', 'planar_combine_legs', 'planar_decomposition',
+           'planar_svd', 'planar_qr', 'planar_lq', 'planar_eigh',
+           'planar_truncated_svd', 'planar_partial_trace', 'planar_almost_equal',
+           'parse_leg_bipartition', 'horizontal_factorization']
 
 
 class TensorPlaceholder:
@@ -41,6 +42,110 @@ class TensorPlaceholder:
 
     def __repr__(self):
         return f'{self.name}[{", ".join(self.labels)}]'
+
+
+class ContractionTreeNode:
+    """Explicit parent/child node view of a contraction tree (reference planar.py:761).
+
+    A node either represents a tensor (``value`` set, no children) or a pairwise
+    contraction (both children set). Provided for API parity with the reference;
+    :meth:`from_contraction_tree` converts from the nested
+    :class:`ContractionTree` form this module uses internally.
+    """
+
+    def __init__(self, parent, left_child, right_child, value):
+        self.parent = parent
+        self.left_child = left_child
+        self.right_child = right_child
+        self.value = value
+        if left_child is None and right_child is None and value is None:
+            raise ValueError('Node must either have two children or a value')
+        if (left_child is None) != (right_child is None):
+            raise ValueError('Must have either none or two child nodes')
+
+    @classmethod
+    def from_contraction_tree(cls, tree: 'ContractionTree', parent=None):
+        if tree.leaf is not None:
+            return cls(parent, None, None, tree.leaf)
+        left = cls.from_contraction_tree(tree.left)
+        right = cls.from_contraction_tree(tree.right)
+        node = cls(parent, left, right, None)
+        left.parent = right.parent = node
+        return node
+
+    def test_sanity(self):
+        assert self.parent is None or isinstance(self.parent, ContractionTreeNode)
+        if self.is_leaf:
+            assert self.value is not None
+        else:
+            assert isinstance(self.left_child, ContractionTreeNode)
+            assert isinstance(self.right_child, ContractionTreeNode)
+            self.left_child.test_sanity()
+            self.right_child.test_sanity()
+
+    @property
+    def is_leaf(self) -> bool:
+        return self.left_child is None and self.right_child is None
+
+    def copy(self, parent=None) -> 'ContractionTreeNode':
+        left = None if self.left_child is None else self.left_child.copy()
+        right = None if self.right_child is None else self.right_child.copy()
+        node = ContractionTreeNode(parent, left, right, self.value)
+        if left is not None:
+            left.parent = node
+            right.parent = node
+        return node
+
+    def get_leaves(self):
+        """Returns ``(leaves, num_nodes_below)``."""
+        if self.is_leaf:
+            return [self.value], 0
+        leaves_l, n_l = self.left_child.get_leaves()
+        leaves_r, n_r = self.right_child.get_leaves()
+        return [*leaves_l, *leaves_r], 2 + n_l + n_r
+
+    def remove_children(self):
+        """Detach both children; returns their values."""
+        assert not self.is_leaf
+        a, b = self.left_child.value, self.right_child.value
+        self.left_child.parent = self.right_child.parent = None
+        self.left_child = self.right_child = None
+        return a, b
+
+    def pop_contraction(self):
+        """Pop the next elementary (leaf-leaf) contraction, depth-first left.
+
+        Returns ``(node_value_before, left_value, right_value, new_value)``.
+        """
+        if self.is_leaf:
+            raise ValueError('Can not pop a contraction from a single leaf')
+        if not self.left_child.is_leaf:
+            return self.left_child.pop_contraction()
+        if not self.right_child.is_leaf:
+            return self.right_child.pop_contraction()
+        before = self.value
+        a, b = self.remove_children()
+        self.value = new_value = f'{a} @ {b}'
+        return before, a, b, new_value
+
+    def _str_lines(self, prefix_0='', prefix=''):
+        if self.is_leaf:
+            return [prefix_0 + str(self.value)]
+        return [prefix_0 + ('.' if self.value is None else str(self.value)),
+                *self.left_child._str_lines(prefix_0=prefix + '+-',
+                                            prefix=prefix + '| '),
+                *self.right_child._str_lines(prefix_0=prefix + '`-',
+                                             prefix=prefix + '  ')]
+
+    def show_whole_tree(self) -> str:
+        root = self
+        while root.parent is not None:
+            root = root.parent
+        return '\n'.join(root._str_lines())
+
+    def __repr__(self):
+        leaves, _ = self.get_leaves()
+        return f'<ContractionTreeNode over {leaves}>'
 
 
 class ContractionTree:
@@ -528,27 +633,162 @@ def planar_combine_legs(tensor, *which_legs, **kw):
     return combine_legs(tensor, *which_legs, **kw)
 
 
-def planar_svd(tensor, new_labels=None, new_leg_dual=False, algorithm=None):
-    """SVD without braids (the (co)domain grouping is used as-is)."""
+def parse_leg_bipartition(legs: Sequence[int], num_legs: int):
+    """Sort a contiguous-on-the-circle subset of ``range(num_legs)``.
+
+    Leg indices live on a circle (``0`` follows ``num_legs - 1``); a planar cut
+    must separate two contiguous arcs. Returns ``(legs, other_legs)``, each
+    sorted in circle order (so ``legs`` may wrap, e.g. ``[7, 8, 0, 1]``).
+    Raises if ``legs`` is not a single contiguous arc.
+    Reference: planar.py:2282.
+    """
+    legs = [l % num_legs for l in legs]
+    if len(set(legs)) != len(legs):
+        raise ValueError(f'duplicate legs in {legs}')
+    if not 0 < len(legs) < num_legs:
+        raise ValueError('bipartition needs a proper nonempty subset of legs')
+    in_set = [False] * num_legs
+    for l in legs:
+        in_set[l] = True
+    # count arcs: transitions False -> True around the circle
+    starts = [i for i in range(num_legs) if in_set[i] and not in_set[i - 1]]
+    if len(starts) != 1:
+        raise ValueError(f'legs {sorted(legs)} are not contiguous on the '
+                         f'circle of {num_legs} legs')
+    s = starts[0]
+    legs_sorted = [(s + k) % num_legs for k in range(len(legs))]
+    other = [(s + len(legs) + k) % num_legs for k in range(num_legs - len(legs))]
+    return legs_sorted, other
+
+
+def planar_decomposition(tensor, codomain_cut: int, domain_cut: int, which: str,
+                         new_labels=None, new_leg_dual=False, **kwargs):
+    """Factorize across a planar cut through the tensor (reference planar.py:1465).
+
+    The cut runs between codomain leg ``codomain_cut - 1`` and ``codomain_cut``
+    (``0`` = left of the whole codomain) and between domain leg ``domain_cut - 1``
+    and ``domain_cut``; the "left" part (first `codomain_cut` codomain legs and
+    first `domain_cut` domain legs) ends up in the first factor. Only cyclic
+    rotations and bends are used — safe for anyonic symmetries. ``which`` is one
+    of ``'qr' | 'lq' | 'eigh' | 'svd' | 'truncated_svd'``.
+    """
+    assert 0 <= codomain_cut <= tensor.num_codomain_legs
+    assert 0 <= domain_cut <= tensor.num_domain_legs
+    if codomain_cut == 0 and domain_cut == 0:
+        raise ValueError('Nothing to do')
+    if codomain_cut == tensor.num_codomain_legs and domain_cut == tensor.num_domain_legs:
+        raise ValueError('Nothing to do')
+
+    n = tensor.num_legs
+    codom = [*range(n - domain_cut, n), *range(codomain_cut)]
+    dom = [*reversed(range(codomain_cut, n - domain_cut))]
+    to_decompose = planar_permute_legs(tensor, codomain=codom, domain=dom)
+
+    S = err = renormalize = None
+    if which == 'qr':
+        A, B = _qr(to_decompose, new_labels=new_labels, new_leg_dual=new_leg_dual)
+    elif which == 'lq':
+        A, B = _lq(to_decompose, new_labels=new_labels, new_leg_dual=new_leg_dual)
+    elif which == 'eigh':
+        # eigh returns (W, V); V is the isometry-like factor, permute it as A
+        B, A = _eigh(to_decompose, new_labels=new_labels,
+                     new_leg_dual=new_leg_dual, **kwargs)
+    elif which == 'svd':
+        A, S, B = svd(to_decompose, new_labels=new_labels,
+                      new_leg_dual=new_leg_dual, **kwargs)
+    elif which == 'truncated_svd':
+        A, S, B, err, renormalize = _truncated_svd(
+            to_decompose, new_labels=new_labels, new_leg_dual=new_leg_dual,
+            **kwargs)
+    else:
+        raise ValueError(f'Invalid decomposition {which!r}')
+
+    if which != 'eigh':  # for eigh, B holds the eigenvalues (diagonal)
+        B_codom = [*range(tensor.num_codomain_legs - codomain_cut + 1)]
+        B_dom = [*reversed(range(tensor.num_codomain_legs - codomain_cut + 1,
+                                 B.num_legs))]
+        B = planar_permute_legs(B, codomain=B_codom, domain=B_dom)
+    A_codom = [*range(domain_cut, A.num_codomain_legs)]
+    A_dom = [*reversed(range(domain_cut)), A.num_codomain_legs]
+    A = planar_permute_legs(A, codomain=A_codom, domain=A_dom)
+
+    if which == 'svd':
+        return A, S, B
+    if which == 'truncated_svd':
+        return A, S, B, err, renormalize
+    if which == 'eigh':
+        return B, A
+    return A, B
+
+
+def planar_svd(tensor, codomain_cut=None, domain_cut=None, new_labels=None,
+               new_leg_dual=False, algorithm=None):
+    """SVD without braids.
+
+    With ``codomain_cut``/``domain_cut`` given (reference planar.py:2124
+    signature), decompose across that planar cut; otherwise the existing
+    (co)domain grouping is used as-is.
+    """
+    if codomain_cut is not None or domain_cut is not None:
+        return planar_decomposition(tensor, codomain_cut or 0, domain_cut or 0,
+                                    'svd', new_labels=new_labels,
+                                    new_leg_dual=new_leg_dual, algorithm=algorithm)
     return svd(tensor, new_labels=new_labels, new_leg_dual=new_leg_dual,
                algorithm=algorithm)
 
 
-def planar_qr(tensor, new_labels=None, new_leg_dual=False):
+def planar_qr(tensor, codomain_cut=None, domain_cut=None, new_labels=None,
+              new_leg_dual=False):
+    if codomain_cut is not None or domain_cut is not None:
+        return planar_decomposition(tensor, codomain_cut or 0, domain_cut or 0,
+                                    'qr', new_labels=new_labels,
+                                    new_leg_dual=new_leg_dual)
     return _qr(tensor, new_labels=new_labels, new_leg_dual=new_leg_dual)
 
 
-def planar_lq(tensor, new_labels=None, new_leg_dual=False):
+def planar_lq(tensor, codomain_cut=None, domain_cut=None, new_labels=None,
+              new_leg_dual=False):
+    if codomain_cut is not None or domain_cut is not None:
+        return planar_decomposition(tensor, codomain_cut or 0, domain_cut or 0,
+                                    'lq', new_labels=new_labels,
+                                    new_leg_dual=new_leg_dual)
     return _lq(tensor, new_labels=new_labels, new_leg_dual=new_leg_dual)
 
 
-def planar_eigh(tensor, new_labels=None, new_leg_dual=False, sort=None):
+def planar_eigh(tensor, codomain_cut=None, domain_cut=None, new_labels=None,
+                new_leg_dual=False, sort=None):
+    if codomain_cut is not None or domain_cut is not None:
+        return planar_decomposition(tensor, codomain_cut or 0, domain_cut or 0,
+                                    'eigh', new_labels=new_labels,
+                                    new_leg_dual=new_leg_dual, sort=sort)
     return _eigh(tensor, new_labels=new_labels, new_leg_dual=new_leg_dual, sort=sort)
 
 
-def planar_truncated_svd(tensor, new_labels=None, new_leg_dual=False, **trunc):
+def planar_truncated_svd(tensor, codomain_cut=None, domain_cut=None,
+                         new_labels=None, new_leg_dual=False, **trunc):
+    if codomain_cut is not None or domain_cut is not None:
+        return planar_decomposition(tensor, codomain_cut or 0, domain_cut or 0,
+                                    'truncated_svd', new_labels=new_labels,
+                                    new_leg_dual=new_leg_dual, **trunc)
     return _truncated_svd(tensor, new_labels=new_labels,
                           new_leg_dual=new_leg_dual, **trunc)
+
+
+def planar_almost_equal(tensor_1, tensor_2, rtol: float = 1e-5,
+                        atol: float = 1e-8) -> bool:
+    """Equality up to tolerance and planar permutation (reference planar.py:1172).
+
+    Permutes ``tensor_1``'s legs (cyclic rotations + bends only) to the label
+    configuration of ``tensor_2``, then compares entrywise. Both tensors must
+    carry matching leg labels.
+    """
+    from ._functions import almost_equal
+
+    if set(tensor_1.labels) != set(tensor_2.labels) or None in tensor_1.labels:
+        raise ValueError('planar_almost_equal needs matching leg labels')
+    permuted = planar_permute_legs(tensor_1, codomain=tensor_2.codomain_labels,
+                                   domain=tensor_2.domain_labels)
+    return almost_equal(permuted, tensor_2, rtol=rtol, atol=atol)
 
 
 def planar_partial_trace(tensor, *pairs):

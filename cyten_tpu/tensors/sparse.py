@@ -16,8 +16,8 @@ from ..dtypes import Dtype
 from ._functions import inner, linear_combination, norm, scalar_multiply
 from ._tensors import Tensor
 
-__all__ = ['LinearOperator', 'TensorLinearOperator', 'SumLinearOperator',
-           'ShiftedLinearOperator', 'ProjectedLinearOperator',
+__all__ = ['LinearOperator', 'LinearOperatorWrapper', 'TensorLinearOperator',
+           'SumLinearOperator', 'ShiftedLinearOperator', 'ProjectedLinearOperator',
            'NumpyArrayLinearOperator', 'HermitianNumpyArrayLinearOperator',
            'gram_schmidt']
 
@@ -64,6 +64,15 @@ class TensorLinearOperator(LinearOperator):
 
         return compose(self.tensor, vec)
 
+    def some_vector(self) -> Tensor:
+        from ._tensors import SymmetricTensor
+
+        dtype = self.dtype if self.dtype is not None and not self.dtype.is_bool \
+            else None
+        kw = {} if dtype is None else {'dtype': dtype}
+        return SymmetricTensor.from_random_normal(
+            self.tensor.domain, backend=self.tensor.backend, **kw)
+
     def adjoint(self) -> TensorLinearOperator:
         from ._functions import dagger
 
@@ -73,14 +82,40 @@ class TensorLinearOperator(LinearOperator):
         return self.tensor
 
 
-class SumLinearOperator(LinearOperator):
+class LinearOperatorWrapper(LinearOperator):
+    """Base class for operators wrapping another :class:`LinearOperator`.
+
+    Attributes not set explicitly on the wrapper fall through to
+    ``original_operator`` — so wrapping a concrete subclass that defines extra
+    attributes (e.g. ``acts_on``) keeps them visible (reference sparse.py:130).
+    When stacking wrappers, order can matter; e.g.
+    :class:`ProjectedLinearOperator` must be outermost to stay correct.
+    """
+
+    def __init__(self, original_operator: LinearOperator):
+        self.original_operator = original_operator
+
+    def __getattr__(self, name):
+        # only reached when normal attribute lookup fails
+        if name == 'original_operator':  # guard against recursion half-built
+            raise AttributeError(name)
+        return getattr(self.original_operator, name)
+
+    def unwrapped(self) -> LinearOperator:
+        """Undo all layers of wrapping, return the innermost operator."""
+        op = self.original_operator
+        while isinstance(op, LinearOperatorWrapper):
+            op = op.original_operator
+        return op
+
+
+class SumLinearOperator(LinearOperatorWrapper):
     """Sum of several linear operators."""
 
     def __init__(self, *operators: LinearOperator):
         assert len(operators) > 0
         self.operators = operators
-        LinearOperator.__init__(self, vector_shape=operators[0].vector_shape,
-                                dtype=operators[0].dtype)
+        LinearOperatorWrapper.__init__(self, operators[0])
 
     def matvec(self, vec: Tensor) -> Tensor:
         res = self.operators[0].matvec(vec)
@@ -92,16 +127,16 @@ class SumLinearOperator(LinearOperator):
         return self.operators[0].some_vector()
 
 
-class ShiftedLinearOperator(LinearOperator):
+class ShiftedLinearOperator(LinearOperatorWrapper):
     """``H + shift * identity`` — e.g. to move eigenvalues away from zero."""
 
     def __init__(self, operator: LinearOperator, shift):
+        LinearOperatorWrapper.__init__(self, operator)
         self.operator = operator
         self.shift = shift
         dtype = operator.dtype
         if dtype is not None and isinstance(shift, complex) and shift.imag != 0:
-            dtype = dtype.to_complex
-        LinearOperator.__init__(self, vector_shape=operator.vector_shape, dtype=dtype)
+            self.dtype = dtype.to_complex  # else: delegate to the wrapped op
 
     def matvec(self, vec: Tensor) -> Tensor:
         return self.operator.matvec(vec) + scalar_multiply(self.shift, vec)
@@ -118,11 +153,10 @@ class ProjectedLinearOperator(LinearOperator):
 
     def __init__(self, operator: LinearOperator, ortho_vecs: Sequence[Tensor],
                  penalty=None):
+        LinearOperatorWrapper.__init__(self, operator)
         self.operator = operator
         self.ortho_vecs = gram_schmidt(list(ortho_vecs))
         self.penalty = penalty
-        LinearOperator.__init__(self, vector_shape=operator.vector_shape,
-                                dtype=operator.dtype)
 
     def project(self, vec: Tensor) -> Tensor:
         for o in self.ortho_vecs:

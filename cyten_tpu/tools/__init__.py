@@ -6,7 +6,11 @@ from . import (
 )
 from .string import format_like_list
 from .profiling import OpProfile, annotate, profile_op, trace_profile
-from .hdf5_io import load, load_hdf5, save, save_hdf5
+from .hdf5_io import (
+    Hdf5ExportError, Hdf5FormatError, Hdf5ImportError, find_global, load,
+    load_from_hdf5, load_hdf5, save, save_hdf5, save_to_hdf5,
+    valid_hdf5_path_component,
+)
 from .math import speigs, speigsh
 from .flops import compose_flops, tdot_flops
 from .cost_polynomials import BigOMonomial, BigOPolynomial

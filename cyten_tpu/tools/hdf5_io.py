@@ -20,7 +20,9 @@ import numpy as np
 
 from ..dtypes import Dtype
 
-__all__ = ['Hdf5Exportable', 'save', 'load', 'save_hdf5', 'load_hdf5', 'to_tree', 'from_tree',
+__all__ = ['Hdf5Exportable', 'Hdf5FormatError', 'Hdf5ExportError', 'Hdf5ImportError',
+           'save_to_hdf5', 'load_from_hdf5', 'valid_hdf5_path_component', 'find_global',
+           'save', 'load', 'save_hdf5', 'load_hdf5', 'to_tree', 'from_tree',
            'Hdf5Saver', 'Hdf5Loader', 'register_tree_type', 'save_tree_hdf5',
            'load_tree_hdf5']
 
@@ -378,6 +380,126 @@ def load_tree_hdf5(filename: str, path: str = '/'):
 
     with h5py.File(filename, 'r') as f:
         return Hdf5Loader(f)._read(f[path.strip('/') or 'root'])
+
+
+# --- the REFERENCE's hdf5 wire format (reference hdf5_io.py:240-300) --------------
+# Our own files use the '__kind__' typed schema above; these constants describe the
+# reference's on-disk format, which tools.reference_import reads and
+# tools.reference_export writes. Centralized here so the adapters share one
+# vocabulary (and so reference users find the names they know).
+
+REPR_IGNORED = 'ignore'
+REPR_HDF5EXPORTABLE = 'instance'
+REPR_REDUCE = 'reduce'
+REPR_ARRAY = 'array'
+REPR_MASKED_ARRAY = 'masked_array'
+REPR_INT = 'int'
+REPR_INT_AS_STR = 'int_as_str'
+REPR_FLOAT = 'float'
+REPR_STR = 'str'
+REPR_BYTES = 'bytes'
+REPR_COMPLEX = 'complex'
+REPR_INT64 = 'np.int64'
+REPR_FLOAT64 = 'np.float64'
+REPR_COMPLEX128 = 'np.complex128'
+REPR_INT32 = 'np.int32'
+REPR_FLOAT32 = 'np.float32'
+REPR_COMPLEX64 = 'np.complex64'
+REPR_BOOL = 'bool'
+REPR_NONE = 'None'
+REPR_RANGE = 'range'
+REPR_LIST = 'list'
+REPR_TUPLE = 'tuple'
+REPR_SET = 'set'
+REPR_DICT_GENERAL = 'dict'
+REPR_DICT_SIMPLE = 'simple_dict'
+REPR_DTYPE = 'dtype'
+REPR_FUNCTION = 'function'
+REPR_CLASS = 'class'
+REPR_GLOBAL = 'global'
+
+#: (python type, type repr) pairs the reference stores directly as h5 datasets
+TYPES_FOR_HDF5_DATASETS = (
+    (np.ndarray, REPR_ARRAY), (int, REPR_INT), (float, REPR_FLOAT),
+    (str, REPR_STR), (bytes, REPR_BYTES), (complex, REPR_COMPLEX),
+    (np.int64, REPR_INT64), (np.float64, REPR_FLOAT64),
+    (np.complex128, REPR_COMPLEX128), (np.int32, REPR_INT32),
+    (np.float32, REPR_FLOAT32), (np.complex64, REPR_COMPLEX64),
+    (np.bool_, REPR_BOOL), (bool, REPR_BOOL),
+)
+
+ATTR_TYPE = 'type'      #: attribute holding one of the ``REPR_*`` strings
+ATTR_CLASS = 'class'    #: attribute holding the class name of an instance
+ATTR_MODULE = 'module'  #: attribute holding the module of ``ATTR_CLASS``
+ATTR_LEN = 'len'        #: attribute holding the length of iterables
+ATTR_FORMAT = 'format'  #: attribute indicating the ``ATTR_TYPE`` format
+
+
+class Hdf5FormatError(Exception):
+    """Common base for errors regarding the HDF5 format
+    (reference hdf5_io.py:312)."""
+
+
+class Hdf5ExportError(Hdf5FormatError):
+    """Raised when an object cannot be written (reference hdf5_io.py:318)."""
+
+
+class Hdf5ImportError(Hdf5FormatError):
+    """Raised when a file cannot be read back (reference hdf5_io.py:324)."""
+
+
+def valid_hdf5_path_component(name: str) -> bool:
+    """Whether `name` is a valid path component in HDF5
+    (reference hdf5_io.py:303)."""
+    return name != '.' and name != '..' and '/' not in name
+
+
+def find_global(module: str, qualified_name: str):
+    """Resolve a global object by module and (dotted) qualified name
+    (reference hdf5_io.py:218)."""
+    import importlib
+
+    obj = importlib.import_module(module)
+    for part in qualified_name.split('.'):
+        obj = getattr(obj, part)
+    return obj
+
+
+def save_to_hdf5(h5group, obj, path: str = '/'):
+    """Write `obj` into an already-open h5py group (reference hdf5_io.py:1242).
+
+    Emits this package's typed schema. To write files the *reference* itself
+    can load, use :mod:`cyten_tpu.tools.reference_export` instead.
+    """
+    try:
+        Hdf5Saver(h5group).save(obj, path)
+    except TypeError as e:
+        raise Hdf5ExportError(str(e)) from e
+
+
+def load_from_hdf5(h5group, path: str = None):
+    """Read from an already-open h5py group (reference hdf5_io.py:1270).
+
+    Auto-detects the on-disk schema: groups carrying the reference's ``'type'``
+    attributes route through :mod:`cyten_tpu.tools.reference_import`; our own
+    typed schema (``'__kind__'`` attributes) loads directly.
+    """
+    path = '/' if path is None else path
+    name = path.strip('/') or 'root'
+    # our saver writes a subgroup named `name` with a '__kind__' attribute;
+    # reference files mark the group at `path` itself with a 'type' attribute
+    if name in h5group and '__kind__' in h5group[name].attrs:
+        try:
+            return Hdf5Loader(h5group).load(path)
+        except KeyError as e:
+            raise Hdf5ImportError(str(e)) from e
+    probe = h5group[path] if path.strip('/') and path in h5group else h5group
+    if 'type' in probe.attrs:
+        from .reference_import import load_reference_hdf5
+
+        return load_reference_hdf5(h5group, path=path)
+    raise Hdf5ImportError(f'no recognizable object at {path!r}: neither our '
+                          "'__kind__' schema nor the reference's 'type' schema")
 
 
 def save(obj, filename: str):

@@ -43,10 +43,10 @@ class ReferenceExportError(Exception):
 
 
 # format constants (reference hdf5_io.py:240-300)
-_ATTR_TYPE = 'type'
-_ATTR_CLASS = 'class'
-_ATTR_MODULE = 'module'
-_ATTR_LEN = 'len'
+from .hdf5_io import (  # the reference's wire-format vocabulary
+    ATTR_CLASS as _ATTR_CLASS, ATTR_LEN as _ATTR_LEN,
+    ATTR_MODULE as _ATTR_MODULE, ATTR_TYPE as _ATTR_TYPE,
+)
 
 _MOD_SYM = 'cyten.symmetries._symmetries'
 _MOD_SPACES = 'cyten.symmetries.spaces'

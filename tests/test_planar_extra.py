@@ -249,3 +249,171 @@ def test_planar_linear_operator_matrix(any_symmetry, block_backend, np_random):
     # linearity
     out2 = H.matvec(ct.scalar_multiply(2., vec))
     assert norm(out2 - ct.scalar_multiply(2., out)) <= 1e-10 * max(1., norm(out))
+
+
+# --- planar cuts / bipartitions (reference planar.py:1465-2281, 2282) -------------
+
+def _einsum_by_labels(arr_labels, out_labels):
+    """Contract dense arrays by shared leg labels (independent numpy oracle)."""
+    import string as _string
+
+    letters = {}
+    subs = []
+    for _, labels in arr_labels:
+        s = ''
+        for l in labels:
+            if l not in letters:
+                letters[l] = _string.ascii_letters[len(letters)]
+            s += letters[l]
+        subs.append(s)
+    out = ''.join(letters[l] for l in out_labels)
+    return np.einsum(','.join(subs) + '->' + out,
+                     *[a for a, _ in arr_labels])
+
+
+@pytest.mark.parametrize('cuts', [(1, 1), (2, 1), (1, 2), (1, 0), (0, 1),
+                                  (2, 0), (0, 2)])
+def test_planar_svd_cuts(matrix_tensor, cuts):
+    """planar_svd across a cut: sanity, norm, dense recomposition oracle."""
+    T = matrix_tensor  # 2<-2, labels [a, b; c, d]
+    ccut, dcut = cuts
+    U, S, Vh = planar_svd(T, ccut, dcut, new_labels=['k', 'k*'])
+    U.test_sanity(), S.test_sanity(), Vh.test_sanity()
+    # singular values carry the full (qdim-weighted) norm
+    assert abs(ct.norm(S) - norm(T)) <= 1e-10 * norm(T)
+    # the left factor holds the first ccut codomain and first dcut domain legs
+    left = set(T.codomain_labels[:ccut]) | set(T.domain_labels[:dcut])
+    assert set(U.labels) == left | {'k'}
+    assert set(Vh.labels) == (set(T.labels) - left) | {'k*'}
+    if T.symmetry.can_be_dropped:
+        dense = _einsum_by_labels(
+            [(U.to_numpy(), U.labels),
+             (S.as_SymmetricTensor().to_numpy(), ['k', 'k*']),
+             (Vh.to_numpy(), Vh.labels)], T.labels)
+        np.testing.assert_allclose(dense, T.to_numpy(),
+                                   atol=1e-8 * max(1., norm(T)))
+
+
+@pytest.mark.parametrize('which', ['qr', 'lq'])
+def test_planar_qr_lq_cuts(matrix_tensor, which):
+    T = matrix_tensor
+    fn = planar_qr if which == 'qr' else planar_lq
+    A, B = fn(T, 1, 1, new_labels=['k', 'k*'])
+    A.test_sanity(), B.test_sanity()
+    left = {T.codomain_labels[0], T.domain_labels[0]}
+    assert set(A.labels) == left | {'k'}
+    assert set(B.labels) == (set(T.labels) - left) | {'k*'}
+    if T.symmetry.can_be_dropped:
+        # rename B's new leg to share A's for the dense contraction
+        dense = _einsum_by_labels(
+            [(A.to_numpy(), ['k' if l == 'k*' else l for l in A.labels]),
+             (B.to_numpy(), ['k' if l == 'k*' else l for l in B.labels])],
+            T.labels)
+        np.testing.assert_allclose(dense, T.to_numpy(),
+                                   atol=1e-8 * max(1., norm(T)))
+
+
+def test_planar_truncated_svd_cuts(matrix_tensor):
+    T = matrix_tensor
+    U, S, Vh, err, renorm = planar_truncated_svd(T, 1, 1,
+                                                 new_labels=['k', 'k*'],
+                                                 svd_min=1e-14)
+    U.test_sanity(), S.test_sanity(), Vh.test_sanity()
+    assert renorm == 1.
+    assert err <= 1e-10
+    # untruncated: same spectrum as the full planar_svd of the same cut
+    _, S_full, _ = planar_svd(T, 1, 1, new_labels=['k', 'k*'])
+    if T.symmetry.can_be_dropped:
+        np.testing.assert_allclose(sorted(S.diag_numpy),
+                                   sorted(x for x in S_full.diag_numpy
+                                          if x > 1e-14), atol=1e-10)
+    else:  # anyons have no dense diagonal; compare the qdim-weighted norms
+        assert abs(ct.norm(S) - ct.norm(S_full)) <= 1e-10 * max(1., ct.norm(S_full))
+
+
+def test_planar_eigh_cuts(matrix_tensor):
+    """Eigenvalues across a rotated cut match the plain path."""
+    T = matrix_tensor
+    H = compose(T, dagger(T))  # hermitian, dom == cod
+    D0, W0 = planar_eigh(H, new_labels=['k', 'k*'], sort='m>')
+    # rotate the legs by one, then cut (1, 1) undoes the rotation internally
+    n = H.num_legs
+    Hrot = planar_permute_legs(H, codomain=[n - 1, 0],
+                               domain=list(reversed(range(1, n - 1))))
+    D1, W1 = planar_eigh(Hrot, 1, 1, new_labels=['k', 'k*'], sort='m>')
+    W1.test_sanity(), D1.test_sanity()
+    if H.symmetry.can_be_dropped:
+        np.testing.assert_allclose(sorted(D0.diag_numpy), sorted(D1.diag_numpy),
+                                   atol=1e-8 * max(1., norm(H)))
+    else:  # anyons: compare the rotation-invariant spectrum through norms/trace
+        assert abs(ct.norm(D0) - ct.norm(D1)) <= 1e-8 * max(1., norm(H))
+        assert abs(complex(ct.trace(D0.as_SymmetricTensor())
+                           - ct.trace(D1.as_SymmetricTensor()))) \
+            <= 1e-8 * max(1., norm(H))
+
+
+def test_planar_decomposition_rejects_trivial(matrix_tensor):
+    from cyten_tpu.tensors.planar import planar_decomposition
+
+    with pytest.raises(ValueError, match='Nothing to do'):
+        planar_decomposition(matrix_tensor, 0, 0, 'svd')
+    with pytest.raises(ValueError, match='Nothing to do'):
+        planar_decomposition(matrix_tensor, 2, 2, 'svd')
+    with pytest.raises(ValueError, match='Invalid decomposition'):
+        planar_decomposition(matrix_tensor, 1, 1, 'cholesky')
+
+
+def test_parse_leg_bipartition():
+    from cyten_tpu.tensors.planar import parse_leg_bipartition
+
+    legs, other = parse_leg_bipartition([1, 2], 4)
+    assert legs == [1, 2] and other == [3, 0]
+    # wrapping arc
+    legs, other = parse_leg_bipartition([7, 8, 0, 1, 2], 9)
+    assert legs == [7, 8, 0, 1, 2] and other == [3, 4, 5, 6]
+    # any input order
+    legs, other = parse_leg_bipartition([2, 0, 1, 8, 7], 9)
+    assert legs == [7, 8, 0, 1, 2]
+    with pytest.raises(ValueError, match='not contiguous'):
+        parse_leg_bipartition([0, 2], 4)
+    with pytest.raises(ValueError, match='proper nonempty'):
+        parse_leg_bipartition([0, 1, 2, 3], 4)
+    with pytest.raises(ValueError, match='duplicate'):
+        parse_leg_bipartition([0, 0, 1], 4)
+
+
+def test_planar_almost_equal(matrix_tensor):
+    from cyten_tpu.tensors.planar import planar_almost_equal
+
+    T = matrix_tensor
+    n = T.num_legs
+    rot = planar_permute_legs(T, codomain=[n - 1, 0],
+                              domain=list(reversed(range(1, n - 1))))
+    assert planar_almost_equal(rot, T, rtol=1e-10, atol=1e-10)
+    assert planar_almost_equal(T, rot, rtol=1e-10, atol=1e-10)
+    assert not planar_almost_equal(ct.scalar_multiply(1.5, rot), T)
+
+
+def test_contraction_tree_node():
+    from cyten_tpu.tensors.planar import ContractionTree, ContractionTreeNode
+
+    tree = ContractionTree._from_nested((('A', 'B'), 'C'))
+    root = ContractionTreeNode.from_contraction_tree(tree)
+    root.test_sanity()
+    leaves, num = root.get_leaves()
+    assert leaves == ['A', 'B', 'C'] and num == 4
+    assert not root.is_leaf
+    cp = root.copy()
+    cp.test_sanity()
+    assert cp.left_child.parent is cp
+    # pop contractions depth-first until a single value remains
+    _, a, b, v1 = root.pop_contraction()
+    assert (a, b, v1) == ('A', 'B', 'A @ B')
+    _, a, b, v2 = root.pop_contraction()
+    assert (a, b) == ('A @ B', 'C')
+    assert root.is_leaf and root.value == v2
+    # the copy is unaffected
+    assert not cp.is_leaf
+    assert 'A' in cp.show_whole_tree()
+    with pytest.raises(ValueError, match='two children or a value'):
+        ContractionTreeNode(None, None, None, None)

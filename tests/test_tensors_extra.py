@@ -343,3 +343,30 @@ def test_move_leg_battery(make_compatible_backend, spaces, np_random,
         np.testing.assert_allclose(moved.to_numpy(),
                                    swap_gate_numpy(arr, T.legs, perm),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_leg_label_validation():
+    """Reserved DSL characters are rejected at label-set time
+    (reference _tensors.py:46-55)."""
+    import pytest as _pytest
+
+    from cyten_tpu.tensors import is_valid_leg_label
+    from cyten_tpu.tensors._tensors import (
+        CONTRACT_SYMBOL, FORBIDDEN_LEG_LABEL_CHARS, LEG_SELECT_SYMBOL,
+        OPEN_LEG_SYMBOL,
+    )
+
+    assert CONTRACT_SYMBOL == '@' and LEG_SELECT_SYMBOL == ':'
+    assert OPEN_LEG_SYMBOL == '->'
+    assert is_valid_leg_label('vL') and is_valid_leg_label(None)
+    for c in FORBIDDEN_LEG_LABEL_CHARS:
+        assert not is_valid_leg_label(f'a{c}b')
+
+    V = ct.ElementarySpace.from_defining_sectors(ct.u1_symmetry, [[0], [1]], [1, 1])
+    T = ct.SymmetricTensor.from_eye([V], backend=ct.get_backend(ct.u1_symmetry, 'numpy'))
+    with _pytest.raises(ValueError, match='Invalid leg label'):
+        T.set_labels(['a b', 'c'])
+    with _pytest.raises(ValueError, match='Invalid leg label'):
+        T.set_label(0, 'x@y')
+    T.set_labels(['p', 'p*'])  # valid labels still fine
+    assert T.labels == ['p', 'p*']

@@ -169,3 +169,117 @@ def test_profiling():
     assert prof.wall_seconds > 0
     assert prof.tflops_per_sec > 0
     assert 'TFLOP/s' in repr(prof)
+
+
+def test_hdf5_reference_named_entry_points(u1_tensor, tmp_path):
+    """save_to_hdf5/load_from_hdf5 on open groups (reference hdf5_io.py:1242/1270),
+    including auto-detection of reference-format files."""
+    import h5py
+
+    from cyten_tpu.tools import (
+        Hdf5ImportError, load_from_hdf5, save_to_hdf5,
+    )
+    from cyten_tpu.tensors import almost_equal
+
+    fn = tmp_path / 'group_api.h5'
+    with h5py.File(fn, 'w') as f:
+        save_to_hdf5(f, u1_tensor, '/tensor')
+        save_to_hdf5(f, {'chi': 32, 'name': 'run'}, '/meta')
+    with h5py.File(fn, 'r') as f:
+        back = load_from_hdf5(f, '/tensor')
+        assert almost_equal(back, u1_tensor, rtol=1e-12, atol=1e-14)
+        meta = load_from_hdf5(f, '/meta')
+        assert meta == {'chi': 32, 'name': 'run'}
+        with pytest.raises(Hdf5ImportError, match='no recognizable'):
+            load_from_hdf5(f, '/nonexistent')
+    # reference-format detection: files written by our reference exporter
+    # (which the reference itself can read) route through reference_import
+    from cyten_tpu.tools.reference_export import save_reference_hdf5
+
+    fn2 = tmp_path / 'ref_format.h5'
+    with h5py.File(fn2, 'w') as f:
+        save_reference_hdf5(u1_tensor, f, '/t')
+    with h5py.File(fn2, 'r') as f:
+        back2 = load_from_hdf5(f, '/t')
+    assert almost_equal(back2, u1_tensor, rtol=1e-12, atol=1e-14)
+
+
+def test_hdf5_util_functions():
+    from cyten_tpu.tools import find_global, valid_hdf5_path_component
+
+    assert valid_hdf5_path_component('tensor')
+    assert not valid_hdf5_path_component('a/b')
+    assert not valid_hdf5_path_component('.')
+    assert not valid_hdf5_path_component('..')
+    assert find_global('numpy', 'linalg.norm') is np.linalg.norm
+    assert find_global('cyten_tpu', 'SymmetricTensor') is ct.SymmetricTensor
+
+
+def test_printoptions_namespace():
+    """cyten_tpu.printoptions aliases config.printoptions_* (reference
+    dummy_config.py:5)."""
+    from cyten_tpu import printoptions
+
+    old = printoptions.linewidth
+    assert old == ct.config.printoptions_linewidth
+    try:
+        printoptions.linewidth = 77
+        assert ct.config.printoptions_linewidth == 77
+    finally:
+        printoptions.linewidth = old
+    assert printoptions.indent == 2
+    assert printoptions.maxlines_spaces > 0
+
+
+def test_random_generation_extras(np_random):
+    """The reference's generator helpers (random_generation.py:13-230)."""
+    from cyten_tpu.symmetries import TensorProduct
+    from cyten_tpu.testing import (
+        check_tensor_memory_usage, find_last_leg, random_ElementarySpace,
+        random_LegPipe, random_block, random_factor_sectors,
+        random_symmetry_sectors,
+    )
+
+    bb = ct.get_block_backend('numpy')
+    b = random_block(bb, (3, 4), real=False, np_random=np_random)
+    assert bb.get_shape(b) == (3, 4) and not bb.get_dtype(b).is_real
+
+    sym = ct.u1_symmetry * ct.z3_symmetry
+    s = random_symmetry_sectors(sym, 6, sort=True, np_random=np_random)
+    assert s.shape[1] == sym.sector_ind_len
+    assert len(np.unique(s, axis=0)) == len(s)            # unique
+    assert np.array_equal(s, s[np.lexsort(s.T)])          # sorted
+    for sec in s:
+        assert sym.is_valid_sector(sec)
+
+    fs = random_factor_sectors(ct.su2_symmetry, 5, np_random=np_random)
+    assert fs.shape == (5, 1) and len(np.unique(fs)) == 5
+
+    be = ct.get_backend(ct.u1_symmetry, 'numpy')
+    pipe = random_LegPipe(ct.u1_symmetry, be, max_sectors=6, max_mult=6,
+                          num_legs=2, np_random=np_random)
+    assert pipe.num_legs == 2
+    pipe.test_sanity()
+
+    V = random_ElementarySpace(ct.u1_symmetry, np_random, is_dual=False)
+    W = random_ElementarySpace(ct.u1_symmetry, np_random, is_dual=False)
+    X = random_ElementarySpace(ct.u1_symmetry, np_random, is_dual=False)
+    leg = find_last_leg(TensorProduct([V, W]), TensorProduct([X]),
+                        max_sectors=4, max_mult=4, np_random=np_random)
+    T = ct.SymmetricTensor.from_random_normal([V, W, leg], [X], backend=be,
+                                              rng=np_random)
+    assert ct.norm(T) > 0   # the found leg admits nonzero blocks
+    check_tensor_memory_usage(T.codomain, T.domain, real=True)
+    with pytest.raises(RuntimeError, match='memory'):
+        check_tensor_memory_usage(T.codomain, T.domain, real=True,
+                                  limit_gb=1e-12)
+
+
+def test_racah_W_alias():
+    from cyten_tpu.symmetries.su2_data import racah_W, racah_w, six_j
+
+    assert racah_W is racah_w
+    # W(1/2 1/2 1 1/2; 1 1/2): phase (-1)^(1/2+1/2+1/2+1... ) — just pin the 6j relation
+    val = racah_W(1, 1, 2, 1, 2, 1)
+    expect = (-1 if ((1 + 1 + 1 + 2) // 2) % 2 else 1) * six_j(1, 1, 2, 1, 2, 1)
+    assert abs(val - expect) < 1e-15
