@@ -156,7 +156,10 @@ class AbelianBackend(TensorBackend):
     def test_mask_sanity(self, a):
         data = a.data
         assert isinstance(data, MaskBlockData)
-        for block, (i_small, i_large) in zip(data.blocks, data.block_inds):
+        for block, row in zip(data.blocks, data.block_inds):
+            # rows are (i_codomain, i_domain): (small, large) for projections,
+            # (large, small) for inclusions (created by dagger)
+            i_small, i_large = row if a.is_projection else row[::-1]
             assert np.all(a.small_leg.sector_decomposition[i_small]
                           == a.large_leg.sector_decomposition[i_large])
             n_kept = self.block_backend.sum_mask(block)

@@ -125,9 +125,13 @@ class DiagonalBlockData:
 class MaskBlockData:
     """Abelian mask data: 1D bool blocks.
 
-    ``block_inds[n] = (i_small, i_large)`` indexes the sector decompositions of the
-    small (codomain, for projections) and large (domain) legs. Block n has length
-    ``large_leg.multiplicities[i_large]`` and sum ``small_leg.multiplicities[i_small]``.
+    ``block_inds[n] = (i_codomain, i_domain)`` indexes the sector decompositions of
+    the codomain and domain legs. For a projection that is ``(i_small, i_large)``;
+    for an inclusion (created by ``mask_dagger``) the columns are swapped. Block n
+    has length ``large_leg.multiplicities[i_large]`` and sum
+    ``small_leg.multiplicities[i_small]``. Backend consumers other than
+    ``mask_dagger``/``test_mask_sanity`` require projections (``_mask_as_projection``
+    converts inclusions first).
     """
 
     __slots__ = ['blocks', 'block_inds', 'dtype']

@@ -84,7 +84,10 @@ class FusionTreeBackend(TensorBackend):
     def test_mask_sanity(self, a):
         data = a.data
         assert isinstance(data, MaskBlockData)
-        for block, (i_small, i_large) in zip(data.blocks, data.block_inds):
+        for block, row in zip(data.blocks, data.block_inds):
+            # rows are (i_codomain, i_domain): (small, large) for projections,
+            # (large, small) for inclusions (created by dagger)
+            i_small, i_large = row if a.is_projection else row[::-1]
             assert np.all(a.small_leg.sector_decomposition[i_small]
                           == a.large_leg.sector_decomposition[i_large])
             assert self.block_backend.sum_mask(block) \
@@ -990,14 +993,27 @@ class FusionTreeBackend(TensorBackend):
             mults.append(int(mask_np.sum()))
             blocks.append(bb.as_block(mask_np, Dtype.bool))
             rows.append(int(i))
-        if sectors:
+        if sectors and leg.symmetry.can_be_dropped and leg._basis_perm is not None:
+            # the small leg must keep the relative *public* basis order of the
+            # large leg (reference spaces.py:1371 take_slice contract); assemble
+            # the public blockmask (state-major tiling) and slice
+            public = np.zeros(int(leg.dim), dtype=bool)
+            for b, i in zip(blocks, rows):
+                d = leg.symmetry.sector_dim(leg.sector_decomposition[int(i)])
+                vals = np.asarray(bb.to_numpy(b)).astype(bool)
+                public[int(leg.slices[i, 0]):int(leg.slices[i, 1])] = \
+                    np.tile(vals, int(d))
+            small_leg = leg.take_slice(public[leg.inverse_basis_perm])
+        elif sectors:
             small_leg = ElementarySpace.from_sector_decomposition(
                 leg.symmetry, np.array(sectors, int), np.array(mults, int),
                 is_dual=leg.is_dual, unique_sectors=True)
+            small_leg._basis_perm = None
+            small_leg._inverse_basis_perm = None
         else:
             small_leg = ElementarySpace.from_null_space(leg.symmetry, leg.is_dual)
-        small_leg._basis_perm = None
-        small_leg._inverse_basis_perm = None
+            small_leg._basis_perm = None
+            small_leg._inverse_basis_perm = None
         mask_rows = []
         for i, sector in zip(rows, sectors):
             i_small = small_leg.sector_decomposition_where(np.asarray(sector))
@@ -1125,8 +1141,23 @@ class FusionTreeBackend(TensorBackend):
 
     def full_data_from_mask(self, a, dtype):
         bb = self.block_backend
-        blocks = [bb.block_from_mask(b, dtype) for b in a.data.blocks]
-        return BlockSparseData(blocks, a.data.block_inds.copy(), dtype)
+        # mask block_inds index the LEGS' sector decompositions; BlockSparseData
+        # rows index the codomain/domain TensorProduct decompositions, whose sort
+        # order differs for dual legs — remap via the sectors
+        cod_leg = a.codomain.factors[0]
+        dom_leg = a.domain.factors[0]
+        cod_sd = a.codomain.sector_decomposition
+        dom_sd = a.domain.sector_decomposition
+        blocks, rows = [], []
+        for b, (i_c, i_d) in zip(a.data.blocks, a.data.block_inds):
+            s_c = cod_leg.sector_decomposition[int(i_c)]
+            s_d = dom_leg.sector_decomposition[int(i_d)]
+            j_c = int(np.where(np.all(cod_sd == s_c, axis=1))[0][0])
+            j_d = int(np.where(np.all(dom_sd == s_d, axis=1))[0][0])
+            blocks.append(bb.block_from_mask(b, dtype))
+            rows.append((j_c, j_d))
+        bi = np.array(rows, np.intp).reshape((len(blocks), 2))
+        return BlockSparseData(blocks, bi, dtype)
 
     def apply_mask_to_DiagonalTensor(self, a, mask):
         from .abelian import AbelianBackend

@@ -145,14 +145,14 @@ def transpose(tensor: Tensor) -> Tensor:
     """The transpose: a map ``f: V -> W`` becomes ``f^T: W* -> V*``."""
     labels = [*reversed(tensor.domain_labels), *tensor.codomain_labels]
     if isinstance(tensor, Mask):
-        proj = tensor if tensor.is_projection else _mask_as_projection(tensor)
-        # transpose of a projection is an inclusion between the dual spaces
-        data = tensor.backend.mask_dagger(proj)
-        res = Mask(data, space_in=proj.small_leg.dual, space_out=proj.large_leg.dual,
-                   is_projection=False, backend=tensor.backend, labels=labels)
-        if not tensor.is_projection:
-            res = _mask_as_projection_inverse(res)
-        return res
+        # f: V -> W becomes f^T: W* -> V* with the same bool relation; the data
+        # rows are (i_codomain, i_domain), so mask_dagger's column swap is
+        # exactly the codomain/domain exchange (projection <-> inclusion)
+        data = tensor.backend.mask_dagger(tensor)
+        return Mask(data, space_in=tensor.codomain.factors[0].dual,
+                    space_out=tensor.domain.factors[0].dual,
+                    is_projection=not tensor.is_projection,
+                    backend=tensor.backend, labels=labels)
     if isinstance(tensor, Identity):
         return Identity(tensor.leg.dual, backend=tensor.backend, labels=labels,
                         dtype=tensor.dtype)
@@ -170,12 +170,6 @@ def transpose(tensor: Tensor) -> Tensor:
         inv = move_leg(inv, ChargedTensor._CHARGE_LEG_LABEL, domain_pos=0)
         return ChargedTensor(inv, tensor.charged_state)
     raise TypeError(f'unexpected type {type(tensor)}')
-
-
-def _mask_as_projection_inverse(mask: Mask) -> Mask:
-    data = mask.backend.mask_dagger(mask if not mask.is_projection else mask)
-    return Mask(data, space_in=mask.small_leg, space_out=mask.large_leg,
-                is_projection=False, backend=mask.backend, labels=mask.labels[::-1])
 
 
 def dagger(tensor: Tensor) -> Tensor:
@@ -957,8 +951,27 @@ def linear_combination(a: Number, v: Tensor, b: Number, w: Tensor) -> Tensor:
         v = v.as_SymmetricTensor()
     if isinstance(w, Mask):
         w = w.as_SymmetricTensor()
+    if isinstance(v, ChargedTensor) and isinstance(w, ChargedTensor):
+        # reference _tensors.py:4975-4987
+        if v.charge_leg != w.charge_leg:
+            raise ValueError('Can not add ChargedTensors with different charge legs')
+        if (v.charged_state is None) != (w.charged_state is None):
+            raise ValueError('Can not add ChargedTensors with unspecified and '
+                             'specified charged_state')
+        if v.charged_state is None:
+            return ChargedTensor(
+                linear_combination(a, v.invariant_part, b, w.invariant_part), None)
+        if v.charge_leg.dim == 1:
+            bb = v.backend.block_backend
+            factor = bb.block_item(bb.as_block(w.charged_state)) \
+                / bb.block_item(bb.as_block(v.charged_state))
+            inv = linear_combination(a, v.invariant_part,
+                                     factor * b, w.invariant_part)
+            return ChargedTensor(inv, v.charged_state)
+        raise NotImplementedError('linear_combination of fixed-state '
+                                  'ChargedTensors with dim > 1 charge leg')
     if isinstance(v, ChargedTensor) or isinstance(w, ChargedTensor):
-        raise NotImplementedError('linear_combination of ChargedTensors')
+        raise TypeError('Can not add ChargedTensor and non-charged tensor.')
     if isinstance(v, DiagonalTensor) != isinstance(w, DiagonalTensor):
         if isinstance(v, DiagonalTensor):
             v = v.as_SymmetricTensor()
@@ -1016,9 +1029,20 @@ def almost_equal(t1: Tensor, t2: Tensor, rtol: float = 1e-5, atol: float = 1e-8
             return False
         if t1.charged_state is None:
             return almost_equal(t1.invariant_part, t2.invariant_part, rtol, atol)
-        bb = t1.backend.block_backend
-        diff = t1.invariant_part.copy()
-        raise NotImplementedError('almost_equal of fixed-state ChargedTensors')
+        if t1.charge_leg != t2.charge_leg:
+            raise ValueError('Mismatched charge legs')
+        if t1.charge_leg.dim == 1:
+            # the represented tensor is state * invariant_part: compare
+            # s1 * inv_1 against s2 * inv_2. (The reference's cross-multiplied
+            # check at _tensors.py:3856-3862 tests s2*inv_1 == s1*inv_2, which
+            # is equivalent only when |s1| == |s2| — an intentional deviation.)
+            bb = t1.backend.block_backend
+            s1 = bb.block_item(bb.as_block(t1.charged_state))
+            s2 = bb.block_item(bb.as_block(t2.charged_state))
+            return almost_equal(scalar_multiply(s1, t1.invariant_part),
+                                scalar_multiply(s2, t2.invariant_part), rtol, atol)
+        raise NotImplementedError('almost_equal of fixed-state ChargedTensors '
+                                  'with dim > 1 charge leg')
     return norm(t1 - t2) <= atol + rtol * norm(t1)
 
 

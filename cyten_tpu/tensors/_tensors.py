@@ -1296,9 +1296,11 @@ class Mask(Tensor):
             diag_blocks = [rng.random(int(m)) < p_keep
                            for m in large_leg.multiplicities]
             _, _, backend, _ = cls._init_parse_args([large_leg], [large_leg], backend)
+            bb = backend.block_backend
             diag = DiagonalTensor.from_sector_block_func(
-                lambda shape, c, _it=iter(diag_blocks): next(_it), large_leg,
-                backend=backend)
+                lambda shape, c, _it=iter(diag_blocks): bb.as_block(next(_it),
+                                                                    Dtype.bool),
+                large_leg, backend=backend)
             return cls.from_DiagonalTensor(diag).set_labels(
                 cls._init_parse_labels(labels, TensorProduct([large_leg]),
                                        TensorProduct([large_leg])))
