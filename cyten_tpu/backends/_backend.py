@@ -359,10 +359,25 @@ class TensorBackend(metaclass=ABCMeta):
     # --- device handling (thin; jax manages placement) -----------------------------------
 
     def move_to_device(self, a: SymmetricTensor, device: str) -> Data:
-        return a.data
+        """Move all blocks of the data to `device` (reference backends' _data
+        device plumbing; see reference tests/python_tests/test_devices.py)."""
+        bb = self.block_backend
+        data = a.data
+        if hasattr(data, 'blocks'):
+            data.blocks = [bb.as_device(b, device) for b in data.blocks]
+        elif hasattr(data, 'block'):
+            data.block = bb.as_device(data.block, device)
+        return data
 
     def get_device_from_data(self, a: Data) -> str:
-        return 'any'
+        bb = self.block_backend
+        if hasattr(a, 'blocks'):
+            if len(a.blocks) > 0:
+                return bb.get_device(a.blocks[0])
+        elif hasattr(a, 'block'):
+            return bb.get_device(a.block)
+        # no blocks to inspect: report the backend's default placement
+        return bb.get_device(bb.zeros((1,), a.dtype))
 
 
 def truncation_mask_from_S(S_sectors: list[np.ndarray], qdims: np.ndarray,

@@ -505,6 +505,9 @@ class BlockBackend:
     # --- device handling ----------------------------------------------------------
 
     def as_device(self, block, device: str = None):
+        if device is not None and device.split(':')[0] != 'cpu':
+            raise ValueError(
+                f'Unsupported device for {type(self).__name__}: {device!r}')
         return block
 
     def get_device(self, block) -> str:

@@ -1700,6 +1700,18 @@ class ChargedTensor(Tensor):
             state = self.backend.block_backend.copy_block(state)
         return ChargedTensor(inv, state)
 
+    def move_to_device(self, device: str):
+        self.invariant_part.move_to_device(device)
+        if self.charged_state is not None:
+            bb = self.backend.block_backend
+            self.charged_state = bb.as_device(bb.as_block(self.charged_state),
+                                              device)
+        return self
+
+    @property
+    def device(self) -> str:
+        return self.invariant_part.device
+
     def to_dense_block(self):
         if self.charged_state is None:
             raise ValueError('charged_state required for to_dense_block')

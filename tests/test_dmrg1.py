@@ -131,10 +131,15 @@ def test_fuser_tensor_unitary():
         assert ct.almost_equal(SSd, eye_vw, rtol=1e-12, atol=1e-12)
 
 
-def test_tensor_from_grid_pipe_refusal():
-    """Pipe legs under the fusion-tree backend are refused with guidance."""
+def test_tensor_from_grid_pipe_legs_work():
+    """Grids over fusion-tree pipe legs direct-sum natively.
+
+    This used to be a refusal (with fuser_tensor guidance); tensor_from_grid
+    now flattens the pipe via the unitary fuser and sums — the DMRG1S
+    expansion path works on pipes directly (see also
+    test_tensors_extra.py::test_tensor_from_grid_fusion_tree_pipes).
+    """
     import numpy as np
-    import pytest
 
     import cyten_tpu as ct
     from cyten_tpu import ElementarySpace
@@ -146,5 +151,10 @@ def test_tensor_from_grid_pipe_refusal():
     t = ct.SymmetricTensor.from_random_normal([V, V], [V, V], backend=be,
                                               rng=rng, labels=list('abcd'))
     tc = combine_legs(t, ['c', 'd'])
-    with pytest.raises(ValueError, match='fuser_tensor'):
-        tensor_from_grid([[tc, tc]], row_leg=0, col_leg=2)
+    G = tensor_from_grid([[tc, tc]], row_leg=0, col_leg=2)
+    G.test_sanity()
+    assert abs(float(G.legs[2].dim) - 2 * float(tc.legs[2].dim)) < 1e-10
+    # block-diagonal-free content check through the dense oracle
+    g = G.to_numpy()
+    d = tc.to_numpy()
+    assert abs(np.linalg.norm(g) ** 2 - 2 * np.linalg.norm(d) ** 2) < 1e-8

@@ -233,3 +233,55 @@ def test_pipe_as_elementary_roundtrip(any_symmetry, np_random):
     expect = {tuple(map(int, c)): int(m)
               for c, m in zip(tp.sector_decomposition, tp.multiplicities)}
     assert got == expect
+
+
+def test_take_slice_basis_perm(any_symmetry, np_random):
+    """take_slice with a permuted basis (reference test_spaces.py:207-246).
+
+    Pins the contract used by masks: the small leg keeps the relative public
+    basis order of the large leg, and multiplets are kept/dropped as wholes.
+    """
+    s = any_symmetry
+    if not s.can_be_dropped:
+        secs = _sorted_sectors(s, np_random, n=2)
+        space = ElementarySpace(s, secs, np.ones(len(secs), int))
+        with pytest.raises(sym.SymmetryError):
+            space.take_slice([True])
+        return
+    sectors = _sorted_sectors(s, np_random, n=3)
+    mults = np_random.integers(1, 4, size=len(sectors))
+    dim = int(np.sum([s.sector_dim(a) * m for a, m in zip(sectors, mults)]))
+    basis_perm = np_random.permutation(dim)
+    space = ElementarySpace(s, sectors, mults, basis_perm=basis_perm)
+
+    # build a legal mask in internal order: keep/drop whole multiplets
+    keep_states = []
+    illegal = []
+    for sect, mult in zip(sectors, mults):
+        d = int(s.sector_dim(sect))
+        keeps = np_random.choice([True, False], size=mult)
+        # state-major internal layout: d blocks of length mult
+        keep_states.extend(list(keeps) * d)
+        bad = list(keeps) * (d - 1) + list(~keeps) if d > 1 else list(keeps)
+        illegal.extend(bad)
+    mask = np.array(keep_states)[space.inverse_basis_perm]
+    if not mask.any():
+        mask[:] = True
+    small = space.take_slice(mask)
+    small.test_sanity()
+
+    # kept basis states keep their sectors, in public order
+    np.testing.assert_array_equal(small.sectors_of_basis,
+                                  space.sectors_of_basis[mask])
+    # commuting diagram (reference spaces.py:1398-1421): public-mask then
+    # small perm == large perm then internal mask
+    internal_mask = mask[space.basis_perm]
+    x = np.arange(space.dim)
+    np.testing.assert_array_equal(x[mask][small.basis_perm],
+                                  x[space.basis_perm][internal_mask])
+
+    if any(int(s.sector_dim(a)) > 1 for a in sectors):
+        illegal_mask = np.array(illegal)[space.inverse_basis_perm]
+        if illegal_mask.any() and not illegal_mask.all():
+            with pytest.raises(ValueError):
+                space.take_slice(illegal_mask)
