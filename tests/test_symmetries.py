@@ -59,8 +59,14 @@ SYMMETRIES = {
     'FermionParity': sym.fermion_parity,
     'FermionNumber': sym.fermion_number,
     'Fibonacci': sym.fibonacci_anyon_category,
+    # opposite gradings (reference test_symmetries.py:1157,1200,1429 parametrize
+    # handedness / Kitaev's 16-fold-way nu): same axioms, conjugated braids
+    'FibonacciRight': sym.FibonacciAnyonCategory(handedness='right').as_Symmetry(),
     'Ising': sym.ising_anyon_category,
+    'Ising_nu5': sym.IsingAnyonCategory(nu=5).as_Symmetry(),
+    'Ising_nu13': sym.IsingAnyonCategory(nu=13).as_Symmetry(),
     'SU2_k3': sym.SU2_kAnyonCategory(3).as_Symmetry(),
+    'SU2_k3Right': sym.SU2_kAnyonCategory(3, handedness='right').as_Symmetry(),
     'ZNAnyon31': sym.ZNAnyonCategory(3, 1).as_Symmetry(),
     'Semion': sym.semion_category,
     'ToricCode': sym.toric_code_category,

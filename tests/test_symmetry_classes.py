@@ -244,3 +244,46 @@ def test_n_symbol_zero_for_invalid():
     assert fib.n_symbol(sec(0), sec(0), sec(1)) == 0
     su2 = S.SU2()
     assert su2.n_symbol(sec(1), sec(1), sec(1)) == 0  # half + half != half
+
+
+@pytest.mark.parametrize('nu', [1, 3, 5, 7, 9, 11, 13, 15])
+def test_ising_sixteenfold_way(nu):
+    """Kitaev's 16-fold way: twist(sigma) = exp(i pi nu / 8)
+    (reference test_symmetries.py:1200 parametrizes nu)."""
+    c = S.IsingAnyonCategory(nu=nu)
+    s = c.as_Symmetry()
+    sigma = np.array([1])
+    np.testing.assert_allclose(s.topological_twist(sigma),
+                               np.exp(1j * np.pi * nu / 8), atol=1e-12)
+    # nu and -nu are mirror images: conjugate twists
+    m = S.IsingAnyonCategory(nu=16 - nu).as_Symmetry()
+    np.testing.assert_allclose(m.topological_twist(sigma),
+                               np.conj(s.topological_twist(sigma)), atol=1e-12)
+    # quantum dimension of sigma is sqrt(2) in every grading
+    np.testing.assert_allclose(s.qdim(sigma), np.sqrt(2), atol=1e-12)
+
+
+def test_fibonacci_handedness_mirror():
+    """Left/right Fibonacci are mirror images: conjugated R symbols
+    (reference test_symmetries.py:1157 parametrizes handedness)."""
+    left = S.FibonacciAnyonCategory(handedness='left').as_Symmetry()
+    right = S.FibonacciAnyonCategory(handedness='right').as_Symmetry()
+    tau = np.array([1])
+    for c in ([0], [1]):
+        r_l = left.r_symbol(tau, tau, np.array(c))
+        r_r = right.r_symbol(tau, tau, np.array(c))
+        np.testing.assert_allclose(r_r, np.conj(r_l), atol=1e-12)
+    # F symbols are real and shared
+    np.testing.assert_allclose(
+        left.f_symbol(tau, tau, tau, tau, tau, tau),
+        right.f_symbol(tau, tau, tau, tau, tau, tau), atol=1e-12)
+
+
+def test_su2_k_handedness_mirror():
+    left = S.SU2_kAnyonCategory(3, handedness='left').as_Symmetry()
+    right = S.SU2_kAnyonCategory(3, handedness='right').as_Symmetry()
+    half = np.array([1])
+    for c in ([0], [2]):
+        np.testing.assert_allclose(right.r_symbol(half, half, np.array(c)),
+                                   np.conj(left.r_symbol(half, half, np.array(c))),
+                                   atol=1e-12)
