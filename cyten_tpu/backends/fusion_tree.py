@@ -785,20 +785,29 @@ class FusionTreeBackend(TensorBackend):
     # --- decompositions ---------------------------------------------------------------------------
 
     def _matched(self, a, new_leg):
+        """Yield ``(k, k_tp, i, j, block)`` per new-leg sector.
+
+        ``k`` indexes ``new_leg.sector_decomposition`` (DiagonalBlockData rows),
+        ``k_tp`` the same sector in ``TensorProduct([new_leg])`` — the index
+        space of the result tensors' BlockSparseData rows. The two orders
+        differ when ``new_leg`` is dual (dual_sorted vs sorted).
+        """
         cod = a.codomain
         dom = a.domain
+        tp_new = TensorProduct([new_leg])
         lookup = {tuple(r): n for n, r in enumerate(a.data.block_inds)}
         for k in range(new_leg.num_sectors):
             c = new_leg.sector_decomposition[k]
+            k_tp = _sector_index(tp_new, c)
             i = _sector_index(cod, c)
             j = _sector_index(dom, c)
             n = lookup.get((i, j))
-            yield k, i, j, (None if n is None else a.data.blocks[n])
+            yield k, k_tp, i, j, (None if n is None else a.data.blocks[n])
 
     def svd(self, a, new_leg, algorithm):
         bb = self.block_backend
         u_blocks, u_rows, s_blocks, s_rows, vh_blocks, vh_rows = [], [], [], [], [], []
-        for k, i, j, block in self._matched(a, new_leg):
+        for k, k_tp, i, j, block in self._matched(a, new_leg):
             m = int(a.codomain.multiplicities[i])
             n_ = int(a.domain.multiplicities[j])
             kdim = int(new_leg.multiplicities[k])
@@ -809,11 +818,11 @@ class FusionTreeBackend(TensorBackend):
             else:
                 u, s, vh = bb.matrix_svd(block, algorithm)
             u_blocks.append(u)
-            u_rows.append((i, k))
+            u_rows.append((i, k_tp))
             s_blocks.append(s)
             s_rows.append(k)
             vh_blocks.append(vh)
-            vh_rows.append((k, j))
+            vh_rows.append((k_tp, j))
         dtype = a.data.dtype
         return (BlockSparseData(u_blocks, np.array(u_rows, np.intp).reshape(-1, 2),
                                 dtype),
@@ -824,7 +833,7 @@ class FusionTreeBackend(TensorBackend):
     def qr(self, a, new_leg):
         bb = self.block_backend
         q_blocks, q_rows, r_blocks, r_rows = [], [], [], []
-        for k, i, j, block in self._matched(a, new_leg):
+        for k, k_tp, i, j, block in self._matched(a, new_leg):
             m = int(a.codomain.multiplicities[i])
             n_ = int(a.domain.multiplicities[j])
             kdim = int(new_leg.multiplicities[k])
@@ -834,9 +843,9 @@ class FusionTreeBackend(TensorBackend):
             else:
                 q, r = bb.matrix_qr(block)
             q_blocks.append(q)
-            q_rows.append((i, k))
+            q_rows.append((i, k_tp))
             r_blocks.append(r)
-            r_rows.append((k, j))
+            r_rows.append((k_tp, j))
         return (BlockSparseData(q_blocks, np.array(q_rows, np.intp).reshape(-1, 2),
                                 a.data.dtype),
                 BlockSparseData(r_blocks, np.array(r_rows, np.intp).reshape(-1, 2),
@@ -845,7 +854,7 @@ class FusionTreeBackend(TensorBackend):
     def lq(self, a, new_leg):
         bb = self.block_backend
         l_blocks, l_rows, q_blocks, q_rows = [], [], [], []
-        for k, i, j, block in self._matched(a, new_leg):
+        for k, k_tp, i, j, block in self._matched(a, new_leg):
             m = int(a.codomain.multiplicities[i])
             n_ = int(a.domain.multiplicities[j])
             kdim = int(new_leg.multiplicities[k])
@@ -855,9 +864,9 @@ class FusionTreeBackend(TensorBackend):
             else:
                 l, q = bb.matrix_lq(block)
             l_blocks.append(l)
-            l_rows.append((i, k))
+            l_rows.append((i, k_tp))
             q_blocks.append(q)
-            q_rows.append((k, j))
+            q_rows.append((k_tp, j))
         return (BlockSparseData(l_blocks, np.array(l_rows, np.intp).reshape(-1, 2),
                                 a.data.dtype),
                 BlockSparseData(q_blocks, np.array(q_rows, np.intp).reshape(-1, 2),
@@ -866,7 +875,7 @@ class FusionTreeBackend(TensorBackend):
     def eigh(self, a, new_leg, sort):
         bb = self.block_backend
         w_blocks, w_rows, v_blocks, v_rows = [], [], [], []
-        for k, i, j, block in self._matched(a, new_leg):
+        for k, k_tp, i, j, block in self._matched(a, new_leg):
             m = int(a.codomain.multiplicities[i])
             if block is None:
                 w = bb.zeros((m,), a.data.dtype.to_real)
@@ -877,7 +886,7 @@ class FusionTreeBackend(TensorBackend):
             w_blocks.append(w)
             w_rows.append(k)
             v_blocks.append(v)
-            v_rows.append((i, k))
+            v_rows.append((i, k_tp))
         return (DiagonalBlockData(w_blocks, np.array(w_rows, np.intp),
                                   a.data.dtype.to_real),
                 BlockSparseData(v_blocks, np.array(v_rows, np.intp).reshape(-1, 2),
@@ -936,15 +945,28 @@ class FusionTreeBackend(TensorBackend):
 
     def diagonal_data_from_full_tensor(self, a, check_offdiagonal):
         bb = self.block_backend
-        blocks = [bb.get_diagonal(b, check_offdiagonal) for b in a.data.blocks]
-        block_inds = a.data.block_inds[:, 0]
-        return DiagonalBlockData(blocks, block_inds, a.data.dtype, is_sorted=True)
+        # full-tensor rows index TensorProduct([leg]); DiagonalBlockData rows
+        # index the LEG's own order — remap (differs for dual legs)
+        leg = a.codomain.factors[0]
+        blocks, idcs = [], []
+        for b, (i, _) in zip(a.data.blocks, a.data.block_inds):
+            c = a.codomain.sector_decomposition[int(i)]
+            blocks.append(bb.get_diagonal(b, check_offdiagonal))
+            idcs.append(_sector_index(leg, c))
+        return DiagonalBlockData(blocks, np.array(idcs, np.intp), a.data.dtype)
 
     def full_data_from_diagonal_tensor(self, a):
         bb = self.block_backend
-        blocks = [bb.block_from_diagonal(b) for b in a.data.blocks]
-        block_inds = np.repeat(a.data.block_inds[:, None], 2, axis=1)
-        return BlockSparseData(blocks, block_inds, a.data.dtype, is_sorted=True)
+        # diagonal data rows index the LEG's sector order; BlockSparseData rows
+        # index TensorProduct([leg]) — these differ for dual legs
+        tp = TensorProduct([a.leg])
+        blocks, rows = [], []
+        for b, k in zip(a.data.blocks, a.data.block_inds):
+            k_tp = _sector_index(tp, a.leg.sector_decomposition[int(k)])
+            blocks.append(bb.block_from_diagonal(b))
+            rows.append((k_tp, k_tp))
+        bi = np.array(rows, np.intp).reshape((len(blocks), 2))
+        return BlockSparseData(blocks, bi, a.data.dtype)
 
     def diagonal_elementwise_unary(self, a, func, func_kwargs, maps_zero_to_zero):
         from .abelian import AbelianBackend
