@@ -21,6 +21,15 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# persistent XLA compilation cache: the suite is dominated by jit compiles of
+# DMRG/TDVP bond programs; re-runs hit the cache and take minutes, not ~45 min
+_cache_dir = os.path.join(os.path.dirname(__file__), '.jax_cache')
+try:
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+except Exception:
+    pass  # older jax without the knob: run uncached
+
 import numpy as np
 import pytest
 

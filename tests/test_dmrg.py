@@ -240,7 +240,7 @@ def test_charged_correlation_fermions():
 
     psi = SimpleMPS.from_product_state([site.leg] * L, [1, 0] * (L // 2),
                                        backend=site.backend)
-    DMRGEngine(psi, FermionChain(), chi_max=24, eps=1e-13).run(n_sweeps=10)
+    DMRGEngine(psi, FermionChain(), chi_max=24, eps=1e-13).run(n_sweeps=6)
     k = np.arange(1, L + 1)
     eps = -2 * t_hop * np.cos(np.pi * k / (L + 1))
     phi = np.sqrt(2.0 / (L + 1)) * np.sin(

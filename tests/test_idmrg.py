@@ -235,12 +235,12 @@ def test_multicell_idmrg_mesh_option():
     from cyten_tpu.algorithms.idmrg import MultiCellIDMRGEngine
     from cyten_tpu.parallel import make_mesh
 
-    m4 = HeisenbergModel(L=4, conserve='Sz', bc='infinite',
+    m4 = HeisenbergModel(L=2, conserve='Sz', bc='infinite',
                          block_backend='jax')
     kw = dict(chi_max=8, eps=1e-12, n_inner_sweeps=1)
-    psi_a = SimpleMPS.from_product_state(m4.site_legs, [0, 1, 0, 1],
+    psi_a = SimpleMPS.from_product_state(m4.site_legs, [0, 1],
                                          backend=m4.backend, bc='infinite')
-    psi_b = SimpleMPS.from_product_state(m4.site_legs, [0, 1, 0, 1],
+    psi_b = SimpleMPS.from_product_state(m4.site_legs, [0, 1],
                                          backend=m4.backend, bc='infinite')
     eng_plain = MultiCellIDMRGEngine(psi_a, m4, **kw)
     eng_mesh = MultiCellIDMRGEngine(psi_b, m4, mesh=make_mesh(8), **kw)

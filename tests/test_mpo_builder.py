@@ -91,7 +91,7 @@ def test_fermionic_long_range_jw():
     from cyten_tpu.models.couplings import hopping
     from cyten_tpu.models.sites import SpinlessFermionSite
 
-    L, t1, t2 = 8, 1.0, 0.6
+    L, t1, t2 = 6, 1.0, 0.6
     site = SpinlessFermionSite('N')
     h1 = hopping([site, site], t=t1).to_tensor()
     h2 = hopping([site, site], t=t2).to_tensor()
@@ -113,7 +113,7 @@ def test_fermionic_long_range_jw():
     state = [1] * N0 + [0] * (L - N0)
     psi = SimpleMPS.from_product_state([site.leg] * L, state,
                                        backend=site.backend)
-    E = DMRGEngine(psi, _MpoModel(mpo), chi_max=48, eps=1e-13).run(n_sweeps=12)
+    E = DMRGEngine(psi, _MpoModel(mpo), chi_max=32, eps=1e-13).run(n_sweeps=8)
     assert abs(E - E_exact) < 1e-9
 
 
@@ -318,7 +318,7 @@ def test_coupling_model_long_range():
     from cyten_tpu.models.sites import SpinHalfSite
     from cyten_tpu.models.tenpy_models import CouplingModel
 
-    L = 8
+    L = 6
     sites = [SpinHalfSite(conserve='Sz') for _ in range(L)]
     m = CouplingModel(sites)
     for i in range(L - 1):
@@ -332,5 +332,5 @@ def test_coupling_model_long_range():
                                        [i % 2 for i in range(L)],
                                        backend=sites[0].backend)
     E = DMRGEngine(psi, _MpoModel(m.build_H_mpo()), chi_max=24,
-                   eps=1e-12).run(n_sweeps=8)
+                   eps=1e-12).run(n_sweeps=6)
     assert abs(E - (-0.75 * (L // 2))) < 1e-8
