@@ -102,10 +102,12 @@ def assert_matches_generic(res, expect, atol=1e-10):
                         rtol=1e-8, atol=atol)
 
 
-@pytest.fixture
-def leg(any_symmetry, np_random):
+@pytest.fixture(params=[False, True], ids=['ket', 'bra'])
+def leg(request, any_symmetry, np_random):
+    # dual (bra) legs exercise the leg-order vs coupled-order index remapping
+    # in the fusion-tree backend (dual_sorted vs sorted decompositions)
     return random_space(any_symmetry, np_random, max_sectors=3, max_mult=3,
-                        is_dual=False)
+                        is_dual=request.param)
 
 
 # --- single-tensor ops over all classes -------------------------------------------
