@@ -164,10 +164,13 @@ class TensorBackend(metaclass=ABCMeta):
     @abstractmethod
     def permute_legs(self, a: SymmetricTensor, codomain_idcs: list[int],
                      domain_idcs: list[int], levels: list[int] | None,
-                     new_codomain: TensorProduct, new_domain: TensorProduct
-                     ) -> Data | None:
+                     new_codomain: TensorProduct, new_domain: TensorProduct,
+                     bend_right: bool | None = None) -> Data | None:
         """Braid/bend legs. idcs refer to ``a.legs`` positions; domain_idcs in new
         domain order (i.e. ``new_domain[k] ~ a.legs[domain_idcs[k]]``).
+        `bend_right` picks the side legs bend around (True/False = strictly
+        right/left, reference _tensors.py:5524-5536; None = the backend's planar
+        default: the shorter rotation). Only matters for non-symmetric braiding.
         Returns None if levels are required but not given."""
         ...
 

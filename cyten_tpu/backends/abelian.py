@@ -607,7 +607,7 @@ class AbelianBackend(TensorBackend):
                     else bb.add(accum[oid], part)
 
     def permute_legs(self, a, codomain_idcs, domain_idcs, levels, new_codomain,
-                     new_domain):
+                     new_domain, bend_right=None):
         # trivial braid: pure transpose + column permutation (cf. abelian.py:1699-1714)
         perm = list(codomain_idcs) + list(domain_idcs)[::-1]
         blocks = [self.block_backend.permute_axes(b, perm) for b in a.data.blocks]

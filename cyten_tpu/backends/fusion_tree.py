@@ -651,12 +651,13 @@ class FusionTreeBackend(TensorBackend):
     # --- permute_legs (braids & bends) ----------------------------------------------------------
 
     def permute_legs(self, a, codomain_idcs, domain_idcs, levels, new_codomain,
-                     new_domain):
+                     new_domain, bend_right=None):
         from .tree_moves import permute_legs_plan
 
         key_levels = None if levels is None else tuple(levels)
         plan = permute_legs_plan(a.codomain, a.domain, tuple(codomain_idcs),
-                                 tuple(domain_idcs), key_levels)
+                                 tuple(domain_idcs), key_levels,
+                                 bend_right=bend_right)
         if plan is None:
             return None  # levels required
         return self._apply_plan(a, plan, new_codomain, new_domain)

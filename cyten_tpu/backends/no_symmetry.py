@@ -102,7 +102,7 @@ class NoSymmetryBackend(TensorBackend):
         return DenseData(block, Dtype.common(a.data.dtype, b.data.dtype))
 
     def permute_legs(self, a, codomain_idcs, domain_idcs, levels, new_codomain,
-                     new_domain):
+                     new_domain, bend_right=None):
         perm = list(codomain_idcs) + list(domain_idcs)[::-1]
         block = self.block_backend.permute_axes(a.data.block, perm)
         return DenseData(block, a.data.dtype)

@@ -14,10 +14,18 @@ backend applies as dense on-device ops. Plans are memoized on the
 sweeps) reuse them.
 
 Move conventions (tensor ``T = sum block[Y, X] hconj(Y) ∘ X``; Y = codomain tree,
-X = domain tree):
+X = domain tree). ``over`` always means: the plane-LEFT strand of the exchanged
+pair passes in front (which the level rule translates to "the higher level goes
+over", reference _tensors.py:5519-5537):
 
-- domain braid (legs j, j+1 of the domain, ``over`` = leg j over leg j+1):
-  ``T' = T ∘ B``, i.e. ``X -> X.braid(j, over)``.
+- domain braid (plane-adjacent domain factors j, j+1): ``T' = T ∘ B``, i.e.
+  ``X -> X.braid(j, not over)`` — the tree-level ``overbraid`` flag is mirrored
+  relative to the plane-level chirality, exactly like for codomain trees below.
+  Pinned amplitude-by-amplitude against the reference implementation
+  (tests/test_ref_oracle_braiding.py); with the un-mirrored flag, a codomain
+  crossing and a domain crossing of the same pair at the same heights do NOT
+  cancel, which breaks every braid-and-bend roundtrip
+  (tests/test_ftb_structure.py::test_long_range_braid_roundtrip).
 - codomain braid: ``T' = B ∘ T`` and ``B ∘ hconj(Y) = hconj(Y ∘ B^dagger)``, i.e.
   ``Y -> Y.braid(j, not over, do_conj=True)`` (the vertical mirror flips chirality).
 - right bends: ``FusionTree.bend_leg`` moves the last domain leg up
@@ -40,10 +48,11 @@ __all__ = ['permute_legs_plan', 'PermutePlan', 'PlanEntry']
 
 CUTOFF = 1e-16
 
-# chirality of the domain braids inside the left-bend composites ("the moving leg
-# passes in front"; the tree-level flag mirrors for domain trees). Validated by the
-# planar rotation-roundtrip and double-transpose identities on Fibonacci tensors
-# and by the golden-chain benchmark energies.
+# chirality of the domain braids inside the left-bend composites (False = "the
+# moving leg passes in front", in the plane-level `over` convention of
+# _moves_factory). Validated by the planar rotation-roundtrip and double-transpose
+# identities on Fibonacci tensors, the golden-chain benchmark energies, and the
+# two-convention coherence test (test_fusion_tree_backend.py::test_lb_dm_chirality).
 _LB_DM = False
 
 
@@ -176,7 +185,8 @@ def _moves_factory(sym):
     def braid_domain(j, over):
         def fn(pair):
             Y, X = pair
-            return {(Y, X2): c for X2, c in X.braid(j, overbraid=over).items()}
+            return {(Y, X2): c
+                    for X2, c in X.braid(j, overbraid=not over).items()}
 
         return fn
 
@@ -222,15 +232,22 @@ def _moves_factory(sym):
 
 def permute_legs_plan(codomain: TensorProduct, domain: TensorProduct,
                       codomain_idcs: tuple, domain_idcs: tuple,
-                      levels: tuple | None) -> PermutePlan | None:
+                      levels: tuple | None,
+                      bend_right: bool | None = None) -> PermutePlan | None:
     """Compute (and cache) the permutation plan. Returns None if levels are
-    required (non-symmetric braiding with actual crossings) but not given."""
+    required (non-symmetric braiding with actual crossings) but not given.
+
+    ``bend_right=True/False`` forces every bend onto the right/left side of the
+    tensor (reference _tensors.py:5524-5536); ``None`` leaves the side to the
+    planner (shorter planar rotation — crossing-free, the anyon-friendly
+    default)."""
     return _cached_plan(codomain, domain, tuple(codomain_idcs), tuple(domain_idcs),
-                        levels)
+                        levels, bend_right)
 
 
 @functools.lru_cache(maxsize=512)
-def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
+def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels,
+                 bend_right=None):
     sym = codomain.symmetry
     K = codomain.num_factors
     n = K + domain.num_factors
@@ -318,14 +335,14 @@ def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
             do_braid_cod(j, over=True)  # moving leg (at j) goes in front
         do_bend_down()
         for j in range(len(dom_tags) - 2, -1, -1):
-            do_braid_dom(j, over=not _LB_DM)  # moving leg at j + 1 in front
+            do_braid_dom(j, over=_LB_DM)  # moving leg at j + 1 in front
 
     def do_bend_up_left():
         """dom_0 -> cod_0: twist the leg, slide it in front of everything around the
         right side (cf. reference fusion_tree_backend.py:2936-2941)."""
         moves.append(twist_domain_first(overtwist=False))
         for j in range(0, len(dom_tags) - 1):
-            do_braid_dom(j, over=_LB_DM)  # moving leg (at j) in front
+            do_braid_dom(j, over=not _LB_DM)  # moving leg (at j) in front
         do_bend_up()
         for j in range(len(cod_tags) - 2, -1, -1):
             do_braid_cod(j, over=False)  # moving leg at j + 1 in front
@@ -351,6 +368,14 @@ def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
         if start is not None and flat_new_order == [
                 circ_old[(start + k) % n_flat] for k in range(n_flat)]:
             rot = start
+    if rot is not None and bend_right is not None and not symmetric \
+            and not (bend_right is True and rot == 0):
+        # an explicit bend side was requested: the planar rotation would wrap
+        # legs around whichever edge is shorter, so only take it when that
+        # matches (rot == 0 walks only the right-edge cut = pure right bends).
+        # A nonzero rotation realized with only `bend_right`-side bends needs
+        # braids instead (crossings as drawn) -> route through the general path.
+        rot = None
     if rot is not None:
         K_new = len(target_cod)
         # choose the shorter rotation direction; walk the two boundary cuts
@@ -372,6 +397,32 @@ def _cached_plan(codomain, domain, codomain_idcs, domain_idcs, levels):
                 left -= 1
             else:  # pragma: no cover
                 raise RuntimeError('planar routing stuck')
+    elif bend_right is False and not symmetric:
+        # all-LEFT bends: mirror of the right route below — move legs to the
+        # plane-left end of their side, then bend around the left edge (the
+        # left composites include the twist; see do_bend_*_left).
+        to_dom = set(target_dom)
+        while any(t in to_dom for t in cod_tags):
+            idx = min(i for i, t in enumerate(cod_tags) if t in to_dom)
+            for j in range(idx - 1, -1, -1):
+                do_braid_cod(j)
+            do_bend_down_left()
+        to_cod = set(target_cod)
+        while any(t in to_cod for t in dom_tags):
+            idx = min(i for i, t in enumerate(dom_tags) if t in to_cod)
+            for j in range(idx - 1, -1, -1):
+                do_braid_dom(j)
+            do_bend_up_left()
+        want = {t: i for i, t in enumerate(target_cod)}
+        for i in range(len(cod_tags)):
+            for j in range(len(cod_tags) - 1):
+                if want[cod_tags[j]] > want[cod_tags[j + 1]]:
+                    do_braid_cod(j)
+        want = {t: i for i, t in enumerate(target_dom)}
+        for i in range(len(dom_tags)):
+            for j in range(len(dom_tags) - 1):
+                if want[dom_tags[j]] > want[dom_tags[j + 1]]:
+                    do_braid_dom(j)
     else:
         # 1) move codomain legs that belong in the domain: rightmost first
         to_dom = set(target_dom)

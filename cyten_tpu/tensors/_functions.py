@@ -103,8 +103,19 @@ def permute_legs(tensor: Tensor, codomain=None, domain=None, levels=None,
                                  symmetry=tensor.symmetry)
     new_domain = TensorProduct([tensor._as_domain_leg(i) for i in domain],
                                symmetry=tensor.symmetry)
+    if bend_right is not None and not isinstance(bend_right, bool):
+        # reference also allows per-leg lists/dicts (_tensors.py:5524-5536); we
+        # support a uniform side choice — accept per-leg formats when consistent
+        vals = (set(bend_right.values()) if isinstance(bend_right, dict)
+                else set(bend_right)) - {None}
+        if len(vals) > 1:
+            raise NotImplementedError('per-leg mixed bend_right is not supported; '
+                                      'use a single bool (or None for the planar '
+                                      'shortest-rotation default)')
+        bend_right = vals.pop() if vals else None
     data = tensor.backend.permute_legs(tensor, codomain, domain, levels,
-                                       new_codomain, new_domain)
+                                       new_codomain, new_domain,
+                                       bend_right=bend_right)
     if data is None:
         raise SymmetryError('need levels for non-symmetric braiding')
     labels = [tensor._labels[i] for i in codomain] \

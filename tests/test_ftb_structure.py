@@ -1,0 +1,228 @@
+"""Structural-invariance batteries for the fusion-tree backend.
+
+Ports the reference's large consistency suites
+(reference tests/python_tests/backends/test_fusion_tree_backend.py:1736-1960):
+
+- bending a leg up and down (or down and up) is trivial, also for multiple legs
+  (`assert_bending_up_and_down_trivial`),
+- bending commutes with `scale_axis` (`assert_bending_and_scale_axis_commutation`),
+- braiding commutes with `scale_axis` on both strands
+  (`assert_braiding_and_scale_axis_commutation`),
+- clockwise then counterclockwise exchange is trivial, per neighboring pair
+  (`assert_clockwise_counterclockwise_trivial`, incl. the long-range variant with a
+  random permutation and its inverse),
+- repeating the SAME chirality exchange `repeat` times is trivial, where `repeat`
+  is the order of the relevant R symbols (`assert_repeated_braids_trivial`),
+- crossing-pair partial traces with levels agree with an independent
+  permute-to-adjacency route (`cross_check_partial_trace`).
+
+All identities are convention-independent, hold for every theory, and pin exactly
+the coefficient paths (B/C symbols, bends, twists) the reference pins with
+hand-computed actions.
+"""
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import DiagonalTensor, Dtype, ElementarySpace, SymmetricTensor
+from cyten_tpu import symmetries as sym
+
+
+def _theories():
+    fib = sym.fibonacci_anyon_category
+    ising = sym.ising_anyon_category
+    fib_u1 = sym.FibonacciAnyonCategory() * sym.U1()
+    out = {
+        # name: (symmetry, leg, order of the braid generator on that leg)
+        'SU2': (ct.su2_symmetry,
+                ElementarySpace(ct.su2_symmetry, [[0], [1]], [2, 1]), 2),
+        'FermionParity': (sym.fermion_parity,
+                          ElementarySpace(sym.fermion_parity, [[0], [1]], [1, 2]),
+                          2),
+        'Fibonacci': (fib, ElementarySpace(fib, [[0], [1]], [1, 2]), 10),
+        'Ising': (ising, ElementarySpace(ising, [[0], [1], [2]], [1, 1, 1]), 16),
+        'FibU1': (fib_u1,
+                  ElementarySpace(fib_u1, [[1, -1], [0, 0], [1, 1]], [1, 1, 1]),
+                  10),
+    }
+    return out
+
+
+@pytest.fixture(params=list(_theories()), ids=list(_theories()))
+def theory_setup(request, np_random):
+    s, V, repeat = _theories()[request.param]
+    be = ct.get_backend(s, block_backend='numpy')
+    T = SymmetricTensor.from_random_normal(
+        [V, V], [V, V], backend=be, labels=['a', 'b', 'c', 'd'],
+        dtype=Dtype.complex128, rng=np_random)
+    assert len(T.data.blocks) > 0
+    return s, T, repeat
+
+
+def _swap_legs(T, i, levels):
+    """Exchange legs i, i+1 (legs order), keeping the codomain/domain split."""
+    perm = list(range(T.num_legs))
+    perm[i], perm[i + 1] = perm[i + 1], perm[i]
+    K = T.num_codomain_legs
+    return ct.permute_legs(T, codomain=perm[:K], domain=perm[K:][::-1],
+                           levels=None if levels is None else list(levels))
+
+
+def _norm_diff(A, B):
+    return float(ct.norm(A + (-1.) * B.set_labels(A.labels)))
+
+
+def test_bend_up_down_trivial(theory_setup):
+    """Bending k legs down then up (and up then down) is the identity, for every
+    k up to the full (co)domain (reference :1774-1815, multiple=True)."""
+    s, T, _ = theory_setup
+    nT = float(ct.norm(T))
+    K = T.num_codomain_legs
+    for k in range(1, T.num_domain_legs + 1):
+        up = ct.bend_legs(T, num_codomain_legs=K + k)
+        up.test_sanity()
+        back = ct.bend_legs(up, num_codomain_legs=K)
+        assert _norm_diff(back, T) < 1e-10 * nT, ('up/down', k)
+    for k in range(1, K + 1):
+        down = ct.bend_legs(T, num_codomain_legs=K - k)
+        down.test_sanity()
+        back = ct.bend_legs(down, num_codomain_legs=K)
+        assert _norm_diff(back, T) < 1e-10 * nT, ('down/up', k)
+
+
+def test_bend_scale_axis_commutation(theory_setup, np_random):
+    """scale_axis on the moving leg commutes with bending it (reference :1736)."""
+    s, T, _ = theory_setup
+    nT = float(ct.norm(T))
+    K = T.num_codomain_legs
+    for bend_down in (True, False):
+        # the moving leg: last codomain factor (down) / last domain factor (up)
+        label = T.labels[K - 1] if bend_down else T.labels[K]
+        leg = T.get_leg_co_domain(T.get_leg_idx(label))
+        diag = DiagonalTensor.from_random_uniform(
+            leg, backend=T.backend, dtype=T.dtype, rng=np_random)
+        new_K = K - 1 if bend_down else K + 1
+        A = ct.bend_legs(ct.scale_axis(T, diag, label), num_codomain_legs=new_K)
+        B = ct.scale_axis(ct.bend_legs(T, num_codomain_legs=new_K), diag, label)
+        assert _norm_diff(A, B) < 1e-10 * max(nT, 1e-300), ('bend_down', bend_down)
+
+
+def test_braid_scale_axis_commutation(theory_setup, np_random):
+    """scale_axis on both strands commutes with exchanging them (reference :1816):
+    scaling by label before or after the exchange gives the same tensor."""
+    s, T, _ = theory_setup
+    nT = float(ct.norm(T))
+    levels = None if s.has_symmetric_braid else [2, 0, 3, 1]
+    K = T.num_codomain_legs
+    for i in range(T.num_legs - 1):
+        if i == K - 1:
+            continue  # exchanging across the codomain/domain boundary is a bend
+        la, lb = T.labels[i], T.labels[i + 1]
+        diag_a = DiagonalTensor.from_random_uniform(
+            T.get_leg_co_domain(i), backend=T.backend, dtype=T.dtype,
+            rng=np_random)
+        diag_b = DiagonalTensor.from_random_uniform(
+            T.get_leg_co_domain(i + 1), backend=T.backend, dtype=T.dtype,
+            rng=np_random)
+        A = _swap_legs(ct.scale_axis(ct.scale_axis(T, diag_a, la), diag_b, lb),
+                       i, levels)
+        B_ = _swap_legs(T, i, levels)
+        B = ct.scale_axis(ct.scale_axis(B_, diag_a, la), diag_b, lb)
+        assert _norm_diff(A, B) < 1e-10 * max(nT, 1e-300), ('pair', i)
+
+
+def test_clockwise_counterclockwise_trivial(theory_setup):
+    """Exchange a neighboring pair then exchange back with the strand heights
+    following the legs => identity, for every pair (reference :1852)."""
+    s, T, _ = theory_setup
+    nT = float(ct.norm(T))
+    K = T.num_codomain_legs
+    for levels in ([0, 1, 2, 3], [3, 1, 2, 0]):
+        lv = None if s.has_symmetric_braid else levels
+        for i in range(T.num_legs - 1):
+            if i == K - 1:
+                continue
+            P = _swap_legs(T, i, lv)
+            P.test_sanity()
+            lv2 = None
+            if lv is not None:
+                lv2 = list(lv)
+                lv2[i], lv2[i + 1] = lv2[i + 1], lv2[i]
+            back = _swap_legs(P, i, lv2)
+            assert _norm_diff(back, T) < 1e-10 * nT, ('pair', i, levels)
+
+
+def test_long_range_braid_roundtrip(theory_setup, np_random):
+    """A random full permutation followed by its inverse (heights following the
+    legs, bend_right fixed) is the identity (reference :1872-1894)."""
+    s, T, _ = theory_setup
+    nT = float(ct.norm(T))
+    n = T.num_legs
+    for _ in range(3):
+        levels = list(np_random.permutation(n))
+        permutation = list(np_random.permutation(n))
+        inv_permutation = [permutation.index(i) for i in range(n)]
+        inv_levels = [levels[i] for i in permutation]
+        num_codomain = int(np_random.integers(n + 1))
+        lv = None if s.has_symmetric_braid else levels
+        ilv = None if s.has_symmetric_braid else inv_levels
+        P = ct.permute_legs(T, codomain=permutation[:num_codomain],
+                            domain=permutation[num_codomain:][::-1],
+                            levels=lv, bend_right=True)
+        P.test_sanity()
+        back = ct.permute_legs(
+            P, codomain=inv_permutation[:T.num_codomain_legs],
+            domain=inv_permutation[T.num_codomain_legs:][::-1],
+            levels=ilv, bend_right=True)
+        assert _norm_diff(back, T) < 1e-10 * nT, (permutation, num_codomain)
+
+
+def test_repeated_braids_trivial(theory_setup):
+    """Exchanging the same pair with FIXED heights `repeat` times is the identity,
+    where `repeat` is the order of the R symbols of the theory (reference :1895):
+    2 for symmetric braids, 10 for Fibonacci (r = e^{+-4 pi i/5}, e^{-+3 pi i/5}),
+    16 for Ising (r = e^{-i pi/8} and e^{3 i pi/8} on the sigma-sigma channels)."""
+    s, T, repeat = theory_setup
+    nT = float(ct.norm(T))
+    K = T.num_codomain_legs
+    levels = None if s.has_symmetric_braid else [0, 1, 2, 3]
+    for i in range(T.num_legs - 1):
+        if i == K - 1:
+            continue
+        P = T
+        for _ in range(repeat):
+            P = _swap_legs(P, i, levels)
+        assert _norm_diff(P, T) < 1e-9 * nT, ('pair', i)
+        if repeat > 2:
+            # and no smaller even power is trivial (pins that the braid is real)
+            P2 = _swap_legs(_swap_legs(T, i, levels), i, levels)
+            assert _norm_diff(P2, T) > 1e-3 * nT, ('pair', i)
+
+
+def test_partial_trace_crossing_cross_check(theory_setup, np_random):
+    """Crossing-pair partial traces with explicit levels agree with an
+    independent route: permute the paired legs to adjacency with the same
+    heights, then trace planar adjacent pairs (reference cross_check at :1920)."""
+    s, T, _ = theory_setup
+    V = T.codomain.factors[0]
+    # legs [V, V, V*, V*]: domain [W, V] with W = V makes pairs (0,2),(1,3) valid
+    be = T.backend
+    A = SymmetricTensor.from_random_normal(
+        [V, V], [V, V], backend=be, labels=['a', 'b', 'b*', 'a*'],
+        dtype=Dtype.complex128, rng=np_random)
+    # legs == [a, b, b*, a*]; (0,3) and (1,2) are nested; (0,2),(1,3) cross
+    for levels in ([0, 1, 2, 3], [3, 2, 1, 0], [1, 3, 0, 2]):
+        lv = None if s.has_symmetric_braid else levels
+        try:
+            direct = ct.partial_trace(A, (0, 2), (1, 3), levels=lv)
+        except sym.SymmetryError:
+            pytest.skip('crossing pairs unsupported for this theory')
+        # independent route: braid leg 1 over/under leg 2 (same heights) to get
+        # [a, b*, b, a*]; wait -- bring pairs adjacent as [a, a*][b, b*] instead:
+        # permute to codomain [0, 2], domain [3, 1]  => legs [a, b*, b, a*]
+        P = ct.permute_legs(A, codomain=[0, 2], domain=[3, 1], levels=lv)
+        # now (0,1) and (2,3) are disjoint adjacent pairs: planar, no levels
+        via = ct.partial_trace(P, (0, 1), (2, 3))
+        assert abs(complex(direct) - complex(via)) \
+            < 1e-10 * max(1., abs(complex(via))), levels

@@ -28,5 +28,17 @@ def test_compose_plan_matches_fallback():
 
 
 def test_native_built():
-    # the repo ships with the built extension; make the smoke test loud if missing
+    """The built extension is not tracked in git (build artifact); build it on
+    demand so a fresh checkout exercises the native path too."""
+    if not _native.HAS_NATIVE:
+        import pathlib
+        import subprocess
+        import sys
+
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        subprocess.run([sys.executable, 'setup.py', 'build_ext', '--inplace'],
+                       cwd=repo, check=True, capture_output=True, timeout=600)
+        import importlib
+
+        importlib.reload(_native)
     assert _native.HAS_NATIVE

@@ -1,0 +1,169 @@
+"""Amplitude-level braiding oracle: anyonic ops compared against the REFERENCE.
+
+Anyonic tensors have no dense representation, so per-op testing cannot use the
+dense-numpy oracle. Here we use the reference implementation itself: tensors are
+built with identical sector-block data on both sides (``from_sector_block_func``
+with a seeded generator), the same op is applied with identical arguments, and the
+per-coupled-sector blocks are compared entry by entry. This pins the absolute
+chirality conventions (codomain vs domain braids, bends, twists) that
+convention-independent identities (R2, Yang-Baxter, link invariants) cannot see —
+it is what caught the domain-braid chirality inversion fixed in
+backends/tree_moves.py (see the module docstring there).
+
+Block layouts agree because both implementations use the same storage spec
+(reference fusion_tree_backend.py:1-78): one matrix per coupled sector, rows/cols
+enumerated by (uncoupled sectors, tree) in fusion_trees order x multiplicities.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import cyten_tpu as ct
+from cyten_tpu import symmetries as sym
+
+
+@pytest.fixture(scope='module')
+def ref():
+    try:
+        if 'cyten' not in sys.modules:
+            sys.path.insert(0, '/root/reference')
+            core = types.ModuleType('cyten._core')
+            core.add = lambda i, j: i + j
+            core.__all__ = ['add']
+            sys.modules['cyten._core'] = core
+        import cyten
+
+        return cyten
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f'reference unavailable: {e}')
+
+
+_THEORIES = {
+    'Fibonacci': ('fibonacci_anyon_category', [[0], [1]], [1, 2]),
+    'Ising': ('ising_anyon_category', [[0], [1], [2]], [2, 1, 1]),
+}
+
+
+@pytest.fixture(params=list(_THEORIES), ids=list(_THEORIES))
+def pair_setup(request, ref, np_random):
+    name, sectors, mults = _THEORIES[request.param]
+    s = getattr(sym, name)
+    rs = getattr(ref, name)
+    V = ct.ElementarySpace(s, sectors, mults)
+    rV = ref.ElementarySpace(rs, sectors, mults)
+    be = ct.get_backend(s, block_backend='numpy')
+    rbe = ref.get_backend(rs, block_backend='numpy')
+
+    def make(n_cod, n_dom, seed=0):
+        def f(shape, coupled):
+            r = np.random.default_rng(
+                (seed, int(np.sum(np.asarray(coupled))), *shape))
+            return r.standard_normal(shape) + 1j * r.standard_normal(shape)
+
+        T = ct.SymmetricTensor.from_sector_block_func(
+            f, [V] * n_cod, [V] * n_dom, backend=be)
+        rT = ref.SymmetricTensor.from_sector_block_func(
+            f, codomain=[rV] * n_cod, domain=[rV] * n_dom, backend=rbe)
+        assert_same_blocks(T, rT)  # construction itself must agree
+        return T, rT
+
+    return make
+
+
+def blocks_dict(t):
+    out = {}
+    for bi, b in zip(t.data.block_inds, t.data.blocks):
+        c = t.codomain.sector_decomposition[bi[0]]
+        out[tuple(int(x) for x in c)] = np.asarray(b)
+    return out
+
+
+def assert_same_blocks(mine, theirs, atol=1e-12, msg=''):
+    dm, dr = blocks_dict(mine), blocks_dict(theirs)
+    # zero blocks may be pruned on either side
+    for k in set(dm) | set(dr):
+        a = dm.get(k)
+        b = dr.get(k)
+        if a is None:
+            assert np.allclose(b, 0, atol=atol), (msg, k)
+        elif b is None:
+            assert np.allclose(a, 0, atol=atol), (msg, k)
+        else:
+            assert a.shape == b.shape, (msg, k, a.shape, b.shape)
+            np.testing.assert_allclose(a, b, atol=atol, err_msg=f'{msg} {k}')
+
+
+def test_elementary_braids_vs_reference(ref, pair_setup):
+    """Adjacent swaps in codomain and domain, both chiralities."""
+    for lv in ([0, 1, 2], [1, 0, 2], [2, 0, 1]):
+        T, rT = pair_setup(2, 1)
+        mine = ct.permute_legs(T, codomain=[1, 0], domain=[2], levels=lv)
+        theirs = ref.permute_legs(rT, codomain=[1, 0], domain=[2], levels=lv)
+        assert_same_blocks(mine, theirs, msg=f'cod swap {lv}')
+    for lv in ([0, 1, 2], [0, 2, 1], [2, 1, 0]):
+        T, rT = pair_setup(1, 2)
+        # domain arg in factor order; current factor order is [2, 1] -> swap
+        mine = ct.permute_legs(T, codomain=[0], domain=[1, 2], levels=lv)
+        theirs = ref.permute_legs(rT, codomain=[0], domain=[1, 2], levels=lv)
+        assert_same_blocks(mine, theirs, msg=f'dom swap {lv}')
+
+
+def test_bends_vs_reference(ref, pair_setup):
+    for n_cod, n_dom, new_K in [(2, 1, 1), (2, 1, 3), (1, 2, 2), (1, 2, 0),
+                                (2, 2, 4), (2, 2, 0)]:
+        T, rT = pair_setup(n_cod, n_dom)
+        mine = ct.bend_legs(T, num_codomain_legs=new_K)
+        theirs = ref.bend_legs(rT, num_codomain_legs=new_K)
+        assert_same_blocks(mine, theirs, msg=f'bend {n_cod}+{n_dom}->{new_K}')
+
+
+def test_random_permutations_vs_reference(ref, pair_setup, np_random):
+    """Full permute_legs with braids AND bends, random levels, bend_right."""
+    T, rT = pair_setup(2, 2)
+    n = 4
+    for trial in range(8):
+        perm = list(int(x) for x in np_random.permutation(n))
+        k = int(np_random.integers(n + 1))
+        levels = list(int(x) for x in np_random.permutation(n))
+        cod, dom = perm[:k], perm[k:][::-1]
+        mine = ct.permute_legs(T, codomain=cod, domain=dom, levels=levels,
+                               bend_right=True)
+        theirs = ref.permute_legs(rT, codomain=cod, domain=dom, levels=levels,
+                                  bend_right=True)
+        assert_same_blocks(mine, theirs, msg=f'perm {perm} k={k} lv={levels}')
+
+
+def test_transpose_and_twist_vs_reference(ref, pair_setup):
+    T, rT = pair_setup(2, 2)
+    assert_same_blocks(ct.transpose(T), ref.transpose(rT), msg='transpose')
+    assert_same_blocks(ct.dagger(T), ref.dagger(rT), msg='dagger')
+
+
+def test_partial_trace_vs_reference(ref, pair_setup):
+    """Crossing trace pairs with levels; nested pairs without."""
+    T, rT = pair_setup(2, 2)
+    # legs [V, V, V*, V*]: (0, 3) and (1, 2) are nested planar pairs
+    v = ct.partial_trace(T, (1, 2))
+    rv = ref.partial_trace(rT, (1, 2))
+    assert_same_blocks(v, rv, msg='nested pair')
+    s = ct.partial_trace(T, (0, 3), (1, 2))
+    # the reference is more conservative and wants levels here even though the
+    # nested configuration is planar (result is levels-independent)
+    # (it also wants each pair's two levels adjacent): pair (0,3) -> 0,1;
+    # pair (1,2) -> 2,3
+    rs = ref.partial_trace(rT, (0, 3), (1, 2), levels=[0, 2, 3, 1])
+    assert abs(complex(s) - complex(rs)) < 1e-12 * max(1., abs(complex(rs)))
+    # crossing pairs need levels. The reference backend REFUSES them outright
+    # ("use permute_legs"); ours resolves them — so compare against the
+    # reference's manual route: braid to adjacency, then trace planar pairs.
+    # Levels must put each pair's arc in its own height band (pair-adjacent
+    # levels), otherwise the braid word is route-ambiguous.
+    lv = [0, 2, 1, 3]  # pair (0,2): levels 0,1; pair (1,3): levels 2,3
+    s2 = ct.partial_trace(T, (0, 2), (1, 3), levels=lv)
+    # swap the two domain legs (same heights) -> the pairs become nested
+    rP = ref.permute_legs(rT, codomain=[0, 1], domain=[2, 3], levels=lv)
+    rs2 = ref.partial_trace(rP, (0, 3), (1, 2), levels=[0, 2, 3, 1])
+    assert abs(complex(s2) - complex(rs2)) < 1e-12 * max(1., abs(complex(rs2)))
