@@ -446,12 +446,25 @@ class FusionTreeBackend(TensorBackend):
 
     def outer(self, a, b, new_codomain, new_domain):
         """Tensor product: decompose (Y_A ⊗ Y_B) and (X_A ⊗ X_B) into canonical
-        trees via FusionTree.outer; the splitting side contributes conjugated
-        coefficients. Row layout of the product = A-major kron of the factors."""
+        trees via FusionTree.outer_embeddings; the splitting side contributes
+        conjugated coefficients. The embedding label (coupled sector, fusion
+        multiplicity m) is CONTRACTED between the two sides — it indexes the
+        resolution of id_{cA⊗cB}, so only equal (c, m) keys pair up. (The
+        reference sums both sides over m independently,
+        fusion_tree_backend.py:1604-1631, which is wrong for fusion
+        multiplicity N > 1; pinned by the SU(3) dense oracle,
+        tests/test_ops_coverage.py.) Row layout = A-major kron of the factors."""
         bb = self.block_backend
         dtype = Dtype.common(a.data.dtype, b.data.dtype)
-        sym = a.symmetry
         new_blocks: dict[tuple, object] = {}
+        decomp_cache: dict[tuple, dict] = {}
+
+        def embeddings(t1, t2):
+            key = (t1, t2)
+            res = decomp_cache.get(key)
+            if res is None:
+                res = decomp_cache[key] = t1.outer_embeddings(t2)
+            return res
 
         def tree_items(tensor, side, c):
             tp = tensor.codomain if side == 'cod' else tensor.domain
@@ -469,24 +482,27 @@ class FusionTreeBackend(TensorBackend):
                 colsB = tree_items(b, 'dom', cB)
                 for YA, slA, mA, _ in rowsA:
                     for YB, slB, mB, _ in rowsB:
-                        decompY = YA.outer(YB)
+                        decompY = embeddings(YA, YB)
                         for XA, tlA, nA_, _ in colsA:
                             for XB, tlB, nB_, _ in colsB:
-                                decompX = XA.outer(XB)
+                                decompX = embeddings(XA, XB)
                                 subA = blockA[slA, tlA]
                                 subB = blockB[slB, tlB]
                                 # kron with A-major rows and cols
                                 sub = _kron2(bb, subA, subB)
-                                for Yp, cy in decompY.items():
-                                    for Xp, cx in decompX.items():
-                                        if not np.all(Yp.coupled == Xp.coupled):
-                                            continue
-                                        coeff = np.conj(cy) * cx
-                                        if abs(coeff) < EPS:
-                                            continue
-                                        self._outer_scatter(
-                                            bb, new_blocks, new_codomain,
-                                            new_domain, Yp, Xp, coeff, sub, dtype)
+                                for emb, dY in decompY.items():
+                                    dX = decompX.get(emb)
+                                    if dX is None:
+                                        continue
+                                    for Yp, cy in dY.items():
+                                        for Xp, cx in dX.items():
+                                            coeff = np.conj(cy) * cx
+                                            if abs(coeff) < EPS:
+                                                continue
+                                            self._outer_scatter(
+                                                bb, new_blocks, new_codomain,
+                                                new_domain, Yp, Xp, coeff, sub,
+                                                dtype)
         rows = list(new_blocks.keys())
         blocks = [new_blocks[r] for r in rows]
         return BlockSparseData(blocks, np.array(rows, np.intp).reshape(len(rows), 2),

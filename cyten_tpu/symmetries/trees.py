@@ -462,13 +462,46 @@ class FusionTree:
 
     def outer(self, right_tree: FusionTree, eps: float = 1e-14
               ) -> dict[FusionTree, complex]:
-        """Outer product: fuse with `right_tree` at the coupled sector."""
-        if self.num_uncoupled == 0:
-            return {right_tree: 1}
-        if right_tree.num_uncoupled == 0:
-            return {self: 1}
-        sym = self.symmetry
+        """Outer product: fuse with `right_tree` at the coupled sector.
+
+        Sums the per-embedding decompositions of :meth:`outer_embeddings` over
+        all embeddings (coupled sector c, fusion multiplicity label m), which is
+        only an unambiguous linear combination when every result tree is reached
+        from a single embedding. Code that pairs a codomain-side and a
+        domain-side product (e.g. the backend ``outer``) must use
+        :meth:`outer_embeddings` and contract the embedding label instead.
+        """
         res: dict[FusionTree, complex] = {}
+        for decomp in self.outer_embeddings(right_tree, eps=eps).values():
+            for t, c in decomp.items():
+                res[t] = res.get(t, 0) + c
+        return res
+
+    def outer_embeddings(self, right_tree: FusionTree, eps: float = 1e-14
+                         ) -> dict[tuple, dict[FusionTree, complex]]:
+        """Per-embedding canonical decompositions of the product with `right_tree`.
+
+        The product ``self (x) right_tree`` is a map into ``cA (x) cB``, not an
+        irrep; resolving ``id_{cA (x) cB} = sum_{c, m} X_{c,m}^dagger X_{c,m}``
+        gives one canonical-tree decomposition per embedding ``(c, m)``, where
+        ``m`` labels the fusion multiplicity ``N(cA, cB -> c)``. Returns
+        ``{(tuple(c), m): {tree: coeff}}``.
+
+        Pairing a codomain-side and a domain-side product MUST contract the
+        embedding label — i.e. combine only equal ``(c, m)`` keys. Summing each
+        side over ``m`` independently (as the reference does in its backend
+        ``outer``, fusion_tree_backend.py:1604-1631) double-counts the
+        off-diagonal ``(m, m')`` pairs and is wrong as soon as a fusion
+        multiplicity ``N > 1`` exists — e.g. ``outer(eye, eye) != eye`` for
+        SU(3) or SU(3)_3 (dense oracle: tests/test_ops_coverage.py).
+        """
+        sym = self.symmetry
+        if self.num_uncoupled == 0:
+            return {(tuple(int(x) for x in right_tree.coupled), 0):
+                    {right_tree: 1}}
+        if right_tree.num_uncoupled == 0:
+            return {(tuple(int(x) for x in self.coupled), 0): {self: 1}}
+        res: dict[tuple, dict[FusionTree, complex]] = {}
         unc = np.vstack((self.uncoupled, right_tree.coupled))
         dual = np.concatenate([self.are_dual, [False]])
         if self.num_uncoupled <= 1:
@@ -476,12 +509,13 @@ class FusionTree:
         else:
             inner = np.vstack((self.inner_sectors, self.coupled))
         for new_coupled in sym.fusion_outcomes(self.coupled, right_tree.coupled):
-            for m in range(sym._n_symbol(self.coupled, right_tree.coupled, new_coupled)):
+            for m in range(sym._n_symbol(self.coupled, right_tree.coupled,
+                                         new_coupled)):
                 multi = np.concatenate([self.multiplicities, [m]])
                 tree = FusionTree(sym, unc, new_coupled, dual, inner, multi)
-                for t, c in tree.insert_at(self.num_uncoupled, right_tree,
-                                           eps=eps).items():
-                    res[t] = res.get(t, 0) + c
+                decomp = tree.insert_at(self.num_uncoupled, right_tree, eps=eps)
+                if decomp:
+                    res[(tuple(int(x) for x in new_coupled), m)] = decomp
         return res
 
     def split(self, n: int) -> tuple[FusionTree, FusionTree]:

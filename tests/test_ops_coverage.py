@@ -123,3 +123,39 @@ def test_almost_equal_mixed_types(setup):
     leg, be, rng, A = setup
     diag = DiagonalTensor.from_random_normal(leg, backend=be, rng=rng)
     assert almost_equal(diag, diag.as_SymmetricTensor())
+
+
+def test_outer_multiplicity_dense_oracle(np_random):
+    """outer with fusion multiplicity N(8,8->8)=2: SU(3)-adjoint dense oracle.
+
+    Regression for the embedding-multiplicity pairing in the fusion-tree
+    backend's outer (FusionTree.outer_embeddings): the codomain- and
+    domain-side product decompositions must contract the embedding label
+    (c, m); summing each side over m independently — which is what the
+    REFERENCE does (fusion_tree_backend.py:1604-1631) — double-counts the
+    off-diagonal (m, m') pairs. The reference's own tests never exercise a
+    multiplicity-rich symmetry through outer; our native SU(3) CG makes the
+    dense oracle available."""
+    import cyten_tpu as ct
+    from cyten_tpu import symmetries as sym
+
+    su3 = sym.SUN(3).as_Symmetry()
+    V = ct.ElementarySpace(su3, [[2, 1, 0]], [1])  # adjoint, dim 8
+    be = ct.get_backend(su3, block_backend='numpy')
+    A = SymmetricTensor.from_random_normal([V, V], [V], backend=be,
+                                           rng=np_random,
+                                           labels=['a0', 'a1', 'a2'])
+    B = SymmetricTensor.from_random_normal([V], [V, V], backend=be,
+                                           rng=np_random,
+                                           labels=['b0', 'b1', 'b2'])
+    O = ct.outer(A, B)
+    dA, dB = A.to_numpy(), B.to_numpy()
+    exp = np.tensordot(dA, dB, axes=0)
+    la = {l: i for i, l in enumerate(A.labels)}
+    lb = {l: i for i, l in enumerate(B.labels)}
+    order = [la[l] if l in la else A.num_legs + lb[l] for l in O.labels]
+    np.testing.assert_allclose(O.to_numpy(), exp.transpose(order), atol=1e-12)
+    # unit law in the multiplicity-rich category: outer(eye, eye) == eye
+    e1 = SymmetricTensor.from_eye([V], backend=be)
+    e2 = SymmetricTensor.from_eye([V, V], backend=be)
+    assert float(ct.norm(ct.outer(e1, e1) + (-1.) * e2)) < 1e-12

@@ -44,14 +44,21 @@ def ref():
 _THEORIES = {
     'Fibonacci': ('fibonacci_anyon_category', [[0], [1]], [1, 2]),
     'Ising': ('ising_anyon_category', [[0], [1], [2]], [2, 1, 1]),
+    # SU(3)_3 has fusion multiplicity N(8,8->8) = 2: pins the multiplicity
+    # label enumeration inside tree bases, which Fib/Ising cannot see
+    'SU3_3': ('SU3_3', [[0], [1]], [1, 1]),
 }
 
 
 @pytest.fixture(params=list(_THEORIES), ids=list(_THEORIES))
 def pair_setup(request, ref, np_random):
     name, sectors, mults = _THEORIES[request.param]
-    s = getattr(sym, name)
-    rs = getattr(ref, name)
+    if name == 'SU3_3':
+        s = sym.SU3_3AnyonCategory().as_Symmetry()
+        rs = ref.symmetries.Symmetry([ref.symmetries.SU3_3AnyonCategory()])
+    else:
+        s = getattr(sym, name)
+        rs = getattr(ref, name)
     V = ct.ElementarySpace(s, sectors, mults)
     rV = ref.ElementarySpace(rs, sectors, mults)
     be = ct.get_backend(s, block_backend='numpy')
@@ -140,6 +147,78 @@ def test_transpose_and_twist_vs_reference(ref, pair_setup):
     T, rT = pair_setup(2, 2)
     assert_same_blocks(ct.transpose(T), ref.transpose(rT), msg='transpose')
     assert_same_blocks(ct.dagger(T), ref.dagger(rT), msg='dagger')
+
+
+def test_compose_outer_vs_reference(ref, pair_setup, request):
+    T, rT = pair_setup(2, 2)
+    S, rS = pair_setup(2, 1, seed=1)
+    # compose: T.domain == S.codomain (identical legs by construction)
+    assert_same_blocks(ct.compose(T, S), ref.compose(rT, rS), msg='compose')
+    if 'SU3_3' in request.node.name:
+        # DOCUMENTED DEVIATION: the reference's backend `outer` pairs the
+        # codomain- and domain-side embedding multiplicities independently
+        # (fusion_tree_backend.py:1604-1631 sums each side over m), which is
+        # wrong for fusion multiplicity N > 1: its outer(eye, eye) != eye.
+        # Ours contracts the embedding label and passes the SU(3) dense oracle
+        # (test_outer_multiplicity_dense_oracle) plus the functoriality laws
+        # below; the reference's own suite never runs a multiplicity-rich
+        # symmetry through outer (SUN needs external data files, SU3_3 is not
+        # in its tensor fixture matrix).
+        eye1 = ref.SymmetricTensor.from_eye([rT.codomain.factors[0]],
+                                            backend=rT.backend)
+        ref_outer_eye = ref.outer(eye1, eye1)
+        eye2 = ref.SymmetricTensor.from_eye(
+            [rT.codomain.factors[0]] * 2, backend=rT.backend)
+        assert float(ref.norm(ref_outer_eye + (-1.) * eye2)) > 1.  # ref bug
+        # ours: outer(eye, eye) == eye exactly
+        m_eye1 = ct.SymmetricTensor.from_eye([T.codomain.factors[0]],
+                                             backend=T.backend)
+        m_eye2 = ct.SymmetricTensor.from_eye([T.codomain.factors[0]] * 2,
+                                             backend=T.backend)
+        assert float(ct.norm(ct.outer(m_eye1, m_eye1) + (-1.) * m_eye2)) < 1e-12
+        # and the monoidal interchange law: (A(x)B) o (C(x)D) = (AoC) (x) (BoD)
+        A, _ = pair_setup(2, 1, seed=2)
+        B, _ = pair_setup(2, 1, seed=3)
+        C, _ = pair_setup(1, 2, seed=4)
+        D, _ = pair_setup(1, 2, seed=5)
+        lhs = ct.compose(ct.outer(A, B), ct.outer(C, D))
+        rhs = ct.outer(ct.compose(A, C), ct.compose(B, D))
+        assert float(ct.norm(lhs + (-1.) * rhs.set_labels(lhs.labels))) \
+            < 1e-10 * float(ct.norm(lhs))
+    else:
+        assert_same_blocks(ct.outer(S, S), ref.outer(rS, rS), msg='outer')
+
+
+def test_svd_singular_values_vs_reference(ref, pair_setup):
+    """U/Vh have per-sector gauge freedom; the singular values are unique."""
+    T, rT = pair_setup(2, 2)
+    _, s_mine, _ = ct.svd(T)
+    _, s_ref, _ = ref.svd(rT)
+    dm = {tuple(map(int, s_mine.leg.sector_decomposition[int(i)])):
+          np.sort(np.asarray(b)) for i, b in zip(s_mine.data.block_inds,
+                                                 s_mine.data.blocks)}
+    dr = {tuple(map(int, s_ref.leg.sector_decomposition[int(i[0])])):
+          np.sort(np.asarray(b)) for i, b in zip(np.atleast_2d(s_ref.data.block_inds),
+                                                 s_ref.data.blocks)}
+    assert set(dm) == set(dr)
+    for k in dm:
+        np.testing.assert_allclose(dm[k], dr[k], atol=1e-12, err_msg=str(k))
+
+
+def test_scale_axis_vs_reference(ref, pair_setup):
+    T, rT = pair_setup(2, 2)
+
+    def f(shape, coupled):
+        r = np.random.default_rng((7, int(np.sum(np.asarray(coupled))), *shape))
+        return r.standard_normal(shape)
+
+    leg = T.codomain.factors[1]
+    rleg = rT.codomain.factors[1]
+    d = ct.DiagonalTensor.from_sector_block_func(f, leg, backend=T.backend)
+    rd = ref.DiagonalTensor.from_sector_block_func(f, rleg, backend=rT.backend)
+    for i in (0, 1, 2, 3):
+        assert_same_blocks(ct.scale_axis(T, d, i), ref.scale_axis(rT, rd, i),
+                           msg=f'scale_axis leg {i}')
 
 
 def test_partial_trace_vs_reference(ref, pair_setup):
