@@ -1367,7 +1367,14 @@ def cutoff_inverse(x, cutoff: float = 1e-15):
 
 
 def complex_conj(x):
-    """Complex conjugate. For tensors: entrywise conjugate (no leg changes)."""
+    """Complex conjugate.
+
+    For a general SymmetricTensor the result is the entrywise conjugate expressed on
+    the DUAL legs (entrywise conj intertwines the conjugate representations, so it is
+    not symmetric on the original legs): ``conj(x).to_numpy() == np.conj(x.to_numpy())``
+    with legs in the original order and labels dualized. The reference only supports
+    the elementwise (DiagonalTensor / scalar) case (reference _tensors.py:4327).
+    """
     if isinstance(x, Number):
         return np.conj(x).item()
     if isinstance(x, DiagonalTensor):
@@ -1376,8 +1383,16 @@ def complex_conj(x):
         return x
     if isinstance(x, ChargedTensor):
         raise NotImplementedError('complex_conj of ChargedTensor')
-    # conj = transpose(dagger(x)), with legs back in place
-    return transpose(dagger(x)).set_labels(x.labels)
+    # conj = transpose(dagger(x)), which lands with the order reversed within the
+    # codomain and within the domain; permute both back (braid-free for symmetric
+    # braiding; anyonic braids would need levels and are rejected by permute_legs)
+    y = transpose(dagger(x))
+    n, K = y.num_legs, y.num_codomain_legs
+    if K > 1 or n - K > 1:
+        y = permute_legs(y, codomain=list(range(K))[::-1],
+                         domain=list(range(K, n)))
+    labels = [_dual_leg_label(l) for l in x.labels]
+    return y.set_labels(labels)
 
 
 def pinv(tensor: DiagonalTensor, cutoff=1e-15) -> DiagonalTensor:

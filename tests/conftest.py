@@ -68,6 +68,10 @@ _SYMMETRIES = {
     'FibonacciAnyon': ct.fibonacci_anyon_category,   # no dense representation
     'IsingAnyon': ct.ising_anyon_category,
     'FibU1': ct.fibonacci_anyon_category * ct.u1_symmetry.factors[0],
+    # multiplicity-rich: N(8,8->8) = 2 — pins the fusion-multiplicity label
+    # handling that every other entry is blind to (caught the outer
+    # embedding-pairing bug, see backends/fusion_tree.py::outer)
+    'SU3': ct.symmetries.SUN(3).as_Symmetry(),
 }
 
 
@@ -108,7 +112,16 @@ def random_space(symmetry: Symmetry, rng: np.random.Generator, max_sectors=4,
         # sample small sector entries per factor, keeping only valid ones
         cols = []
         for f in symmetry.factors:
-            if f.num_sectors == np.inf:
+            if type(f).__name__ == 'SUN':
+                # small-irrep pool (dims 1, 3, 3bar, 8): random integer rows are
+                # almost never valid GT labels, and large irreps make the CG
+                # tensors (hence dense oracles) expensive
+                pool = np.array([[0] * f.N,
+                                 [1] + [0] * (f.N - 1),
+                                 [1] * (f.N - 1) + [0],
+                                 [2] + [1] * (f.N - 2) + [0]])
+                cols.append(pool[rng.integers(0, len(pool), size=20)])
+            elif f.num_sectors == np.inf:
                 raw = rng.integers(-2, 5, size=(40, f.sector_ind_len))
                 raw = raw[[f.is_valid_sector(r) for r in raw]]
                 cols.append(raw[:20] if len(raw) >= 20

@@ -159,3 +159,105 @@ def test_outer_multiplicity_dense_oracle(np_random):
     e1 = SymmetricTensor.from_eye([V], backend=be)
     e2 = SymmetricTensor.from_eye([V, V], backend=be)
     assert float(ct.norm(ct.outer(e1, e1) + (-1.) * e2)) < 1e-12
+
+
+def test_combine_to_matrix(setup):
+    leg, be, rng, A = setup
+    d = A.to_numpy()  # legs [a, b, c]: codomain (a, b), domain (c,)
+    M = ct.combine_to_matrix(A, codomain=['a', 'b'])
+    assert M.num_codomain_legs == 1 and M.num_domain_legs == 1
+    assert M.shape == (d.shape[0] * d.shape[1], d.shape[2])
+    np.testing.assert_allclose(ct.split_legs(M).to_numpy(), d, atol=1e-12)
+    # with an explicit repartition: codomain [a], domain [b, c]
+    M2 = ct.combine_to_matrix(A, codomain=['a'], domain=['b', 'c'])
+    assert M2.num_codomain_legs == 1 and M2.num_domain_legs == 1
+    back = ct.split_legs(M2)
+    # legs order is [*codomain, *reversed(domain)] -> [a, c, b]
+    assert back.labels == ['a', 'c', 'b']
+    np.testing.assert_allclose(back.to_numpy(), d.transpose(0, 2, 1), atol=1e-12)
+
+
+def test_zero_like_all_classes(setup):
+    leg, be, rng, A = setup
+    Z = ct.zero_like(A)
+    assert ct.norm(Z) == 0 and Z.codomain == A.codomain and Z.domain == A.domain
+    diag = DiagonalTensor.from_random_normal(leg, backend=be, rng=rng)
+    Zd = ct.zero_like(diag)
+    assert isinstance(Zd, DiagonalTensor) and ct.norm(Zd) == 0
+    mask = Mask.from_eye(leg, True, backend=be)
+    Zm = ct.zero_like(mask)
+    assert isinstance(Zm, Mask) and Zm.small_leg.dim == 0
+    charged = ct.ChargedTensor.from_dense_block_single_sector(
+        np.array([0., 1.]), leg, np.array([1]), backend=be)  # mult-2 sector components
+    Zc = ct.zero_like(charged)
+    assert isinstance(Zc, ct.ChargedTensor) and ct.norm(Zc) == 0
+
+
+def test_elementwise_angle_conj_cutoff(setup):
+    leg, be, rng, A = setup
+    vals = rng.normal(size=7) + 1j * rng.normal(size=7)
+    diag = DiagonalTensor.from_diag(vals, leg, backend=be)
+    np.testing.assert_allclose(np.sort(ct.angle(diag).diagonal_as_numpy()),
+                               np.sort(np.angle(diag.diagonal_as_numpy())), atol=1e-12)
+    np.testing.assert_allclose(ct.complex_conj(diag).diagonal_as_numpy(),
+                               np.conj(diag.diagonal_as_numpy()), atol=1e-12)
+    # complex_conj of a SymmetricTensor = entrywise conjugate on the DUAL legs,
+    # legs in the original order, labels dualized
+    C = A * (1 + 2j)
+    Cc = ct.complex_conj(C)
+    np.testing.assert_allclose(Cc.to_numpy(), np.conj(C.to_numpy()), atol=1e-12)
+    assert Cc.labels == ['a*', 'b*', 'c*']
+    assert all(Cc.get_leg_co_domain(i) == C.get_leg_co_domain(i).dual for i in range(3))
+    # involution
+    np.testing.assert_allclose(ct.complex_conj(Cc).to_numpy(), C.to_numpy(), atol=1e-12)
+    # real_if_close drops a numerically-zero imaginary part
+    R = ct.real_if_close(diag * 0 + 1.0 + 0j)
+    assert not R.dtype.is_complex
+    # cutoff_inverse: 1/x above cutoff, 0 below
+    small = DiagonalTensor.from_diag(np.array([2., 0., 1e-20, -4., 1., 1., 1.]),
+                                     leg, backend=be)
+    inv = ct.cutoff_inverse(small, cutoff=1e-15).diagonal_as_numpy()
+    expect = np.array([0.5, 0., 0., -0.25, 1., 1., 1.])
+    np.testing.assert_allclose(np.sort(inv), np.sort(expect), atol=1e-12)
+
+
+def test_truncate_singular_values_and_apply_mask(setup):
+    """truncate_singular_values + svd_apply_mask == truncated_svd (U(1) and SU(2))."""
+    leg, be, rng, A = setup
+    U, S, Vh = ct.svd(A, new_labels=['x', 'x*'])
+    mask, err, new_norm = ct.truncate_singular_values(S, chi_max=5)
+    assert mask.small_leg.dim <= 5
+    Ut, St, Vht = ct.svd_apply_mask(U, S, Vh, mask)
+    # against truncated_svd directly
+    U2, S2, Vh2, err2, renorm2 = ct.truncated_svd(A, new_labels=['x', 'x*'], chi_max=5)
+    np.testing.assert_allclose(np.sort(St.diagonal_as_numpy()),
+                               np.sort(S2.diagonal_as_numpy()), atol=1e-12)
+    assert abs(err - err2) < 1e-12
+    # kept values are the largest ones
+    allS = np.sort(np.abs(S.diagonal_as_numpy()))[::-1]
+    np.testing.assert_allclose(np.sort(St.diagonal_as_numpy())[::-1],
+                               allS[:St.leg.dim], atol=1e-12)
+    # error definition: relative — sqrt(discarded S^2 / total S^2) (U(1): qdim=1)
+    np.testing.assert_allclose(
+        err, np.sqrt((allS[St.leg.dim:] ** 2).sum() / (allS ** 2).sum()), atol=1e-12)
+
+
+def test_truncate_singular_values_qdim_weighted():
+    """SU(2): truncation counts and weights whole multiplets (qdim * S^2)."""
+    su2 = ct.su2_symmetry
+    be = ct.get_backend(su2, 'numpy')
+    # leg with spin-0 (qdim 1) and spin-1/2 (qdim 2) sectors, 2 multiplets each
+    V = ElementarySpace(su2, [[0], [1]], [2, 2])
+    S_vals = {(0,): np.array([1.0, 0.3]), (1,): np.array([0.9, 0.2])}
+    S = DiagonalTensor.from_sector_block_func(
+        lambda shape, c: np.broadcast_to(S_vals[tuple(int(x) for x in np.atleast_1d(c))],
+                                         shape).copy(),
+        V, backend=be, labels=['x', 'x*'])
+    mask, err, new_norm = ct.truncate_singular_values(S, chi_max=3)
+    # chi_max counts kept MULTIPLETS, prioritized by marginal error qdim*S^2:
+    # 0.9 (2*0.81=1.62) > 1.0 (1.0) > 0.3 (0.09) > 0.2 (2*0.04=0.08)
+    # -> keep {0.9-multiplet, 1.0, 0.3}: dense dim 2 + 1 + 1 = 4
+    assert int(mask.small_leg.dim) == 4
+    total = 1.0 + 1.62 + 0.09 + 0.08
+    np.testing.assert_allclose(err, np.sqrt(0.08 / total), atol=1e-12)
+    np.testing.assert_allclose(new_norm, np.sqrt(total - 0.08), atol=1e-12)
