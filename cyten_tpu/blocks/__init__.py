@@ -9,8 +9,9 @@ from .backend import (
     ArrayApiBlockBackend, Block, BlockBackend, JaxBlockBackend, NumpyBlockBackend,
     get_block_backend,
 )
+from ..dtypes import Dtype
 
-__all__ = ['ArrayApiBlockBackend', 'Block', 'BlockBackend', 'JaxBlockBackend',
+__all__ = ['ArrayApiBlockBackend', 'Block', 'BlockBackend', 'Dtype', 'JaxBlockBackend',
            'NumpyBlockBackend', 'TorchBlockBackend', 'get_block_backend']
 
 

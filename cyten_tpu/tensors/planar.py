@@ -24,7 +24,14 @@ from ._functions import compose, permute_legs, svd, svd_apply_mask, \
     truncated_svd as _truncated_svd, partial_trace as _partial_trace
 from ._tensors import SymmetricTensor, Tensor
 
-__all__ = ['TensorPlaceholder', 'ContractionTree', 'ContractionTreeNode',
+#: DSL symbols (reference _tensors.py:46-52): ``'T1:leg @ T2:leg'`` contracts,
+#: ``'T:leg -> name'`` declares an open leg.
+CONTRACT_SYMBOL = '@'
+LEG_SELECT_SYMBOL = ':'
+OPEN_LEG_SYMBOL = '->'
+
+__all__ = ['CONTRACT_SYMBOL', 'LEG_SELECT_SYMBOL', 'OPEN_LEG_SYMBOL',
+           'TensorPlaceholder', 'ContractionTree', 'ContractionTreeNode',
            'PlanarDiagram', 'PlanarLinearOperator', 'planar_contraction',
            'planar_permute_legs', 'planar_combine_legs', 'planar_decomposition',
            'planar_svd', 'planar_qr', 'planar_lq', 'planar_eigh',
@@ -202,14 +209,14 @@ def _parse_definition(definition):
         instr = instr.strip()
         if not instr:
             continue
-        if '@' in instr:
-            a, b = instr.split('@')
-            t1, l1 = (x.strip() for x in a.split(':'))
-            t2, l2 = (x.strip() for x in b.split(':'))
+        if CONTRACT_SYMBOL in instr:
+            a, b = instr.split(CONTRACT_SYMBOL)
+            t1, l1 = (x.strip() for x in a.split(LEG_SELECT_SYMBOL))
+            t2, l2 = (x.strip() for x in b.split(LEG_SELECT_SYMBOL))
             res.append((t1, l1, t2, l2))
-        elif '->' in instr:
-            a, new = instr.split('->')
-            t1, l1 = (x.strip() for x in a.split(':'))
+        elif OPEN_LEG_SYMBOL in instr:
+            a, new = instr.split(OPEN_LEG_SYMBOL)
+            t1, l1 = (x.strip() for x in a.split(LEG_SELECT_SYMBOL))
             res.append((t1, l1, None, new.strip()))
         else:
             raise ValueError(f'cannot parse instruction {instr!r}')

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..dtypes import Dtype
 
-__all__ = ['Hdf5Exportable', 'Hdf5FormatError', 'Hdf5ExportError', 'Hdf5ImportError',
+__all__ = ['Hdf5Exportable', 'Hdf5Ignored', 'Hdf5FormatError', 'Hdf5ExportError', 'Hdf5ImportError',
            'save_to_hdf5', 'load_from_hdf5', 'valid_hdf5_path_component', 'find_global',
            'save', 'load', 'save_hdf5', 'load_hdf5', 'to_tree', 'from_tree',
            'Hdf5Saver', 'Hdf5Loader', 'register_tree_type', 'save_tree_hdf5',
@@ -427,6 +427,21 @@ TYPES_FOR_HDF5_DATASETS = (
     (np.float32, REPR_FLOAT32), (np.complex64, REPR_COMPLEX64),
     (np.bool_, REPR_BOOL), (bool, REPR_BOOL),
 )
+
+class Hdf5Ignored:
+    """Placeholder for a dataset/group ignored during both loading and saving
+    (reference hdf5_io.py:408).
+
+    Instances are skipped by savers; loaders return an instance for any saved
+    node whose type attribute is :data:`REPR_IGNORED`.
+    """
+
+    def __init__(self, name: str = '(unknown)'):
+        self.name = name
+
+    def __repr__(self):
+        return f'Hdf5Ignored({self.name!r})'
+
 
 ATTR_TYPE = 'type'      #: attribute holding one of the ``REPR_*`` strings
 ATTR_CLASS = 'class'    #: attribute holding the class name of an instance

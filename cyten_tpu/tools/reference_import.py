@@ -153,7 +153,8 @@ class _RefReader:
         return ('__global__', module, qualname)
 
     def _load_ignored(self, node):
-        return None
+        from .hdf5_io import Hdf5Ignored
+        return Hdf5Ignored(node.name)
 
     def _load_reduce(self, node):
         raise ReferenceImportError(
