@@ -288,8 +288,13 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32',
     return slope, t_np
 
 
-def build_step_state(backend, chi, seed=0):
-    """Static-mode step state: B/S tensors + frozen-chi mask + zero template."""
+def build_step_state(backend, chi, seed=0, builder=None):
+    """Static-mode step state: B/S tensors + frozen-chi mask + zero template.
+
+    Backend-generic: `builder` picks the workload (default the U(1) north-star;
+    `build_su2_workload` gives the fusion-tree variant, where the frozen "chi"
+    counts multiplets and the mask keeps whole multiplets per sector).
+    """
     import cyten_tpu as ct
     from cyten_tpu import DiagonalTensor, ElementarySpace, Mask, SymmetricTensor
     from cyten_tpu.algorithms.dmrg import HEffective
@@ -297,7 +302,9 @@ def build_step_state(backend, chi, seed=0):
     from cyten_tpu.tensors import permute_legs, scalar_multiply
     from cyten_tpu.tensors.krylov_based import _close_structure
 
-    LP, RP, W1, W2, theta = build_workload(backend, chi=chi, seed=seed)
+    builder = builder or build_workload
+    kw = {'chi_mult': chi} if builder is build_su2_workload else {'chi': chi}
+    LP, RP, W1, W2, theta = builder(backend, seed=seed, **kw)
     v_leg = theta.get_leg_co_domain('vL')
     p_leg = theta.get_leg_co_domain('p0')
     rng = np.random.default_rng(seed + 1)
@@ -333,7 +340,7 @@ def build_step_state(backend, chi, seed=0):
 
 
 def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
-             svd_mode='steady', env_dtype=None):
+             svd_mode='steady', env_dtype=None, builder=None):
     """Slope-time the FULL north-star step: one static-mode bond update (theta
     assembly + fused Lanczos + SVD + frozen-chi truncation + both environment
     updates) per scan iteration, state fed back as the carry.
@@ -357,8 +364,13 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
 
     from cyten_tpu.dtypes import Dtype
 
-    backend = ct.get_backend(ct.u1_symmetry, 'jax')
-    LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = build_step_state(backend, chi)
+    if builder is build_su2_workload:
+        from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+        backend = FusionTreeBackend(ct.get_block_backend('jax'))
+    else:
+        backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = build_step_state(
+        backend, chi, builder=builder)
     env_dtype = Dtype[env_dtype] if isinstance(env_dtype, str) else env_dtype
     if env_dtype is not None:
         LP = LP.to_dtype(env_dtype)
@@ -408,6 +420,12 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
         config.matmul_precision = old
     n1, n2 = lengths[0], lengths[-1]
     t_step = (times[n2] - times[n1]) / (n2 - n1)
+    if t_step <= 0:  # RTT noise floor on tiny workloads: report the upper bound
+        t_step = times[n2] / n2
+
+    if builder is build_su2_workload:
+        # fusion-tree data has no per-leg block_inds for tdot_flops; report time
+        return t_step, None
 
     # exact contraction FLOPs of one matvec chain (numpy metadata only)
     import cyten_tpu as ct2
@@ -548,6 +566,26 @@ def main():
             'vs_baseline': round(t_np / best, 3),
             'unrolled_ms': round(t_unrolled * 1e3, 4),
             'grouped_ms': round(t_grouped * 1e3, 4),
+        }
+        print(json.dumps(result))
+        return
+    if scenario == 'su2_step':
+        # the FULL fused bond update on the FUSION-TREE backend (SU(2)
+        # Heisenberg): theta assembly + Lanczos + steady SVD + frozen-multiplet
+        # truncation + env updates, one jitted program per iteration
+        chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
+        svd_mode = os.environ.get('BENCH_SVD_MODE', 'steady')
+        n_lanczos = int(os.environ.get('BENCH_N_LANCZOS', '10'))
+        t_step, _ = step_run(chi_mult, n_lanczos=n_lanczos, precision=precision,
+                             svd_mode=svd_mode, builder=build_su2_workload)
+        t_matvec, _ = su2_run(chi_mult, lengths=(10, 50), skip_numpy=True,
+                              precision=precision)
+        result = {
+            'metric': f'su2_dmrg_step_{chi_mult}mult_{svd_mode}_ms',
+            'value': round(t_step * 1e3, 4),
+            'unit': 'ms/step',
+            'vs_baseline': None,
+            'matvec_ms': round(t_matvec * 1e3, 4),
         }
         print(json.dumps(result))
         return

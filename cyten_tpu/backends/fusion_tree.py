@@ -333,7 +333,8 @@ class FusionTreeBackend(TensorBackend):
             total = sum(float(leg.sector_qdims[int(i)])
                         * self.block_backend.norm(b) ** 2
                         for b, i in zip(a.data.blocks, a.data.block_inds))
-            return float(np.sqrt(total))
+            res = total ** 0.5
+            return float(res) if isinstance(res, (int, float)) else res
         total = 0.
         for n, b in enumerate(a.data.blocks):
             total = total + self._qdim_of_block(a, n) * self.block_backend.norm(b) ** 2
@@ -1325,14 +1326,16 @@ def _row_scale_factors(side: TensorProduct, c, flat_pos: int, diag, d_lookup, bb
 
     `flat_pos` indexes the flat legs of `side` (in factor order); the diagonal's
     values for each sector of that leg are broadcast over the row layout.
+
+    The LAYOUT (segment widths, repeat/tile counts) is static metadata and is
+    computed host-side; the diagonal's VALUES stay backend blocks throughout, so
+    this traces cleanly under jit (the static-mode DMRG step routes traced
+    singular values through here).
     """
     flat_legs = side.flat_legs
-    leg = flat_legs[flat_pos]
-    total = side.block_size(np.asarray(c))
-    vals = np.zeros(total, dtype=complex)
-    any_nonzero = False
-    start = 0
     sym = side.symmetry
+    segments = []  # Block | ('z', width) placeholders, in row order
+    any_nonzero = False
     for uncoupled, mults in side.iter_uncoupled():
         n_trees = len(fusion_trees(sym, uncoupled, np.asarray(c),
                                    [l.is_dual for l in flat_legs]))
@@ -1343,21 +1346,30 @@ def _row_scale_factors(side: TensorProduct, c, flat_pos: int, diag, d_lookup, bb
             uncoupled[flat_pos])
         n = d_lookup.get(int(sec_idx)) if sec_idx is not None else None
         width = n_trees * tree_block
-        if n is not None:
-            dvals = bb.to_numpy(diag.data.blocks[n])
-            # rows within a tree block are C-style over mults; tile accordingly
-            inner = int(np.prod(mults[flat_pos + 1:])) if flat_pos + 1 <= len(mults) \
-                else 1
-            outer = tree_block // (len(dvals) * inner)
-            pattern = np.tile(np.repeat(dvals, inner), outer)
-            vals[start:start + width] = np.tile(pattern, n_trees)
-            any_nonzero = True
-        start += width
+        if n is None:
+            segments.append(('z', width))
+            continue
+        dvals = diag.data.blocks[n]  # length = multiplicity of that sector
+        m = int(mults[flat_pos])
+        # rows within a tree block are C-style over mults; the whole pattern
+        # repeats once per tree: row = tile(repeat(dvals, inner), outer * n_trees)
+        inner = int(np.prod(mults[flat_pos + 1:])) if flat_pos + 1 <= len(mults) \
+            else 1
+        outer = tree_block // (m * inner)
+        seg = dvals
+        if inner > 1:
+            seg = bb.reshape(bb.stack([seg] * inner, axis=1), (-1,))
+        reps = outer * n_trees
+        if reps > 1:
+            seg = bb.reshape(bb.stack([seg] * reps, axis=0), (-1,))
+        segments.append(seg)
+        any_nonzero = True
     if not any_nonzero:
         return None
-    if np.allclose(vals.imag, 0):
-        vals = vals.real
-    return bb.as_block(vals)
+    dtype = diag.data.dtype
+    parts = [bb.zeros((s[1],), dtype) if isinstance(s, tuple) else s
+             for s in segments]
+    return bb.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
 def _row_mask(side: TensorProduct, c, flat_pos: int, mask, m_lookup, bb):

@@ -439,6 +439,32 @@ def test_static_mode_steady_svd():
         assert float(norm(MMd + (-1.) * eye)) < 1e-8, i
 
 
+def test_static_mode_fusion_tree():
+    """Static (fully fused) steady mode on the FUSION-TREE backend: the whole
+    SU(2) bond update (theta assembly, Lanczos, steady SVD, frozen-multiplet
+    truncation, env updates) traces as one jitted program. Regression for the
+    host-numpy value paths this used to hit (fusion_tree._row_scale_factors
+    assembled the scale_axis row factors via to_numpy; Diagonal norm forced
+    float())."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import (
+        HeisenbergModel, heisenberg_exact_finite_gs_energy,
+    )
+
+    L = 6
+    E_exact = heisenberg_exact_finite_gs_energy(L, 1.)
+    model = HeisenbergModel(L=L, conserve='SU(2)', block_backend='jax')
+    psi = SimpleMPS.from_singlet_pairs(model.site_legs[0], L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=16, eps=1e-12)
+    for _ in range(4):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=16, svd_mode='steady')
+    for _ in range(3):
+        E = eng.sweep()
+    assert abs(float(E) - E_exact) < 1e-9
+
+
 def test_mpo_sum_and_compression():
     """add_mpos (block-diagonal virtual sum) and compress_mpo (QR+SVD sweeps)
     are exact: <H+H> == 2<H>, and compression recovers the minimal bond dims."""
