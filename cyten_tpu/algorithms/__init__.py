@@ -16,6 +16,7 @@ from .dmrg1 import DMRG1SEngine, HEffective1
 from .idmrg import MultiCellIDMRGEngine, iDMRGEngine
 from .itdvp import iTDVPEngine
 from .models import tfi_exact_infinite_gs_energy
+from .purification import PurificationMPS, PurificationTEBD
 from .tebd import TEBDEngine
 from .tdvp import TDVP2Engine, TDVPEngine, TDVPQREngine
 from .vumps import VUMPSEngine
@@ -27,5 +28,5 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compre
            'tfi_exact_infinite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
            'DMRG1SEngine', 'HEffective1', 'iDMRGEngine', 'MultiCellIDMRGEngine',
-           'iTDVPEngine', 'TEBDEngine',
+           'iTDVPEngine', 'TEBDEngine', 'PurificationMPS', 'PurificationTEBD',
            'TDVPEngine', 'TDVP2Engine', 'TDVPQREngine', 'VUMPSEngine']

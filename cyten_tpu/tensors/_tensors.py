@@ -90,7 +90,11 @@ def _combine_leg_labels(labels) -> str:
 def _split_leg_label(label: str | None, num: int = None) -> list[str | None]:
     if label is None:
         return [None] * num
-    assert label.startswith('(') and label.endswith(')')
+    if not (label.startswith('(') and label.endswith(')')):
+        # a relabelled pipe (e.g. a purification MPS relabels '(p.q)' to 'p'):
+        # the constituents are unlabeled after splitting (the reference raises
+        # here, _tensors.py:6948 — lenient is strictly more useful)
+        return [None] * num
     parts = []
     depth = 0
     current = ''
