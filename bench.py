@@ -95,6 +95,81 @@ def build_hubbard_workload(backend, chi=2048, seed=0):
     return LP, RP, W1, W2, theta
 
 
+def build_dense_workload(backend, chi=2048, seed=0):
+    """No-symmetry (dense) TFI DMRG bond environment: the BASELINE.json 'TFIM
+    dense' config. One chi x chi x ... block per tensor — pure MXU workload."""
+    from cyten_tpu import ElementarySpace, SymmetricTensor
+    from cyten_tpu.algorithms.models import TFIModel
+    from cyten_tpu.symmetries import no_symmetry
+
+    rng = np.random.default_rng(seed)
+    v_leg = ElementarySpace(no_symmetry, [[0]], [chi])
+    W = TFIModel(L=2, conserve='None', backend=backend, bc='infinite').H_mpo[0]
+    w_leg = W.get_leg_co_domain('wL')
+    p_leg = W.get_leg_co_domain('p')
+    LP = SymmetricTensor.from_random_normal(
+        [v_leg], [v_leg, w_leg], backend=backend,
+        labels=[['vR*'], ['vR', 'wR']], rng=rng)
+    RP = SymmetricTensor.from_random_normal(
+        [v_leg, w_leg], [v_leg], backend=backend, labels=['vL', 'wL', 'vL*'],
+        rng=rng)
+    theta = SymmetricTensor.from_random_normal(
+        [v_leg, p_leg, p_leg], [v_leg], backend=backend,
+        labels=['vL', 'p0', 'p1', 'vR'], rng=rng)
+    W1 = W.relabelled({'p': 'p0', 'p*': 'p0*'})
+    W2 = W.relabelled({'p': 'p1', 'p*': 'p1*'})
+    return LP, RP, W1, W2, theta
+
+
+def build_golden_workload(backend, chi_mult=512, seed=0):
+    """Fibonacci golden-chain DMRG bond environment: the BASELINE.json anyonic
+    (F/R-heavy) config. The virtual leg carries both sectors (1 and tau) with
+    multiplicities split by quantum dimension (1 : phi)."""
+    from cyten_tpu import ElementarySpace, SymmetricTensor
+    from cyten_tpu.algorithms.models import GoldenChainModel
+
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms.models import mpo_from_bond_op
+    from cyten_tpu.backends.data import BlockSparseData
+    from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+
+    rng = np.random.default_rng(seed)
+    # build the MPO HOST-SIDE: the bond factorization runs a complex SVD whose
+    # values must come back to the host, and complex transfers are
+    # UNIMPLEMENTED through the TPU tunnel (measured 2026-08-19)
+    np_backend = FusionTreeBackend(ct.get_block_backend('numpy'))
+    model = GoldenChainModel(L=2, backend=np_backend)
+    W = mpo_from_bond_op(model.H_bonds[0], 2, bc='infinite')[0]  # bulk tensor
+    if W.dtype.is_complex:  # c128 with ~1e-16 imag; the operator is real
+        W = W.to_dtype(W.dtype.to_real)
+    if backend is not np_backend:
+        bb = backend.block_backend
+        W = W.copy(deep=False)
+        W.backend = backend
+        W.data = BlockSparseData(
+            [bb.as_block(np.asarray(b), W.dtype) for b in W.data.blocks],
+            W.data.block_inds, W.dtype, is_sorted=True)
+    fib = W.symmetry
+    phi = (1 + 5 ** 0.5) / 2
+    m_tau = max(1, int(round(chi_mult * phi / (1 + phi))))
+    v_leg = ElementarySpace(fib, [[0], [1]], [chi_mult - m_tau, m_tau])
+    p_leg = W.get_leg_co_domain('p')
+    w_leg = W.get_leg_co_domain('wL')
+    dt = W.dtype  # the MPO factorization is complex; keep one dtype throughout
+    LP = SymmetricTensor.from_random_normal(
+        [v_leg], [v_leg, w_leg], backend=backend,
+        labels=[['vR*'], ['vR', 'wR']], rng=rng, dtype=dt)
+    RP = SymmetricTensor.from_random_normal(
+        [v_leg, w_leg], [v_leg], backend=backend,
+        labels=[['vL', 'wL'], ['vL*']], rng=rng, dtype=dt)
+    theta = SymmetricTensor.from_random_normal(
+        [v_leg, p_leg, p_leg], [v_leg], backend=backend,
+        labels=['vL', 'p0', 'p1', 'vR'], rng=rng, dtype=dt)
+    W1 = W.relabelled({'p': 'p0', 'p*': 'p0*'})
+    W2 = W.relabelled({'p': 'p1', 'p*': 'p1*'})
+    return LP, RP, W1, W2, theta
+
+
 def build_su2_workload(backend, chi_mult=512, seed=0):
     """SU(2) DMRG bond environment + theta: spins j=0..2 on the virtual leg.
 
@@ -130,6 +205,17 @@ def build_su2_workload(backend, chi_mult=512, seed=0):
     return LP, RP, W1, W2, theta
 
 
+def _builder_symmetry(builder):
+    """The symmetry each workload builder runs under (for get_backend)."""
+    import cyten_tpu as ct
+
+    if builder is build_hubbard_workload:
+        return ct.u1_symmetry * ct.u1_symmetry.factors[0]
+    if builder is build_dense_workload:
+        return ct.no_symmetry
+    return ct.u1_symmetry
+
+
 def numpy_run(chi, n_iter=3, builder=None):
     """Time the per-block numpy path and count exact GEMM FLOPs of one matvec."""
     import cyten_tpu as ct
@@ -137,9 +223,7 @@ def numpy_run(chi, n_iter=3, builder=None):
     from cyten_tpu.tools.flops import tdot_flops
 
     builder = builder or build_workload
-    sym = ct.u1_symmetry if builder is not build_hubbard_workload \
-        else ct.u1_symmetry * ct.u1_symmetry.factors[0]
-    backend = ct.get_backend(sym, 'numpy')
+    backend = ct.get_backend(_builder_symmetry(builder), 'numpy')
     LP, RP, W1, W2, theta = builder(backend, chi=chi)
     flops = tdot_flops(LP, theta, ['vR'], ['vL'])
     x = tdot(LP, theta, 'vR', 'vL')
@@ -185,9 +269,7 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32',
     from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
 
     builder = builder or build_workload
-    sym = ct.u1_symmetry if builder is not build_hubbard_workload \
-        else ct.u1_symmetry * ct.u1_symmetry.factors[0]
-    backend = ct.get_backend(sym, 'jax')
+    backend = ct.get_backend(_builder_symmetry(builder), 'jax')
     LP, RP, W1, W2, theta = builder(backend, chi=chi)
 
     def make_run(n_iter):
@@ -195,9 +277,13 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32',
         def run_many(LP, RP, W1, W2, theta):
             def body(th, _):
                 out = _heff_matvec_impl(LP, RP, W1, W2, th)
-                nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2)
-                                   for b in out.data.blocks))
-                out.data.blocks = [b / nrm for b in out.data.blocks]
+                dense = not hasattr(out.data, 'blocks')  # no-symmetry backend
+                blocks = [out.data.block] if dense else out.data.blocks
+                nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2) for b in blocks))
+                if dense:
+                    out.data.block = out.data.block / nrm
+                else:
+                    out.data.blocks = [b / nrm for b in out.data.blocks]
                 return out, nrm
 
             th, nrms = jax.lax.scan(body, theta, None, length=n_iter)
@@ -225,8 +311,11 @@ def jax_run(chi, lengths=(50, 250), repeats=3, precision='float32',
 
 
 def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32',
-            skip_numpy=False):
-    """Slope-timed SU(2) matvec (fusion-tree backend) on device + numpy baseline."""
+            skip_numpy=False, builder=None):
+    """Slope-timed fusion-tree matvec on device + numpy baseline.
+
+    `builder` defaults to the SU(2) Heisenberg workload; `build_golden_workload`
+    gives the anyonic (Fibonacci) variant."""
     import time
 
     import jax
@@ -236,10 +325,11 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32',
     from cyten_tpu.backends.fusion_tree import FusionTreeBackend
     from cyten_tpu.algorithms.dmrg import _heff_matvec_impl
 
+    builder = builder or build_su2_workload
     t_np = None
     if not skip_numpy:
         np_backend = FusionTreeBackend(ct.get_block_backend('numpy'))
-        args_np = build_su2_workload(np_backend, chi_mult=chi_mult)
+        args_np = builder(np_backend, chi_mult=chi_mult)
         _heff_matvec_impl(*args_np)  # warmup (plan construction)
         t0 = time.perf_counter()
         for _ in range(3):
@@ -247,7 +337,7 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32',
         t_np = (time.perf_counter() - t0) / 3
 
     backend = FusionTreeBackend(ct.get_block_backend('jax'))
-    LP, RP, W1, W2, theta = build_su2_workload(backend, chi_mult=chi_mult)
+    LP, RP, W1, W2, theta = builder(backend, chi_mult=chi_mult)
 
     def make_run(n_iter):
         @jax.jit
@@ -256,7 +346,14 @@ def su2_run(chi_mult=512, lengths=(50, 250), repeats=3, precision='float32',
                 out = _heff_matvec_impl(LP, RP, W1, W2, th)
                 nrm = jnp.sqrt(sum(jnp.sum(jnp.abs(b) ** 2)
                                    for b in out.data.blocks))
-                out.data.blocks = [b / nrm for b in out.data.blocks]
+                blocks = [b / nrm for b in out.data.blocks]
+                if out.dtype != th.dtype and not th.dtype.is_complex:
+                    # anyonic tree plans carry complex twist phases whose sum is
+                    # real for a real Hamiltonian: take the real part so the
+                    # scan carry keeps the input structure
+                    blocks = [jnp.real(b) for b in blocks]
+                    out.data.dtype = th.dtype
+                out.data.blocks = blocks
                 return out, nrm
 
             th, nrms = jax.lax.scan(body, theta, None, length=n_iter)
@@ -566,6 +663,33 @@ def main():
             'vs_baseline': round(t_np / best, 3),
             'unrolled_ms': round(t_unrolled * 1e3, 4),
             'grouped_ms': round(t_grouped * 1e3, 4),
+        }
+        print(json.dumps(result))
+        return
+    if scenario == 'dense':
+        # TFIM dense (no-symmetry backend): the pure-MXU BASELINE.json config
+        chi_d = int(os.environ.get('BENCH_CHI', '4096'))
+        t_np, flops = numpy_run(chi_d, builder=build_dense_workload)
+        t_jax = jax_run(chi_d, precision=precision,
+                        builder=build_dense_workload)
+        result = {
+            'metric': f'dense_tfi_matvec_chi{chi_d}_tflops',
+            'value': round(flops / t_jax / 1e12, 4),
+            'unit': 'TFLOP/s',
+            'vs_baseline': round(t_np / t_jax, 3),
+        }
+        print(json.dumps(result))
+        return
+    if scenario == 'golden':
+        # Fibonacci golden chain (anyonic F/R-heavy path): BASELINE.json config
+        chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
+        t_jax, t_np = su2_run(chi_mult, lengths=(10, 50), precision=precision,
+                              builder=build_golden_workload)
+        result = {
+            'metric': f'golden_chain_matvec_{chi_mult}mult_ms',
+            'value': round(t_jax * 1e3, 4),
+            'unit': 'ms/iter',
+            'vs_baseline': round(t_np / t_jax, 3),
         }
         print(json.dumps(result))
         return
