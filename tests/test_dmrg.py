@@ -465,6 +465,25 @@ def test_static_mode_fusion_tree():
     assert abs(float(E) - E_exact) < 1e-9
 
 
+def test_static_mode_golden_chain():
+    """Static/steady mode on an ANYONIC theory (Fibonacci golden chain): the
+    fused bond update handles anyonic tree plans (planar, no braids needed in
+    DMRG) and qdim-weighted norms; matches the MPSKit.jl energy."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import GoldenChainModel
+
+    L = 6
+    m = GoldenChainModel(L=L, J=1., block_backend='jax')
+    psi = SimpleMPS.from_fusion_pairs(m.site_leg, L, backend=m.backend)
+    eng = DMRGEngine(psi, m, chi_max=16, eps=1e-13)
+    for _ in range(5):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=16, svd_mode='steady')
+    for _ in range(3):
+        E = eng.sweep()
+    assert abs(float(E) - m.exact_finite_gs_energy()) < 1e-9
+
+
 def test_mpo_sum_and_compression():
     """add_mpos (block-diagonal virtual sum) and compress_mpo (QR+SVD sweeps)
     are exact: <H+H> == 2<H>, and compression recovers the minimal bond dims."""
