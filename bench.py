@@ -437,7 +437,7 @@ def build_step_state(backend, chi, seed=0, builder=None):
 
 
 def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
-             svd_mode='steady', env_dtype=None, builder=None):
+             svd_mode='steady', env_dtype=None, work_dtype=None, builder=None):
     """Slope-time the FULL north-star step: one static-mode bond update (theta
     assembly + fused Lanczos + SVD + frozen-chi truncation + both environment
     updates) per scan iteration, state fed back as the carry.
@@ -469,6 +469,16 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
     LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = build_step_state(
         backend, chi, builder=builder)
     env_dtype = Dtype[env_dtype] if isinstance(env_dtype, str) else env_dtype
+    work_dtype = Dtype[work_dtype] if isinstance(work_dtype, str) else work_dtype
+    if work_dtype is not None:
+        # FULL low-precision step: state, MPO, envs and all intermediates in
+        # the storage dtype (sticky-scalar rule keeps the chain from silently
+        # promoting back to f32); reductions/factorizations still upcast
+        # internally per the block-backend policy (DESIGN §10)
+        LP, RP, W1, W2, S, B1, B2, theta_tmpl = (
+            t.to_dtype(work_dtype) for t in (LP, RP, W1, W2, S, B1, B2,
+                                             theta_tmpl))
+        env_dtype = None  # envs already in work_dtype; skip the in-loop cast
     if env_dtype is not None:
         LP = LP.to_dtype(env_dtype)
         RP = RP.to_dtype(env_dtype)
@@ -589,10 +599,15 @@ def main():
         # mixed-precision production path: BENCH_ENV_DTYPE=bfloat16 stores the
         # MPO environments half-width (DMRGEngine(env_dtype=...), DESIGN §10)
         env_dtype = os.environ.get('BENCH_ENV_DTYPE') or None
+        # BENCH_WORK_DTYPE=bfloat16: the FULL low-precision step (state + MPO +
+        # envs + intermediates all stored bf16; DESIGN §10)
+        work_dtype = os.environ.get('BENCH_WORK_DTYPE') or None
         t_step, flops = step_run(chi, n_lanczos=n_lanczos, precision=precision,
-                                 svd_mode=svd_mode, env_dtype=env_dtype)
+                                 svd_mode=svd_mode, env_dtype=env_dtype,
+                                 work_dtype=work_dtype)
         t_matvec = jax_run(chi, precision=precision)
-        suffix = f'_{env_dtype}env' if env_dtype else ''
+        suffix = (f'_{work_dtype}work' if work_dtype
+                  else (f'_{env_dtype}env' if env_dtype else ''))
         if os.environ.get('BENCH_VS_BASELINE', '1') != '0':
             # per-block numpy matvec baseline; skippable on slow hosts / large
             # chi, where the single-core numpy pass dominates the bench time

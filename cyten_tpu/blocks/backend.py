@@ -652,6 +652,26 @@ class JaxBlockBackend(BlockBackend):
         with self.jax.default_matmul_precision(config.matmul_precision):
             return self.xp.tensordot(a, b, (tuple(a_axes), tuple(b_axes)))
 
+    def _sticky_scalar(self, a, block_dtype):
+        # bf16 storage is STICKY under scalar broadcasting: reductions
+        # (norm/inner) deliberately return f32 scalars, and multiplying them
+        # back onto bf16 blocks must not silently promote the whole chain to
+        # f32 — jax weak typing only protects python scalars, while traced or
+        # numpy scalars are strong and would win the promotion. Scalars keep
+        # full precision where it matters (the Lanczos tridiagonal, norms);
+        # only the broadcast onto already-bf16 data is demoted.
+        if block_dtype == _BF16 and hasattr(a, 'dtype') and a.dtype != _BF16 \
+                and not np.issubdtype(a.dtype, np.complexfloating):
+            return a.astype(_BF16)
+        return a
+
+    def mul(self, a, block):
+        return self._sticky_scalar(a, block.dtype) * block
+
+    def linear_combination(self, a, block1, b, block2):
+        return self._sticky_scalar(a, block1.dtype) * block1 \
+            + self._sticky_scalar(b, block2.dtype) * block2
+
     def block_item(self, block):
         # under jit, keep the value traced (callers inside jit handle 0-d arrays)
         if self._is_tracer(block):

@@ -373,8 +373,14 @@ def fused_lanczos_impl(H, psi0, N: int):
         v_next = scalar_multiply(scale, w)
         return (v_next, v, beta), (v, alpha, beta)
 
+    # the initial beta must match norm's result dtype exactly (scan carry):
+    # norm upcasts bf16 storage to f32, keeps f32/f64 — mirror that here
+    from ..dtypes import Dtype as _Dt
+
+    _rdt = psi0.dtype.to_real
+    _beta_dt = (_Dt.float32 if _rdt == _Dt.bfloat16 else _rdt).to_numpy
     (_, _, _), (basis, alphas, betas) = jax.lax.scan(
-        body, (v0, zero, jnp.zeros(())), None, length=N)
+        body, (v0, zero, jnp.zeros((), dtype=_beta_dt)), None, length=N)
     # tridiagonal Ritz problem on device. A vanishing beta_k means the Krylov
     # space closed at k; later alphas are garbage — mask them out.
     valid = jnp.concatenate([jnp.ones((1,), bool), betas[:-1] > 1e-12])
@@ -432,8 +438,14 @@ def fused_lanczos_evolution_impl(H, psi0, delta, N: int):
         v_next = scalar_multiply(scale, w)
         return (v_next, v, beta), (v, alpha, beta)
 
+    # the initial beta must match norm's result dtype exactly (scan carry):
+    # norm upcasts bf16 storage to f32, keeps f32/f64 — mirror that here
+    from ..dtypes import Dtype as _Dt
+
+    _rdt = psi0.dtype.to_real
+    _beta_dt = (_Dt.float32 if _rdt == _Dt.bfloat16 else _rdt).to_numpy
     (_, _, _), (basis, alphas, betas) = jax.lax.scan(
-        body, (v0, zero, jnp.zeros(())), None, length=N)
+        body, (v0, zero, jnp.zeros((), dtype=_beta_dt)), None, length=N)
     valid = jnp.concatenate([jnp.ones((1,), bool), betas[:-1] > 1e-12])
     valid = jnp.cumprod(valid).astype(bool)
     # invalid entries: decouple them (diagonal far above the spectrum, zero

@@ -43,6 +43,9 @@ def _rotation_blocks(T, n_jacobi: int, eps: float):
     """
     bb = T.backend.block_backend
     xp = bb.xp
+    from ..dtypes import Dtype
+
+    half = T.dtype == Dtype.bfloat16  # factorization policy: upcast internally
     R_blocks = []
     diags = []
     for blk in T.data.blocks:
@@ -51,6 +54,8 @@ def _rotation_blocks(T, n_jacobi: int, eps: float):
             R_blocks.append(blk)
             diags.append(blk[:0, 0] if blk.ndim == 2 else blk)
             continue
+        if half:
+            blk = bb.to_dtype(blk, Dtype.float32)
         Tc = blk
         R_tot = None
         for _ in range(n_jacobi):
@@ -63,9 +68,14 @@ def _rotation_blocks(T, n_jacobi: int, eps: float):
             Q, _ = xp.linalg.qr(_eye_like(xp, k, W.dtype) + W)
             Tc = xp.conj(Q.T) @ Tc @ Q
             R_tot = Q if R_tot is None else R_tot @ Q
-        R_blocks.append(R_tot if R_tot is not None
-                        else _eye_like(xp, k, blk.dtype))
-        diags.append(xp.diagonal(Tc))
+        R_tot = R_tot if R_tot is not None else _eye_like(xp, k, blk.dtype)
+        d = xp.diagonal(Tc)
+        if half:  # outputs keep the storage dtype (S included: a wider S
+            # would re-promote B through scale_axis downstream)
+            R_tot = bb.to_dtype(R_tot, Dtype.bfloat16)
+            d = bb.to_dtype(d, Dtype.bfloat16)
+        R_blocks.append(R_tot)
+        diags.append(d)
     return R_blocks, diags
 
 

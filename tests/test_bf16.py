@@ -191,3 +191,66 @@ def test_static_mode_keeps_env_dtype():
         assert LP.dtype == Dtype.bfloat16, LP
     for RP in eng.RPs[1:-1]:
         assert RP.dtype == Dtype.bfloat16, RP
+
+
+def test_bf16_sticky_scalar():
+    """Traced/numpy f32 scalars broadcast onto bf16 blocks must NOT promote the
+    result to f32 (jax weak typing only protects python scalars): norm/inner
+    deliberately return f32, and x/norm(x) inside a jitted chain would
+    otherwise silently turn a bf16 working dtype back into f32 traffic."""
+    import jax
+    import jax.numpy as jnp
+
+    from cyten_tpu.tensors import linear_combination, scalar_multiply
+
+    backend = get_backend(u1_symmetry, 'jax')
+    leg = ElementarySpace(u1_symmetry, [[0], [1]], [4, 3])
+    rng = np.random.default_rng(7)
+    x = SymmetricTensor.from_random_normal([leg], [leg], backend=backend,
+                                           rng=rng).to_dtype(Dtype.bfloat16)
+
+    @jax.jit
+    def normalize(t):
+        n = norm(t)  # f32 by policy
+        t = scalar_multiply(1. / jnp.maximum(n, 1e-30), t)
+        return linear_combination(n, t, jnp.float32(0.5), t)
+
+    y = normalize(x)
+    assert y.dtype == Dtype.bfloat16
+    for b in y.data.blocks:
+        assert b.dtype == jnp.bfloat16
+    # value sanity: n*(x/n) + 0.5*(x/n) = x * (1 + 0.5/|x|)
+    xf = x.to_numpy(np.float32)
+    ref = xf * (1. + 0.5 / np.linalg.norm(xf))
+    assert np.allclose(y.to_numpy(np.float32), ref, atol=0.05)
+    # numpy (strong) scalars are demoted the same way outside jit
+    z = scalar_multiply(np.float32(2.0), x)
+    assert z.dtype == Dtype.bfloat16
+    # full precision is preserved where the storage is wider
+    w = scalar_multiply(np.float32(2.0), x.to_dtype(Dtype.float32))
+    assert w.dtype == Dtype.float32
+
+
+def test_full_bf16_static_step():
+    """The WHOLE static-mode bond update runs with bf16 storage end-to-end
+    (state + MPO + envs + intermediates): no silent f32 promotion anywhere in
+    the fused program, and the result is bf16-grade accurate."""
+    import bench
+
+    backend = get_backend(u1_symmetry, 'jax')
+    args = bench.build_step_state(backend, chi=48)
+    LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = args
+    casted = [t.to_dtype(Dtype.bfloat16)
+              for t in (LP, RP, W1, W2, S, B1, B2, theta_tmpl)]
+    LPb, RPb, W1b, W2b, Sb, B1b, B2b, tmplb = casted
+
+    from cyten_tpu.algorithms.dmrg import HEffective, _get_static_bond_fn
+
+    impl = _get_static_bond_fn(5, 'steady')
+    E32, nB1, S2, B2n, LPn, RPn = impl(HEffective(LP, RP, W1, W2), S, B1, B2,
+                                       theta_tmpl, mask)
+    E16, nB1b, S2b, B2nb, LPnb, RPnb = impl(HEffective(LPb, RPb, W1b, W2b),
+                                            Sb, B1b, B2b, tmplb, mask)
+    for t in (nB1b, S2b, B2nb, LPnb, RPnb):
+        assert t.dtype == Dtype.bfloat16, t
+    assert abs(float(E16) - float(E32)) < 0.05 * max(1., abs(float(E32)))
