@@ -635,6 +635,19 @@ def main():
                 result['step_bf16env_tflops'] = round(fl_b / t_b / 1e12, 4)
             except Exception as e:  # pragma: no cover - keep the main metric
                 result['step_bf16env_ms'] = f'failed: {e}'
+        # full-bf16 companion: the whole step stored bfloat16 (state + MPO +
+        # envs + intermediates; sticky-scalar rule, DESIGN §10) under 'default'
+        # (1-pass) matmul precision — the top rung of the precision ladder
+        if (env_dtype is None and work_dtype is None
+                and os.environ.get('BENCH_BF16', '1') != '0'):
+            try:
+                t_w, fl_w = step_run(chi, n_lanczos=n_lanczos,
+                                     precision='default', svd_mode=svd_mode,
+                                     work_dtype='bfloat16')
+                result['step_bf16work_ms'] = round(t_w * 1e3, 3)
+                result['step_bf16work_tflops'] = round(fl_w / t_w / 1e12, 4)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['step_bf16work_ms'] = f'failed: {e}'
         # per-sector (QDWH) SVD time at the bench chi — the BASELINE.md
         # companion metric to the step throughput
         if os.environ.get('BENCH_SVD_TIMING', '1') != '0':

@@ -13,9 +13,13 @@ traffic lever; if not, retire the idea.
 Run on the TPU claim, ONE client at a time (memory note axon-tpu-claim).
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe_int8(n=8192, iters=20):
