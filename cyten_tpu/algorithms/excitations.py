@@ -1,0 +1,316 @@
+"""Tangent-space quasiparticle excitations on a uniform MPS.
+
+Single-mode (plane-wave) ansatz on a one-site unit cell in mixed canonical
+gauge (AL, C, AR):
+
+    |Phi_p(B)> = sum_n e^{i p n} AL^{(<n)} B_n AR^{(>n)},     B = VL X,
+
+with ``VL`` the left null space of ``AL`` (``dagger(VL) @ AL = 0``), so that
+``<Phi_p(X)|Phi_p(X')> = 2 pi delta(p-p') <X, X'>`` and the excitation energy
+``omega(p) = E(p) - E_gs`` is the lowest eigenvalue of a Hermitian effective
+Hamiltonian acting on the small tensor ``X: [vL~; vR]``.
+
+Formulation follows Haegeman et al., PRB 85, 100408(R) (2012) and
+Vanderstraeten, Haegeman & Verstraete, SciPost Phys. Lect. Notes 7 (2019)
+Sec. 6, in MPO form: any uniform MPO (``bc='infinite'`` models, incl.
+long-range couplings from :func:`~cyten_tpu.algorithms.models.mpo_from_terms`)
+defines H. The B-dressed half-infinite environments are geometric sums
+
+    LB(p) = sum_{k>=1} e^{-i p k} T_mixed^{k-1}[LB_1],
+
+resummed by solving ``(1 - e^{-ip} T_mixed) LB = e^{-ip} LB_1`` with GMRES,
+where ``T_mixed`` is the MPO-sandwiched mixed transfer operator (bra AL, ket
+AR). Its spectrum lies on/in the unit circle with the only unimodular
+eigenvalue at 1 (the C-alignment mode), so the solve is well-conditioned for
+``p != 0``; near p = 0 it degrades gracefully (more GMRES iterations).
+
+The static environments are NOT taken from the engine as-is: the fixed-point
+equations determine their completed-/starting-H-channel components only up to
+a multiple of the identity, and that multiple shifts every omega(p) by a
+constant. They are re-anchored here at the boundary with the converged energy
+density held fixed (see :meth:`ExcitationEngine._absolute_envs`), which makes
+omega(p) absolute (validated against the exact transverse-field Ising
+dispersion, tests/test_excitations.py).
+
+No reference counterpart (`/root/reference` stops at ground-state DMRG
+toycodes, toycodes/tenpy_toycodes/d_dmrg.py); TeNPy v1 ships a comparable
+plane-wave excitation engine, MPSKit.jl calls this the QuasiparticleAnsatz.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dtypes import Dtype
+from ..symmetries.spaces import ElementarySpace
+from ..tensors import (
+    SymmetricTensor, compose, dagger, norm, permute_legs, qr, tdot,
+)
+from ..tensors.sparse import LinearOperator, NumpyArrayLinearOperator
+from .dmrg1 import _heff1_matvec_impl
+
+__all__ = ['ExcitationEngine', 'left_null_space']
+
+
+def left_null_space(A: SymmetricTensor, tol: float = 1e-8,
+                    max_tries: int = 4) -> SymmetricTensor:
+    """The left null space ``VL: [vL, p; vR]`` of a left isometry ``A: [vL, p; vR]``.
+
+    ``dagger(VL) @ A = 0`` and ``dagger(VL) @ VL = eye``; the new bond leg
+    carries, per coupled sector, the complementary multiplicity
+    ``dim(vL x p) - dim(vR)``. Backend-agnostic construction: project a random
+    tensor onto the orthogonal complement of the columns of ``A`` and
+    orthonormalize per sector with QR (retry on the measure-zero event that
+    the random projection is rank-deficient).
+    """
+    cod, dom = A.codomain, A.domain
+    secs, mults = [], []
+    for s, m in zip(cod.sector_decomposition, cod.multiplicities):
+        k = int(m) - int(dom.sector_multiplicity(s))
+        assert k >= 0, 'A is not an isometry (domain exceeds codomain)'
+        if k > 0:
+            secs.append(s)
+            mults.append(k)
+    if not secs:
+        raise ValueError('left_null_space: A is unitary, the null space is empty')
+    null_leg = ElementarySpace(A.symmetry, np.array(secs), np.array(mults))
+    la, lb = A.codomain_labels
+    dtype = A.dtype if A.dtype.is_complex else Dtype.complex128
+    rng = np.random.default_rng(20260819)
+    for _ in range(max_tries):
+        R = SymmetricTensor.from_random_normal(
+            list(cod.factors), [null_leg], backend=A.backend,
+            labels=[[la, lb], ['vR']], dtype=dtype, rng=rng)
+        # P R = R - A (A^dag R)
+        AdR = tdot(dagger(A), R, [f'{la}*', f'{lb}*'], [la, lb])
+        PR = R - permute_legs(tdot(A, AdR, A.labels[-1], f'{A.labels[-1]}*'),
+                              codomain=[la, lb], domain=['vR'])
+        VL, _ = qr(PR, new_labels=['vR', 'vL'])
+        err = float(norm(tdot(dagger(A), VL, [f'{la}*', f'{lb}*'], [la, lb])))
+        if err < tol * max(float(norm(A)), 1.):
+            return VL
+    raise RuntimeError(f'left_null_space did not converge (residual {err:.2e})')
+
+
+def _update_LP_mixed(LP, W, ket, bra):
+    """One-cell left-environment absorption with different bra/ket site tensors.
+
+    Same contraction as :func:`~cyten_tpu.algorithms.dmrg._update_LP_impl`
+    with ``dagger(bra)`` closing the top instead of ``dagger(ket)``.
+    """
+    t = tdot(ket, LP, 'vL', 'vR')
+    t = tdot(t, W, ['p', 'wR'], ['p*', 'wL'])
+    tp = permute_legs(t, codomain=['vR*', 'p'], domain=['vR', 'wR'])
+    return compose(dagger(bra), tp)
+
+
+def _update_RP_mixed(RP, W, ket, bra):
+    t = tdot(ket, RP, 'vR', 'vL')
+    tp = permute_legs(t, codomain=['p', 'wL'], domain=['vL', 'vL*'])
+    t = compose(W, tp)
+    zp = permute_legs(t, codomain=['vL', 'wL'], domain=['vL*', 'p'])
+    dB = permute_legs(dagger(bra), codomain=['vR*', 'p*'], domain=['vL*'])
+    return compose(zp, dB)
+
+
+class _GeometricResolvent(LinearOperator):
+    """``x -> x - phase * T(x)`` for resumming geometric environment series."""
+
+    def __init__(self, T, phase, example):
+        self.T = T
+        self.phase = phase
+        self.example = example
+        LinearOperator.__init__(self, dtype=example.dtype)
+
+    def matvec(self, x):
+        return x - self.phase * self.T(x)
+
+    def some_vector(self):
+        return self.example
+
+
+def _gmres(op: LinearOperator, rhs, tol: float = 1e-10, maxiter: int = 400):
+    """Solve ``op(x) = rhs`` for tensors via the scipy bridge."""
+    import scipy.sparse.linalg as spla
+
+    bridge = NumpyArrayLinearOperator(op, rhs)
+    b = bridge.tensor_to_flat(rhs)
+    x, info = spla.gmres(bridge.as_scipy_operator(), b,
+                         rtol=tol, atol=0., maxiter=maxiter)
+    if info != 0:  # pragma: no cover - diagnostics only
+        import warnings
+        warnings.warn(f'excitations: GMRES stopped with info={info}',
+                      stacklevel=2)
+    return bridge.flat_to_tensor(x)
+
+
+class _HEffExcitation(LinearOperator):
+    """The momentum-p effective Hamiltonian on the reduced tensor X."""
+
+    def __init__(self, eng: 'ExcitationEngine', p: float, gmres_tol: float):
+        self.eng = eng
+        self.p = p
+        self.gmres_tol = gmres_tol
+        LinearOperator.__init__(self, dtype=Dtype.complex128)
+
+    def matvec(self, X):
+        eng = self.eng
+        p = self.p
+        B = tdot(eng.VL, X, 'vR', 'vL')     # [vL, p; vR]
+        # (a) B at the output site
+        G = _heff1_matvec_impl(eng.LW, eng.RW, eng.W, B)
+        # (b) B strictly left of the output site (ket AR at the output):
+        #     LB = e^{-ip} (1 - e^{-ip} T_mixed)^{-1} LB_1
+        phase = np.exp(-1j * p)
+        LB1 = _update_LP_mixed(eng.LW, eng.W, ket=B, bra=eng.AL)
+        LB = _gmres(_GeometricResolvent(eng._T_left_mixed, phase, LB1),
+                    phase * LB1, tol=self.gmres_tol)
+        G = G + _heff1_matvec_impl(LB, eng.RW, eng.W, eng.AR)
+        # (c) B strictly right of the output site (ket AL at the output)
+        phase = np.exp(+1j * p)
+        RB1 = _update_RP_mixed(eng.RW, eng.W, ket=B, bra=eng.AR)
+        RB = _gmres(_GeometricResolvent(eng._T_right_mixed, phase, RB1),
+                    phase * RB1, tol=self.gmres_tol)
+        G = G + _heff1_matvec_impl(eng.LW, RB, eng.W, eng.AL)
+        # project back onto the tangent space: X_out = VL^dag G
+        Xo = tdot(dagger(eng.VL), G, ['vL*', 'p*'], ['vL', 'p'])
+        Xo = permute_legs(Xo.relabelled({'vR*': 'vL'}),
+                          codomain=['vL'], domain=['vR'])
+        # measure omega from the ground state's own lam0 (see __init__)
+        return Xo - eng.lam0 * X
+
+    def some_vector(self):
+        rng = np.random.default_rng(7)
+        return SymmetricTensor.from_random_normal(
+            [self.eng.null_leg], [self.eng.AR.domain.factors[0]],
+            backend=self.eng.backend, labels=[['vL'], ['vR']],
+            dtype=Dtype.complex128, rng=rng)
+
+
+class ExcitationEngine:
+    """Quasiparticle dispersion omega(p) over a converged uniform ground state.
+
+    Parameters
+    ----------
+    engine : :class:`~cyten_tpu.algorithms.vumps.VUMPSEngine` or \
+            :class:`~cyten_tpu.algorithms.itdvp.iTDVPEngine`
+        A CONVERGED fixed point with a one-site unit cell (``L == 1``); its
+        mixed-gauge tensors and MPO environments are reused. Run VUMPS to
+        ``grad_norm`` well below the accuracy you want for omega.
+    gmres_tol : float
+        Relative tolerance of the geometric-sum solves.
+
+    Notes
+    -----
+    Topologically trivial ansatz (B carries no net charge): on a symmetric
+    backend the lowest band in a *charged* sector needs a sector-shifted X —
+    run with the symmetry dropped (``conserve='None'``) to scan all sectors at
+    once. L > 1 unit cells are not implemented.
+    """
+
+    def __init__(self, engine, gmres_tol: float = 1e-10):
+        assert engine.L == 1, 'ExcitationEngine needs a one-site unit cell'
+        engine._solve_environments()
+        self.AL = engine.ALs[0]
+        self.AR = engine.ARs[0]
+        self.C = engine.Cs[0]
+        self.W = engine.model.H_mpo[0]
+        self.backend = engine.backend
+        self.gmres_tol = gmres_tol
+        self.VL = left_null_space(self.AL)
+        self.null_leg = self.VL.domain.factors[0]
+        self.LW, self.RW = self._absolute_envs(engine)
+        # the zero of omega: the ground state's own eigenvalue of the SAME
+        # effective Hamiltonian (B at the output site, anchored environments).
+        # Subtracting it makes omega(p) = E(p) - E_gs absolute without any
+        # model-specific bookkeeping of how energy density splits between
+        # onsite and bond MPO channels.
+        AC = permute_legs(tdot(self.C, self.AR, 'vR', 'vL'),
+                          codomain=['vL', 'p'], domain=['vR'])
+        from ..tensors import inner
+
+        self.lam0 = float(np.real(
+            inner(AC, _heff1_matvec_impl(self.LW, self.RW, self.W, AC),
+                  do_dagger=True)
+            / inner(AC, AC, do_dagger=True)))
+
+    # -- environment gauge ----------------------------------------------------
+
+    def _absolute_envs(self, engine):
+        """Boundary-anchored environments of ``H - e * N`` (absolute gauge).
+
+        The engine's power iteration subtracts the *instantaneous* growth-rate
+        estimate each absorption; the early-iteration estimates differ from
+        the converged energy density, so its LW/RW fixed points carry an
+        accumulated constant ``c * eye`` in the completed-/starting-H channel.
+        That constant is gauge for ground-state algorithms (any ``c`` solves
+        the fixed-point equation) but shifts every excitation energy by ``c``.
+        Re-iterating from the boundary with the CONVERGED energy density held
+        fixed yields the limit ``lim_K (T^K[boundary] - K e eyeH)`` — the
+        physical sum of all H-terms in the half-infinite chain measured
+        relative to the ground state, with no free constant.
+        """
+        e = engine.env_energy_cell
+        tol = engine.env_tol
+        LW = engine._boundary_LW()
+        eyeHL = engine._eye_H_left(LW)
+        for _ in range(4 * engine.env_max_iter):
+            LWn = self._T_left(LW) - e * eyeHL
+            dL = float(norm(LWn - LW))
+            LW = LWn
+            if dL < tol * max(float(norm(LW)), 1.):
+                break
+        RW = engine._boundary_RW()
+        eyeHR = engine._eye_H_right(RW)
+        for _ in range(4 * engine.env_max_iter):
+            RWn = self._T_right(RW) - e * eyeHR
+            dR = float(norm(RWn - RW))
+            RW = RWn
+            if dR < tol * max(float(norm(RW)), 1.):
+                break
+        return LW, RW
+
+    def _T_left(self, env):
+        return _update_LP_mixed(env, self.W, ket=self.AL, bra=self.AL)
+
+    def _T_right(self, env):
+        return _update_RP_mixed(env, self.W, ket=self.AR, bra=self.AR)
+
+    # -- mixed transfer operators ----------------------------------------------
+
+    def _T_left_mixed(self, env):
+        return _update_LP_mixed(env, self.W, ket=self.AR, bra=self.AL)
+
+    def _T_right_mixed(self, env):
+        return _update_RP_mixed(env, self.W, ket=self.AL, bra=self.AR)
+
+    # -- dispersion -------------------------------------------------------------
+
+    def effective_h(self, p: float) -> LinearOperator:
+        return _HEffExcitation(self, p, self.gmres_tol)
+
+    def dispersion(self, ps, n_bands: int = 1, tol: float = 0):
+        """omega(p) for each momentum in `ps`: the `n_bands` lowest eigenvalues
+        of the effective Hamiltonian (shape ``(len(ps), n_bands)``)."""
+        import scipy.sparse.linalg as spla
+
+        out = np.zeros((len(ps), n_bands))
+        for i, p in enumerate(ps):
+            H = self.effective_h(float(p))
+            bridge = NumpyArrayLinearOperator(H, H.some_vector())
+            n = bridge.tensor_to_flat(H.some_vector()).size
+            if n_bands + 2 >= n:  # tiny problem: dense solve
+                M = np.zeros((n, n), complex)
+                for j in range(n):
+                    e = np.zeros(n, complex)
+                    e[j] = 1.
+                    M[:, j] = bridge.tensor_to_flat(
+                        H.matvec(bridge.flat_to_tensor(e)))
+                w = np.linalg.eigvalsh(M)
+                out[i] = w[:n_bands]
+            else:
+                w = spla.eigsh(bridge.as_scipy_operator(), k=n_bands,
+                               which='SA', tol=tol,
+                               return_eigenvectors=False)
+                out[i] = np.sort(w)
+        return out

@@ -232,29 +232,30 @@ class iDMRGEngine:
                           self.S.relabelled(['vL', 'vL*'])], bc='infinite')
 
 
+def _diag_phases(T, labels):
+    """The phases of the diagonal of a square tensor, as a DiagonalTensor
+    (zero diagonal entries map to phase 1). Backend-generic: goes through
+    ``T.diagonal()`` + the elementwise machinery, so it works on dense
+    (no-symmetry), abelian and fusion-tree storage alike."""
+    xp = T.backend.block_backend.xp
+
+    def func(blk):
+        mag = xp.abs(blk)
+        return xp.where(mag > 1e-300, blk / xp.where(mag > 1e-300, mag, 1.), 1.)
+
+    d = T.diagonal()._elementwise_unary(func)
+    d.labels = labels
+    return d
+
+
 def _fix_qr_phases(Q, R):
     """Make R's diagonal real-positive (absorbing phases into Q).
 
     For an exactly B-canonical input, the sign-fixed QR of ``S_i B_i``
     reproduces the canonical ``A_i`` and ``R == S_{i+1}`` EXACTLY, so
     environments absorbed from Q match the window's own gauge."""
-    from ..backends.data import DiagonalBlockData
-    from ..tensors import DiagonalTensor
-
-    bb = R.backend.block_backend
-    xp = bb.xp
-    phase_blocks = []
-    for blk in R.data.blocks:
-        d = xp.diagonal(blk)
-        mag = xp.abs(d)
-        phase_blocks.append(xp.where(mag > 1e-300, d / xp.where(mag > 1e-300,
-                                                                mag, 1.), 1.))
-    inds = np.array([int(i) for i, _ in R.data.block_inds], dtype=np.intp)
-    leg = R.codomain.factors[0]
-    D = DiagonalTensor(DiagonalBlockData(phase_blocks, inds, R.data.dtype,
-                                         is_sorted=True), leg, R.backend,
-                       [R.labels[0], f'{R.labels[0]}*'])
-    if R.data.dtype.is_complex:
+    D = _diag_phases(R, [R.labels[0], f'{R.labels[0]}*'])
+    if R.dtype.is_complex:
         from ..tensors import complex_conj
 
         Dc = complex_conj(D)

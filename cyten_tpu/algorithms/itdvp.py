@@ -341,21 +341,10 @@ def _fix_lq_phases(Lf, Q):
     ``L <- L D^dagger`` (columns) and ``Q <- D Q`` (rows), where ``D`` holds
     the phases of ``diag(L)`` — the LQ mirror of :func:`_fix_qr_phases`.
     """
-    from ..backends.data import DiagonalBlockData
-    from ..tensors import DiagonalTensor, complex_conj, scale_axis
+    from ..tensors import complex_conj, scale_axis
+    from .idmrg import _diag_phases
 
-    bb = Lf.backend.block_backend
-    xp = bb.xp
-    phase_blocks = []
-    for blk in Lf.data.blocks:
-        d = xp.diagonal(blk)
-        mag = xp.abs(d)
-        phase_blocks.append(xp.where(mag > 1e-300,
-                                     d / xp.where(mag > 1e-300, mag, 1.), 1.))
-    inds = np.array([int(j) for _, j in Lf.data.block_inds], dtype=np.intp)
-    leg = Lf.domain.factors[0]
     lbl = Lf.labels[-1]
-    D = DiagonalTensor(DiagonalBlockData(phase_blocks, inds, Lf.data.dtype),
-                       leg, Lf.backend, [lbl, f'{lbl}*'])
-    Dc = complex_conj(D) if Lf.data.dtype.is_complex else D
+    D = _diag_phases(Lf, [lbl, f'{lbl}*'])
+    Dc = complex_conj(D) if Lf.dtype.is_complex else D
     return scale_axis(Lf, Dc, -1), scale_axis(Q, D, 0)

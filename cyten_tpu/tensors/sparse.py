@@ -191,7 +191,12 @@ class NumpyArrayLinearOperator(LinearOperator):
         LinearOperator.__init__(self, dtype=operator.dtype or example_vec.dtype)
 
     def tensor_to_flat(self, vec: Tensor) -> np.ndarray:
-        return vec.to_numpy().reshape(-1)
+        flat = vec.to_numpy().reshape(-1)
+        if not flat.flags.writeable:
+            # jax-backed tensors convert to read-only numpy views; scipy's
+            # iterative solvers (gmres et al.) write into matvec outputs
+            flat = flat.copy()
+        return flat
 
     def flat_to_tensor(self, flat: np.ndarray) -> Tensor:
         from ._tensors import SymmetricTensor

@@ -1,0 +1,103 @@
+"""Quasiparticle excitations (tangent-space single-mode ansatz) vs exact results.
+
+The transverse-field Ising chain maps to free fermions, where the single-mode
+ansatz on top of the exact ground state is exact: the quasiparticle dispersion
+``omega(k) = 2 J sqrt(1 + (g/J)^2 - 2 (g/J) cos k)`` is reproduced to the
+accuracy of the underlying uniform MPS. This pins the whole machinery —
+null-space gauge, boundary-anchored environments, geometric-sum resolvents,
+and the absolute zero of omega — against a closed form.
+"""
+
+import numpy as np
+import pytest
+
+from cyten_tpu import DiagonalTensor, ElementarySpace, SymmetricTensor
+from cyten_tpu.algorithms import ExcitationEngine, SimpleMPS, VUMPSEngine, left_null_space
+from cyten_tpu.algorithms.models import TFIModel, tfi_exact_infinite_gs_energy
+from cyten_tpu.tensors import dagger, inner, norm, tdot
+
+
+def _random_uniform_mps(model, chi, seed=3):
+    """A random chi-dim uniform MPS on the model's single-site unit cell."""
+    sym = model.site_leg.symmetry
+    v = ElementarySpace(sym, sym.trivial_sector[None, :], [chi])
+    rng = np.random.default_rng(seed)
+    B = SymmetricTensor.from_random_normal(
+        [v, model.site_leg], [v], backend=model.backend,
+        labels=['vL', 'p', 'vR'], rng=rng)
+    S = DiagonalTensor.from_eye(v, backend=model.backend, labels=['vL', 'vL*'])
+    psi = SimpleMPS([B], [S], bc='infinite')
+    psi.canonicalize_infinite()
+    return psi
+
+
+def _tfi_vumps_fixed_point(g=1.5, chi=12, e_tol=1e-10):
+    model = TFIModel(L=1, J=1., g=g, conserve='None', block_backend='numpy',
+                     bc='infinite')
+    psi = _random_uniform_mps(model, chi)
+    eng = VUMPSEngine(psi, model)
+    e = eng.run(max_iter=100, tol=1e-12)
+    assert abs(e - tfi_exact_infinite_gs_energy(1., g)) < e_tol
+    return eng
+
+
+def test_left_null_space():
+    """dagger(VL) @ AL = 0, dagger(VL) @ VL = eye, and the null leg carries the
+    complementary multiplicity per sector — on a U(1)-symmetric isometry."""
+    from cyten_tpu import get_backend, u1_symmetry
+    from cyten_tpu.tensors import qr
+
+    backend = get_backend(u1_symmetry, 'numpy')
+    rng = np.random.default_rng(5)
+    vL = ElementarySpace(u1_symmetry, [[-1], [0], [1]], [2, 3, 2])
+    p = ElementarySpace(u1_symmetry, [[-1], [1]], [1, 1])
+    vR = ElementarySpace(u1_symmetry, [[-1], [0], [1]], [2, 3, 2])
+    M = SymmetricTensor.from_random_normal([vL, p], [vR], backend=backend,
+                                           labels=['vL', 'p', 'vR'], rng=rng)
+    A, _ = qr(M, new_labels=['vR', 'vL'])          # a left isometry
+    VL = left_null_space(A)
+    assert float(norm(tdot(dagger(A), VL, ['vL*', 'p*'], ['vL', 'p']))) < 1e-12
+    gram = tdot(dagger(VL), VL, ['vL*', 'p*'], ['vL', 'p'])
+    null_dim = VL.domain.factors[0].dim
+    # codomain dim 14, domain dim 7 -> 7-dim null space
+    assert int(null_dim) == int(vL.dim) * int(p.dim) - int(vR.dim)
+    assert abs(float(norm(gram)) - np.sqrt(null_dim)) < 1e-12
+
+
+def test_heff_is_hermitian():
+    eng = _tfi_vumps_fixed_point(g=1.5, chi=8, e_tol=1e-7)
+    exc = ExcitationEngine(eng)
+    H = exc.effective_h(0.9)
+    X1 = H.some_vector()
+    X2 = X1 + 0.3 * H.matvec(X1)          # decorrelate from X1
+    a = complex(inner(X2, H.matvec(X1), do_dagger=True))
+    b = complex(inner(X1, H.matvec(X2), do_dagger=True))
+    assert abs(a - np.conj(b)) < 1e-8 * abs(a)
+
+
+def test_tfi_dispersion_exact():
+    """omega(k) of the TFI chain at g=1.5 vs the free-fermion dispersion."""
+    g = 1.5
+    eng = _tfi_vumps_fixed_point(g=g, chi=12)
+    exc = ExcitationEngine(eng)
+    ps = [np.pi / 4, np.pi / 2, np.pi]
+    om = exc.dispersion(ps)
+    for p, w in zip(ps, om[:, 0]):
+        exact = 2. * np.sqrt(1. + g ** 2 - 2. * g * np.cos(p))
+        assert abs(w - exact) < 1e-8, (p, w, exact)
+
+
+@pytest.mark.slow
+def test_tfi_dispersion_jax_backend():
+    """The engine runs end-to-end on the jax block backend as well."""
+    g = 2.0
+    model = TFIModel(L=1, J=1., g=g, conserve='None', block_backend='jax',
+                     bc='infinite')
+    psi = _random_uniform_mps(model, chi=8)
+    eng = VUMPSEngine(psi, model)
+    e = eng.run(max_iter=80, tol=1e-11)
+    assert abs(e - tfi_exact_infinite_gs_energy(1., g)) < 1e-9
+    exc = ExcitationEngine(eng)
+    om = exc.dispersion([np.pi])
+    exact = 2. * np.sqrt(1. + g ** 2 + 2. * g)
+    assert abs(om[0, 0] - exact) < 1e-7
