@@ -44,11 +44,9 @@ import numpy as np
 from ..dtypes import Dtype
 from ..symmetries.spaces import ElementarySpace
 from ..tensors import (
-    SymmetricTensor, compose, dagger, norm, permute_legs, qr, tdot,
+    SymmetricTensor, dagger, norm, permute_legs, qr, tdot,
 )
 from ..tensors.sparse import LinearOperator, NumpyArrayLinearOperator
-from .dmrg1 import _heff1_matvec_impl
-
 __all__ = ['ExcitationEngine', 'left_null_space']
 
 
@@ -92,25 +90,43 @@ def left_null_space(A: SymmetricTensor, tol: float = 1e-8,
     raise RuntimeError(f'left_null_space did not converge (residual {err:.2e})')
 
 
+def _q_extra(*tensors):
+    """The optional charge-leg label carried by at most one of the tensors."""
+    return ['q'] if any(t.has_label('q') for t in tensors) else []
+
+
 def _update_LP_mixed(LP, W, ket, bra):
     """One-cell left-environment absorption with different bra/ket site tensors.
 
     Same contraction as :func:`~cyten_tpu.algorithms.dmrg._update_LP_impl`
-    with ``dagger(bra)`` closing the top instead of ``dagger(ket)``.
+    with ``dagger(bra)`` closing the top instead of ``dagger(ket)``. Either
+    ``ket`` or ``LP`` may carry an extra charge leg 'q' (sector-charged
+    excitations); it rides along in the domain.
     """
     t = tdot(ket, LP, 'vL', 'vR')
     t = tdot(t, W, ['p', 'wR'], ['p*', 'wL'])
-    tp = permute_legs(t, codomain=['vR*', 'p'], domain=['vR', 'wR'])
-    return compose(dagger(bra), tp)
+    t = tdot(dagger(bra), t, ['vL*', 'p*'], ['vR*', 'p'])
+    return permute_legs(t, codomain=['vR*'],
+                        domain=['vR', 'wR'] + _q_extra(t))
 
 
 def _update_RP_mixed(RP, W, ket, bra):
     t = tdot(ket, RP, 'vR', 'vL')
-    tp = permute_legs(t, codomain=['p', 'wL'], domain=['vL', 'vL*'])
-    t = compose(W, tp)
-    zp = permute_legs(t, codomain=['vL', 'wL'], domain=['vL*', 'p'])
-    dB = permute_legs(dagger(bra), codomain=['vR*', 'p*'], domain=['vL*'])
-    return compose(zp, dB)
+    t = tdot(W, t, ['p*', 'wR'], ['p', 'wL'])
+    t = tdot(t, dagger(bra), ['vL*', 'p'], ['vR*', 'p*'])
+    return permute_legs(t, codomain=['vL', 'wL'],
+                        domain=['vL*'] + _q_extra(t))
+
+
+def _heff1_mixed(LP, RP, W, theta):
+    """``LP -- W -- RP`` applied to ``theta``, with an optional charge leg 'q'
+    riding along on theta, LP or RP (cf. dmrg1._heff1_matvec_impl)."""
+    x = tdot(theta, LP, 'vL', 'vR')
+    x = tdot(x, W, ['p', 'wR'], ['p*', 'wL'])
+    x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])
+    x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+    return permute_legs(x, codomain=['vL', 'p'],
+                        domain=['vR'] + _q_extra(x))
 
 
 class _GeometricResolvent(LinearOperator):
@@ -156,35 +172,45 @@ class _HEffExcitation(LinearOperator):
     def matvec(self, X):
         eng = self.eng
         p = self.p
-        B = tdot(eng.VL, X, 'vR', 'vL')     # [vL, p; vR]
+        B = tdot(eng.VL, X, 'vR', 'vL')     # [vL, p; vR(, q)]
         # (a) B at the output site
-        G = _heff1_matvec_impl(eng.LW, eng.RW, eng.W, B)
+        G = _heff1_mixed(eng.LW, eng.RW, eng.W, B)
         # (b) B strictly left of the output site (ket AR at the output):
         #     LB = e^{-ip} (1 - e^{-ip} T_mixed)^{-1} LB_1
         phase = np.exp(-1j * p)
         LB1 = _update_LP_mixed(eng.LW, eng.W, ket=B, bra=eng.AL)
         LB = _gmres(_GeometricResolvent(eng._T_left_mixed, phase, LB1),
                     phase * LB1, tol=self.gmres_tol)
-        G = G + _heff1_matvec_impl(LB, eng.RW, eng.W, eng.AR)
+        G = G + _heff1_mixed(LB, eng.RW, eng.W, eng.AR)
         # (c) B strictly right of the output site (ket AL at the output)
         phase = np.exp(+1j * p)
         RB1 = _update_RP_mixed(eng.RW, eng.W, ket=B, bra=eng.AR)
         RB = _gmres(_GeometricResolvent(eng._T_right_mixed, phase, RB1),
                     phase * RB1, tol=self.gmres_tol)
-        G = G + _heff1_matvec_impl(eng.LW, RB, eng.W, eng.AL)
+        G = G + _heff1_mixed(eng.LW, RB, eng.W, eng.AL)
         # project back onto the tangent space: X_out = VL^dag G
         Xo = tdot(dagger(eng.VL), G, ['vL*', 'p*'], ['vL', 'p'])
         Xo = permute_legs(Xo.relabelled({'vR*': 'vL'}),
-                          codomain=['vL'], domain=['vR'])
+                          codomain=['vL'], domain=['vR'] + _q_extra(Xo))
         # measure omega from the ground state's own lam0 (see __init__)
         return Xo - eng.lam0 * X
 
     def some_vector(self):
         rng = np.random.default_rng(7)
-        return SymmetricTensor.from_random_normal(
-            [self.eng.null_leg], [self.eng.AR.domain.factors[0]],
-            backend=self.eng.backend, labels=[['vL'], ['vR']],
-            dtype=Dtype.complex128, rng=rng)
+        eng = self.eng
+        vR = eng.AR.domain.factors[0]
+        if eng.q_leg is None:
+            return SymmetricTensor.from_random_normal(
+                [eng.null_leg], [vR], backend=eng.backend,
+                labels=[['vL'], ['vR']], dtype=Dtype.complex128, rng=rng)
+        X = SymmetricTensor.from_random_normal(
+            [eng.null_leg], [vR, eng.q_leg], backend=eng.backend,
+            labels=[['vL'], ['vR', 'q']], dtype=Dtype.complex128, rng=rng)
+        if float(norm(X)) == 0.:
+            raise ValueError(
+                f'no excitation with charge {eng.sector} exists on these bond '
+                f'legs (no allowed blocks)')
+        return X
 
 
 class ExcitationEngine:
@@ -199,16 +225,22 @@ class ExcitationEngine:
         ``grad_norm`` well below the accuracy you want for omega.
     gmres_tol : float
         Relative tolerance of the geometric-sum solves.
+    sector : Sector | None
+        Net symmetry charge of the excitation. ``None`` (default) builds the
+        topologically trivial ansatz. Otherwise ``X`` carries an auxiliary
+        charge leg 'q' with this sector (kept in its domain), so
+        ``|Phi_p(X)>`` creates one quantum of that charge — e.g. the
+        parity-odd single-particle band of the transverse-field Ising chain
+        with ``conserve='parity'``, or an Sz=1 magnon. The charge leg rides
+        through every contraction; environments and gauge are unchanged.
 
     Notes
     -----
-    Topologically trivial ansatz (B carries no net charge): on a symmetric
-    backend the lowest band in a *charged* sector needs a sector-shifted X —
-    run with the symmetry dropped (``conserve='None'``) to scan all sectors at
-    once. L > 1 unit cells are not implemented.
+    L > 1 unit cells are not implemented. Anyonic symmetries would need
+    topological-sector bookkeeping beyond the charge-leg mechanism.
     """
 
-    def __init__(self, engine, gmres_tol: float = 1e-10):
+    def __init__(self, engine, gmres_tol: float = 1e-10, sector=None):
         assert engine.L == 1, 'ExcitationEngine needs a one-site unit cell'
         engine._solve_environments()
         self.AL = engine.ALs[0]
@@ -217,6 +249,14 @@ class ExcitationEngine:
         self.W = engine.model.H_mpo[0]
         self.backend = engine.backend
         self.gmres_tol = gmres_tol
+        self.sector = sector
+        if sector is None:
+            self.q_leg = None
+        else:
+            sym = self.AL.symmetry
+            sector = np.asarray(sector, dtype=int)
+            assert sym.is_valid_sector(sector), f'invalid sector {sector}'
+            self.q_leg = ElementarySpace(sym, sector[None, :])
         self.VL = left_null_space(self.AL)
         self.null_leg = self.VL.domain.factors[0]
         self.LW, self.RW = self._absolute_envs(engine)
@@ -230,7 +270,7 @@ class ExcitationEngine:
         from ..tensors import inner
 
         self.lam0 = float(np.real(
-            inner(AC, _heff1_matvec_impl(self.LW, self.RW, self.W, AC),
+            inner(AC, _heff1_mixed(self.LW, self.RW, self.W, AC),
                   do_dagger=True)
             / inner(AC, AC, do_dagger=True)))
 

@@ -87,6 +87,43 @@ def test_tfi_dispersion_exact():
         assert abs(w - exact) < 1e-8, (p, w, exact)
 
 
+def test_tfi_charged_sector_dispersion():
+    """With parity conserved, the one-particle band lives in the parity-ODD
+    sector: the charged ansatz (sector=[1]) reproduces the exact dispersion,
+    while the trivial sector sees only the two-particle continuum, whose
+    bottom the single-mode ansatz approaches from above."""
+    g = 1.5
+    model = TFIModel(L=1, J=1., g=g, conserve='parity', block_backend='numpy',
+                     bc='infinite')
+    sym = model.site_leg.symmetry
+    chi = 12
+    v = ElementarySpace(sym, np.array([[0], [1]]), [chi // 2, chi // 2])
+    rng = np.random.default_rng(3)
+    B = SymmetricTensor.from_random_normal(
+        [v, model.site_leg], [v], backend=model.backend,
+        labels=['vL', 'p', 'vR'], rng=rng)
+    S = DiagonalTensor.from_eye(v, backend=model.backend, labels=['vL', 'vL*'])
+    psi = SimpleMPS([B], [S], bc='infinite')
+    psi.canonicalize_infinite()
+    eng = VUMPSEngine(psi, model)
+    e = eng.run(max_iter=120, tol=1e-12)
+    assert abs(e - tfi_exact_infinite_gs_energy(1., g)) < 1e-10
+
+    def exact(p):
+        return 2. * np.sqrt(1. + g ** 2 - 2. * g * np.cos(p))
+
+    exc = ExcitationEngine(eng, sector=[1])
+    ps = [np.pi / 2, np.pi]
+    om = exc.dispersion(ps)
+    for p, w in zip(ps, om[:, 0]):
+        assert abs(w - exact(p)) < 1e-8, (p, w, exact(p))
+    # trivial sector at p=pi: two-particle continuum bottom, attained at
+    # k1=0, k2=pi (eps is monotone on [0, pi], so the edge combination wins)
+    om0 = ExcitationEngine(eng).dispersion([np.pi])[0, 0]
+    bottom = exact(0.) + exact(np.pi)
+    assert bottom - 1e-6 < om0 < bottom + 0.2, (om0, bottom)
+
+
 @pytest.mark.slow
 def test_tfi_dispersion_jax_backend():
     """The engine runs end-to-end on the jax block backend as well."""
