@@ -125,6 +125,31 @@ def test_tfi_charged_sector_dispersion():
 
 
 @pytest.mark.slow
+def test_haldane_gap():
+    """Spin-1 Heisenberg: the Sz=1 magnon at k=pi gives the Haldane gap
+    (0.41050, White & Huse PRB 48, 3844). The bond leg carries the odd
+    (half-integer edge-spin) U(1) sectors characteristic of the phase."""
+    from cyten_tpu.algorithms.models import SpinChainModel
+
+    model = SpinChainModel(L=1, S=1.0, conserve='Sz', block_backend='numpy',
+                           bc='infinite')
+    sym = model.site_leg.symmetry
+    v = ElementarySpace(sym, np.array([[-3], [-1], [1], [3]]), [2, 8, 8, 2])
+    rng = np.random.default_rng(5)
+    B = SymmetricTensor.from_random_normal(
+        [v, model.site_leg], [v], backend=model.backend,
+        labels=['vL', 'p', 'vR'], rng=rng)
+    S = DiagonalTensor.from_eye(v, backend=model.backend, labels=['vL', 'vL*'])
+    psi = SimpleMPS([B], [S], bc='infinite')
+    psi.canonicalize_infinite()
+    eng = VUMPSEngine(psi, model)
+    e = eng.run(max_iter=200, tol=1e-8)
+    assert abs(e - (-1.401484038971)) < 1e-4
+    gap = ExcitationEngine(eng, sector=[2]).dispersion([np.pi])[0, 0]
+    assert abs(gap - 0.41050) < 5e-3, gap
+
+
+@pytest.mark.slow
 def test_tfi_dispersion_jax_backend():
     """The engine runs end-to-end on the jax block backend as well."""
     g = 2.0
