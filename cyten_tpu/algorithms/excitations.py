@@ -354,3 +354,81 @@ class ExcitationEngine:
                                return_eigenvectors=False)
                 out[i] = np.sort(w)
         return out
+
+    def operator_tangent_vector(self, p: float, op) -> SymmetricTensor:
+        """The tangent-space representation ``X_O`` of ``O_p |gs>`` at
+        momentum `p`: ``<Phi_p(X) | O_p | gs> = <X, X_O>``.
+
+        `op` is a single-site operator ``[p; p*]``; for a charge-raising
+        operator matching the engine's ``sector``, pass it as ``[p; p*, q]``
+        (e.g. built with ``from_dense_block`` over ``[p_leg], [p_leg, q_leg]``).
+
+        ``B_O = O . AC`` is not in left gauge, so besides the same-site term
+        ``VL^dag B_O`` the positions where ``B_O`` sits strictly left of the
+        projection site contribute a geometric series over the PLAIN mixed
+        transfer operator (bra AL, ket AR) seeded by ``AL^dag B_O`` — the
+        operator analogue of the LB series in the effective Hamiltonian. The
+        ground-state (disconnected) component along ``AL C`` is annihilated
+        by ``VL^dag`` in the same-site term and, for p != 0, stays finite in
+        the resolvent.
+        """
+        AC = permute_legs(tdot(self.C, self.AR, 'vR', 'vL'),
+                          codomain=['vL', 'p'], domain=['vR'])
+        BO = tdot(op, AC, 'p*', 'p')
+        BO = permute_legs(BO, codomain=['vL', 'p'],
+                          domain=['vR'] + _q_extra(BO))
+        # same-site term
+        XO = tdot(dagger(self.VL), BO, ['vL*', 'p*'], ['vL', 'p'])
+        XO = permute_legs(XO.relabelled({'vR*': 'vL'}),
+                          codomain=['vL'], domain=['vR'] + _q_extra(XO))
+        # B_O strictly left of the projection site (ket AR in between)
+        L1 = tdot(dagger(self.AL), BO, ['vL*', 'p*'], ['vL', 'p'])
+        L1 = permute_legs(L1, codomain=['vR*'],
+                          domain=['vR'] + _q_extra(L1))
+        phase = np.exp(-1j * float(p))
+        L = _gmres(_GeometricResolvent(self._plain_left_mixed, phase, L1),
+                   phase * L1, tol=self.gmres_tol)
+        B2 = tdot(self.AR, L, 'vL', 'vR')
+        B2 = permute_legs(B2.relabelled({'vR*': 'vL'}),
+                          codomain=['vL', 'p'], domain=['vR'] + _q_extra(B2))
+        X2 = tdot(dagger(self.VL), B2, ['vL*', 'p*'], ['vL', 'p'])
+        X2 = permute_legs(X2.relabelled({'vR*': 'vL'}),
+                          codomain=['vL'], domain=['vR'] + _q_extra(X2))
+        return XO + X2
+
+    def _plain_left_mixed(self, x):
+        """MPO-free mixed transfer (bra AL, ket AR) on [vR*; vR(, q)]."""
+        t = tdot(self.AR, x, 'vL', 'vR')
+        t = tdot(dagger(self.AL), t, ['vL*', 'p*'], ['vR*', 'p'])
+        return permute_legs(t, codomain=['vR*'], domain=['vR'] + _q_extra(t))
+
+    def spectral_weights(self, p: float, op, n_bands: int = 4, tol: float = 0):
+        """Poles and weights of the zero-temperature spectral function
+
+        ``S^{O}(p, omega) = sum_n |<Phi_p(X_n)| O_p |gs>|^2 delta(omega - omega_n)``
+
+        within the single-mode ansatz: returns ``(omegas, weights)`` of the
+        `n_bands` lowest excitations at momentum `p` (weights in the
+        delta-normalized convention, i.e. ``w_n = |<X_n, X_O>|^2``; for a spin
+        flip on a polarized state the single-particle weight tends to 1).
+        """
+        import scipy.sparse.linalg as spla
+
+        from ..tensors import inner
+
+        XO = self.operator_tangent_vector(p, op)
+        H = self.effective_h(float(p))
+        bridge = NumpyArrayLinearOperator(H, XO)
+        n = bridge.tensor_to_flat(XO).size
+        k = min(n_bands, n - 2)
+        w, V = spla.eigsh(bridge.as_scipy_operator(), k=max(k, 1), which='SA',
+                          tol=tol, v0=bridge.tensor_to_flat(XO))
+        order = np.argsort(w)
+        omegas, weights = [], []
+        for j in order:
+            Xn = bridge.flat_to_tensor(np.ascontiguousarray(V[:, j]))
+            nrm2 = float(np.real(inner(Xn, Xn, do_dagger=True)))
+            ov = complex(inner(Xn, XO, do_dagger=True))
+            omegas.append(float(w[j]))
+            weights.append(abs(ov) ** 2 / nrm2)
+        return np.array(omegas), np.array(weights)

@@ -42,6 +42,16 @@ def main(g=1.5, chi=16):
         exact = 2. * np.sqrt(1. + g ** 2 - 2. * g * np.cos(p))
         print(f'{p:8.4f} {w:14.10f} {exact:14.10f} {w - exact:10.2e}')
 
+    # spectral function of sigma^x: pole positions + single-mode weights
+    sx = SymmetricTensor.from_dense_block(
+        np.array([[0., 1.], [1., 0.]]), [model.site_leg], [model.site_leg],
+        backend=model.backend, labels=['p', 'p*'])
+    print(f'\nS^xx(k, w) single-mode poles:')
+    for p in (np.pi / 2, np.pi):
+        omegas, weights = exc.spectral_weights(p, sx, n_bands=3)
+        print(f'k={p:.4f}: omega_1={omegas[0]:.6f}, one-particle weight '
+              f'{weights[0]:.4f} (rest {weights[1:].sum():.1e})')
+
 
 if __name__ == '__main__':
     main()

@@ -124,6 +124,66 @@ def test_tfi_charged_sector_dispersion():
     assert bottom - 1e-6 < om0 < bottom + 0.2, (om0, bottom)
 
 
+def test_spectral_weights_polarized_limit():
+    """sigma^x on the strongly polarized TFI chain (g=8): the one-particle
+    spectral weight tends to 1 (the operator is a pure spin flip at g=inf),
+    all of it in the lowest band, at the exact one-particle energy."""
+    g = 8.0
+    eng = _tfi_vumps_fixed_point(g=g, chi=8, e_tol=1e-8)
+    exc = ExcitationEngine(eng)
+    p_leg = eng.model.site_leg
+    sx = SymmetricTensor.from_dense_block(
+        np.array([[0., 1.], [1., 0.]]), [p_leg], [p_leg],
+        backend=eng.backend, labels=['p', 'p*'])
+    om, w = exc.spectral_weights(np.pi / 2, sx, n_bands=3)
+    exact = 2. * np.sqrt(1. + g ** 2 - 2. * g * np.cos(np.pi / 2))
+    assert abs(om[0] - exact) < 1e-7
+    assert 0.97 < w[0] < 1.0, w
+    assert np.all(w[1:] < 1e-3), w
+    # total tangent weight bounds the band weights (Parseval)
+    from cyten_tpu.tensors import inner
+    XO = exc.operator_tangent_vector(np.pi / 2, sx)
+    tot = float(np.real(inner(XO, XO, do_dagger=True)))
+    assert w.sum() <= tot + 1e-10
+
+
+def test_spectral_weights_charged_matches_nosymm():
+    """The parity-odd sigma^x weight computed with an explicit charge leg on
+    the parity-conserving backend equals the no-symmetry computation."""
+    g = 1.5
+    # no-symmetry reference
+    eng0 = _tfi_vumps_fixed_point(g=g, chi=12)
+    p_leg0 = eng0.model.site_leg
+    sx0 = SymmetricTensor.from_dense_block(
+        np.array([[0., 1.], [1., 0.]]), [p_leg0], [p_leg0],
+        backend=eng0.backend, labels=['p', 'p*'])
+    om0, w0 = ExcitationEngine(eng0).spectral_weights(np.pi / 2, sx0, n_bands=1)
+    # parity-conserving, charged sector
+    model = TFIModel(L=1, J=1., g=g, conserve='parity', block_backend='numpy',
+                     bc='infinite')
+    sym = model.site_leg.symmetry
+    chi = 12
+    v = ElementarySpace(sym, np.array([[0], [1]]), [chi // 2, chi // 2])
+    rng = np.random.default_rng(3)
+    B = SymmetricTensor.from_random_normal(
+        [v, model.site_leg], [v], backend=model.backend,
+        labels=['vL', 'p', 'vR'], rng=rng)
+    S = DiagonalTensor.from_eye(v, backend=model.backend, labels=['vL', 'vL*'])
+    psi = SimpleMPS([B], [S], bc='infinite')
+    psi.canonicalize_infinite()
+    eng = VUMPSEngine(psi, model)
+    eng.run(max_iter=120, tol=1e-12)
+    q_leg = ElementarySpace(sym, np.array([[1]]))
+    sx = SymmetricTensor.from_dense_block(
+        np.array([[0., 1.], [1., 0.]]).reshape(2, 1, 2), [model.site_leg],
+        [model.site_leg, q_leg], backend=model.backend,
+        labels=[['p'], ['p*', 'q']])
+    om1, w1 = ExcitationEngine(eng, sector=[1]).spectral_weights(
+        np.pi / 2, sx, n_bands=1)
+    assert abs(om1[0] - om0[0]) < 1e-7
+    assert abs(w1[0] - w0[0]) < 1e-5
+
+
 @pytest.mark.slow
 def test_haldane_gap():
     """Spin-1 Heisenberg: the Sz=1 magnon at k=pi gives the Haldane gap
