@@ -145,6 +145,19 @@ class _GeometricResolvent(LinearOperator):
         return self.example
 
 
+def _complement_shift(bridge, v0):
+    """A penalty eigenvalue for the flat space's non-symmetric complement,
+    adaptively far above the physical spectrum (one matvec to estimate the
+    scale). See NumpyArrayLinearOperator.as_scipy_operator."""
+    from ..tensors import inner
+
+    x = bridge.flat_to_tensor(v0)
+    hx = bridge.operator.matvec(x)
+    nrm = float(np.real(inner(x, x, do_dagger=True)))
+    ray = abs(complex(inner(x, hx, do_dagger=True))) / max(nrm, 1e-300)
+    return 1e3 * (1. + ray)
+
+
 def _gmres(op: LinearOperator, rhs, tol: float = 1e-10, maxiter: int = 400):
     """Solve ``op(x) = rhs`` for tensors via the scipy bridge."""
     import scipy.sparse.linalg as spla
@@ -329,28 +342,38 @@ class ExcitationEngine:
     def effective_h(self, p: float) -> LinearOperator:
         return _HEffExcitation(self, p, self.gmres_tol)
 
-    def dispersion(self, ps, n_bands: int = 1, tol: float = 0):
+    def dispersion(self, ps, n_bands: int = 1, tol: float = 1e-8):
         """omega(p) for each momentum in `ps`: the `n_bands` lowest eigenvalues
-        of the effective Hamiltonian (shape ``(len(ps), n_bands)``)."""
+        of the effective Hamiltonian (shape ``(len(ps), n_bands)``).
+
+        `tol` is the eigensolver tolerance. Do NOT pass 0 (machine-exact):
+        the effective Hamiltonian is applied through iterative geometric-sum
+        solves (`gmres_tol`), so it carries ~1e-9 noise — demanding exact
+        Ritz convergence on a noisy operator makes ARPACK return spurious
+        values (measured: a -0.0 "gap" on a gapped chain).
+        """
         import scipy.sparse.linalg as spla
 
         out = np.zeros((len(ps), n_bands))
         for i, p in enumerate(ps):
             H = self.effective_h(float(p))
             bridge = NumpyArrayLinearOperator(H, H.some_vector())
-            n = bridge.tensor_to_flat(H.some_vector()).size
+            v0 = bridge.tensor_to_flat(H.some_vector())
+            n = v0.size
+            shift = _complement_shift(bridge, v0)
             if n_bands + 2 >= n:  # tiny problem: dense solve
                 M = np.zeros((n, n), complex)
                 for j in range(n):
                     e = np.zeros(n, complex)
                     e[j] = 1.
+                    Pe = bridge.tensor_to_flat(bridge.flat_to_tensor(e))
                     M[:, j] = bridge.tensor_to_flat(
-                        H.matvec(bridge.flat_to_tensor(e)))
+                        H.matvec(bridge.flat_to_tensor(e))) + shift * (e - Pe)
                 w = np.linalg.eigvalsh(M)
                 out[i] = w[:n_bands]
             else:
-                w = spla.eigsh(bridge.as_scipy_operator(), k=n_bands,
-                               which='SA', tol=tol,
+                w = spla.eigsh(bridge.as_scipy_operator(complement_shift=shift),
+                               k=n_bands, which='SA', tol=tol, v0=v0,
                                return_eigenvectors=False)
                 out[i] = np.sort(w)
         return out
@@ -402,7 +425,8 @@ class ExcitationEngine:
         t = tdot(dagger(self.AL), t, ['vL*', 'p*'], ['vR*', 'p'])
         return permute_legs(t, codomain=['vR*'], domain=['vR'] + _q_extra(t))
 
-    def spectral_weights(self, p: float, op, n_bands: int = 4, tol: float = 0):
+    def spectral_weights(self, p: float, op, n_bands: int = 4,
+                         tol: float = 1e-8):
         """Poles and weights of the zero-temperature spectral function
 
         ``S^{O}(p, omega) = sum_n |<Phi_p(X_n)| O_p |gs>|^2 delta(omega - omega_n)``
@@ -419,10 +443,12 @@ class ExcitationEngine:
         XO = self.operator_tangent_vector(p, op)
         H = self.effective_h(float(p))
         bridge = NumpyArrayLinearOperator(H, XO)
-        n = bridge.tensor_to_flat(XO).size
+        v0 = bridge.tensor_to_flat(XO)
+        n = v0.size
         k = min(n_bands, n - 2)
-        w, V = spla.eigsh(bridge.as_scipy_operator(), k=max(k, 1), which='SA',
-                          tol=tol, v0=bridge.tensor_to_flat(XO))
+        shift = _complement_shift(bridge, v0)
+        w, V = spla.eigsh(bridge.as_scipy_operator(complement_shift=shift),
+                          k=max(k, 1), which='SA', tol=tol, v0=v0)
         order = np.argsort(w)
         omegas, weights = [], []
         for j in order:

@@ -206,7 +206,19 @@ class NumpyArrayLinearOperator(LinearOperator):
         return SymmetricTensor.from_dense_block(block, t.codomain, t.domain,
                                                 t.backend, t.labels, tol=None)
 
-    def as_scipy_operator(self):
+    def as_scipy_operator(self, complement_shift: float = None):
+        """The operator on the FLAT (dense) vector space.
+
+        The flat space embeds the symmetric subspace: flat_to_tensor projects,
+        so the scipy operator is ``H . P`` and the non-symmetric complement is
+        a spurious null space. Krylov methods started inside the subspace stay
+        there in exact arithmetic, but roundoff leakage can surface the
+        spurious zeros after many iterations (observed with eigsh(which='SA')
+        on charged SU(2) excitation problems). Pass `complement_shift` (a
+        value far above the spectrum of interest) to map the complement to
+        that eigenvalue instead: ``A x = H P x + shift (x - P x)``; the
+        physical spectrum is unchanged.
+        """
         import scipy.sparse.linalg
 
         t = self.example_vec
@@ -214,7 +226,10 @@ class NumpyArrayLinearOperator(LinearOperator):
 
         def mv(flat):
             vec = self.flat_to_tensor(flat)
-            return self.tensor_to_flat(self.operator.matvec(vec))
+            out = self.tensor_to_flat(self.operator.matvec(vec))
+            if complement_shift is not None:
+                out = out + complement_shift * (flat - self.tensor_to_flat(vec))
+            return out
 
         dtype = np.complex128 if (self.dtype is not None and self.dtype.is_complex) \
             else np.float64

@@ -210,6 +210,44 @@ def test_haldane_gap():
 
 
 @pytest.mark.slow
+def test_su2_haldane_magnon():
+    """The full machinery on the FUSION-TREE backend: SU(2) spin-1 Heisenberg
+    chain, magnon = spin-1 multiplet excitation (sector [2]) at k=pi. The
+    S.S coupling is built from sector projectors (eigenvalues -2/-1/+1 on
+    total spin 0/1/2) and the Haldane-phase bond carries half-integer
+    multiplets."""
+    from cyten_tpu import get_backend
+    from cyten_tpu.symmetries import su2_symmetry
+    from cyten_tpu.algorithms.models import mpo_from_terms
+
+    backend = get_backend(su2_symmetry, 'numpy')
+    p = ElementarySpace(su2_symmetry, [[2]])
+    P = {j: SymmetricTensor.from_sector_projection(
+            [p, p], [j], backend=backend, labels=['p0', 'p1', 'p1*', 'p0*'])
+         for j in (0, 2, 4)}
+    h = -2. * P[0] + (-1.) * P[2] + 1. * P[4]
+
+    class Model:
+        bc = 'infinite'
+        H_mpo = mpo_from_terms([p], couplings=[(0, 1, h)], backend=backend,
+                               bc='infinite')
+
+    v = ElementarySpace(su2_symmetry, [[1], [3]], [4, 2])   # chi_eff = 16
+    rng = np.random.default_rng(5)
+    B = SymmetricTensor.from_random_normal(
+        [v, p], [v], backend=backend, labels=['vL', 'p', 'vR'], rng=rng)
+    S = DiagonalTensor.from_eye(v, backend=backend, labels=['vL', 'vL*'])
+    psi = SimpleMPS([B], [S], bc='infinite')
+    psi.canonicalize_infinite()
+    eng = VUMPSEngine(psi, Model())
+    e = eng.run(max_iter=150, tol=1e-10)
+    assert abs(e - (-1.401484038971)) < 2e-4      # truncation-limited
+    gap = ExcitationEngine(eng, sector=[2], gmres_tol=1e-8).dispersion(
+        [np.pi], tol=1e-6)[0, 0]
+    assert abs(gap - 0.41050) < 5e-3, gap         # 0.4095 at chi_mult=6
+
+
+@pytest.mark.slow
 def test_tfi_dispersion_jax_backend():
     """The engine runs end-to-end on the jax block backend as well."""
     g = 2.0
