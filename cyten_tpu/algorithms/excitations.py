@@ -246,6 +246,13 @@ class ExcitationEngine:
         parity-odd single-particle band of the transverse-field Ising chain
         with ``conserve='parity'``, or an Sz=1 magnon. The charge leg rides
         through every contraction; environments and gauge are unchanged.
+    engine_right : converged engine | None
+        Domain-wall (kink/soliton) excitations: everything strictly right of
+        ``B`` is taken from this SECOND converged engine's ground state,
+        ``|Phi_p(X)> = sum_n e^{ipn} AL..AL B_n AR'..AR'``. The two states
+        must be degenerate with matching bond legs (symmetry-broken partners,
+        e.g. the two ferromagnetic TFI ground states — the kink dispersion
+        then matches the free-fermion result exactly).
 
     Notes
     -----
@@ -253,11 +260,11 @@ class ExcitationEngine:
     topological-sector bookkeeping beyond the charge-leg mechanism.
     """
 
-    def __init__(self, engine, gmres_tol: float = 1e-10, sector=None):
+    def __init__(self, engine, gmres_tol: float = 1e-10, sector=None,
+                 engine_right=None):
         assert engine.L == 1, 'ExcitationEngine needs a one-site unit cell'
         engine._solve_environments()
         self.AL = engine.ALs[0]
-        self.AR = engine.ARs[0]
         self.C = engine.Cs[0]
         self.W = engine.model.H_mpo[0]
         self.backend = engine.backend
@@ -272,25 +279,50 @@ class ExcitationEngine:
             self.q_leg = ElementarySpace(sym, sector[None, :])
         self.VL = left_null_space(self.AL)
         self.null_leg = self.VL.domain.factors[0]
-        self.LW, self.RW = self._absolute_envs(engine)
+        # domain-wall (kink) ansatz: everything right of B comes from a
+        # SECOND degenerate ground state — ... AL AL B AR' AR' ... The mixed
+        # transfer operators take the two states automatically; for different
+        # states their identity channels have spectral radius strictly < 1,
+        # so the resolvents are well-conditioned at every momentum. The
+        # calibration constant below is evaluated on the LEFT state's own
+        # (AC, RW); it equals the mixed-background constant when the two
+        # ground states are degenerate with identical energy-density split
+        # (e.g. symmetry partners), which is the supported use case.
+        self.AR = engine.ARs[0]
+        self.RW_own = None
+        if engine_right is not None:
+            assert engine_right.L == 1
+            assert engine_right.model.H_mpo[0].labels == self.W.labels
+            engine_right._solve_environments()
+            assert self.AL.domain.factors[0] == \
+                engine_right.ARs[0].codomain.factors[0], \
+                'bond legs of the two ground states must match'
+        self.LW = self._anchored_LW(engine)
+        self.RW = self._anchored_RW(engine)
+        if engine_right is not None:
+            self.RW_own = self.RW
+            self.AR = engine_right.ARs[0]
+            self.RW = self._anchored_RW(engine_right)
         # the zero of omega: the ground state's own eigenvalue of the SAME
         # effective Hamiltonian (B at the output site, anchored environments).
         # Subtracting it makes omega(p) = E(p) - E_gs absolute without any
         # model-specific bookkeeping of how energy density splits between
         # onsite and bond MPO channels.
-        AC = permute_legs(tdot(self.C, self.AR, 'vR', 'vL'),
-                          codomain=['vL', 'p'], domain=['vR'])
         from ..tensors import inner
 
+        AR_own = engine.ARs[0]
+        RW_own = self.RW_own if self.RW_own is not None else self.RW
+        AC = permute_legs(tdot(self.C, AR_own, 'vR', 'vL'),
+                          codomain=['vL', 'p'], domain=['vR'])
         self.lam0 = float(np.real(
-            inner(AC, _heff1_mixed(self.LW, self.RW, self.W, AC),
+            inner(AC, _heff1_mixed(self.LW, RW_own, self.W, AC),
                   do_dagger=True)
             / inner(AC, AC, do_dagger=True)))
 
     # -- environment gauge ----------------------------------------------------
 
-    def _absolute_envs(self, engine):
-        """Boundary-anchored environments of ``H - e * N`` (absolute gauge).
+    def _anchored_LW(self, engine):
+        """Boundary-anchored left environment of ``H - e * N`` (absolute gauge).
 
         The engine's power iteration subtracts the *instantaneous* growth-rate
         estimate each absorption; the early-iteration estimates differ from
@@ -305,29 +337,31 @@ class ExcitationEngine:
         """
         e = engine.env_energy_cell
         tol = engine.env_tol
+        AL = engine.ALs[0]
         LW = engine._boundary_LW()
         eyeHL = engine._eye_H_left(LW)
         for _ in range(4 * engine.env_max_iter):
-            LWn = self._T_left(LW) - e * eyeHL
+            LWn = _update_LP_mixed(LW, self.W, ket=AL, bra=AL) - e * eyeHL
             dL = float(norm(LWn - LW))
             LW = LWn
             if dL < tol * max(float(norm(LW)), 1.):
                 break
+        return LW
+
+    def _anchored_RW(self, engine):
+        """Right-side analogue of :meth:`_anchored_LW` (on `engine`'s AR)."""
+        e = engine.env_energy_cell
+        tol = engine.env_tol
+        AR = engine.ARs[0]
         RW = engine._boundary_RW()
         eyeHR = engine._eye_H_right(RW)
         for _ in range(4 * engine.env_max_iter):
-            RWn = self._T_right(RW) - e * eyeHR
+            RWn = _update_RP_mixed(RW, self.W, ket=AR, bra=AR) - e * eyeHR
             dR = float(norm(RWn - RW))
             RW = RWn
             if dR < tol * max(float(norm(RW)), 1.):
                 break
-        return LW, RW
-
-    def _T_left(self, env):
-        return _update_LP_mixed(env, self.W, ket=self.AL, bra=self.AL)
-
-    def _T_right(self, env):
-        return _update_RP_mixed(env, self.W, ket=self.AR, bra=self.AR)
+        return RW
 
     # -- mixed transfer operators ----------------------------------------------
 

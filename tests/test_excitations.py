@@ -184,6 +184,45 @@ def test_spectral_weights_charged_matches_nosymm():
     assert abs(w1[0] - w0[0]) < 1e-5
 
 
+def test_tfi_kink_dispersion():
+    """Domain-wall (topologically nontrivial) excitations: in the ORDERED
+    phase (g<1) the elementary excitation is a kink interpolating between the
+    two symmetry-broken ground states; its dispersion is the same
+    free-fermion band. B sits between AL of one ground state and AR of the
+    spin-flipped one (engine_right)."""
+    from cyten_tpu.tensors import permute_legs, tdot
+
+    g, chi = 0.4, 10
+    model = TFIModel(L=1, J=1., g=g, conserve='None', block_backend='numpy',
+                     bc='infinite')
+    psi = _random_uniform_mps(model, chi, seed=4)
+    eng1 = VUMPSEngine(psi, model)
+    e1 = eng1.run(max_iter=150, tol=1e-12)
+    assert abs(e1 - tfi_exact_infinite_gs_energy(1., g)) < 1e-10
+    sx = SymmetricTensor.from_dense_block(
+        np.array([[0., 1.], [1., 0.]]), [model.site_leg], [model.site_leg],
+        backend=model.backend, labels=['p', 'p*'])
+    mx1 = float(np.real(eng1.psi.site_expectation_value(sx, 0)))
+    assert abs(mx1) > 0.9        # finite chi spontaneously breaks Z2
+    # the other ground state: global spin flip (sigma^z on every site)
+    szop = SymmetricTensor.from_dense_block(
+        np.diag([1., -1.]), [model.site_leg], [model.site_leg],
+        backend=model.backend, labels=['p', 'p*'])
+    psi2 = eng1.psi.copy()
+    psi2.Bs[0] = permute_legs(tdot(szop, psi2.Bs[0], 'p*', 'p'),
+                              codomain=['vL', 'p'], domain=['vR'])
+    psi2.canonicalize_infinite()
+    eng2 = VUMPSEngine(psi2, model)
+    eng2.run(max_iter=50, tol=1e-12)
+    assert abs(float(np.real(eng2.psi.site_expectation_value(sx, 0))) + mx1) < 1e-6
+
+    exc = ExcitationEngine(eng1, engine_right=eng2)
+    for p in (0.5, np.pi):
+        w = exc.dispersion([p])[0, 0]
+        exact = 2. * np.sqrt(1. + g ** 2 - 2. * g * np.cos(p))
+        assert abs(w - exact) < 1e-8, (p, w, exact)
+
+
 @pytest.mark.slow
 def test_haldane_gap():
     """Spin-1 Heisenberg: the Sz=1 magnon at k=pi gives the Haldane gap
