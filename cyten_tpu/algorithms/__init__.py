@@ -13,6 +13,7 @@ from .models import (
 from .models import GoldenChainModel, KitaevChainModel, SpinChainModel
 from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
 from .dmrg1 import DMRG1SEngine, HEffective1
+from .exp_mpo import ExpMPOEvolution, exp_mpo_from_terms, make_wii
 from .excitations import ExcitationEngine, left_null_space
 from .idmrg import MultiCellIDMRGEngine, iDMRGEngine
 from .itdvp import iTDVPEngine
@@ -29,6 +30,7 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compre
            'tfi_exact_infinite_gs_energy',
            'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
            'DMRG1SEngine', 'HEffective1', 'ExcitationEngine', 'left_null_space',
+           'ExpMPOEvolution', 'exp_mpo_from_terms', 'make_wii',
            'iDMRGEngine', 'MultiCellIDMRGEngine',
            'iTDVPEngine', 'TEBDEngine', 'PurificationMPS', 'PurificationTEBD',
            'TDVPEngine', 'TDVP2Engine', 'TDVPQREngine', 'VUMPSEngine']

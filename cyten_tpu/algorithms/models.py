@@ -190,7 +190,8 @@ def _passthrough_cell(k_leg, p, backend, dtype):
 
 
 def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
-                   svd_cut: float = 1e-12, bc: str = 'finite'):
+                   svd_cut: float = 1e-12, bc: str = 'finite',
+                   select_boundary: bool = True):
     """MPO from arbitrary-range one- and two-site terms (finite or infinite).
 
     A finite-state-machine ('MPO graph') construction generalizing
@@ -220,6 +221,11 @@ def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
         Infinite bc emits one tensor per unit-cell site with matching wrap
         legs (``W[0].wL == W[L-1].wR``), ready channel at dense index 0 and
         done channel last — directly usable by ``iDMRGEngine`` / ``VUMPSEngine``.
+    select_boundary : bool
+        Finite bc only: if False, skip contracting the boundary unit vectors
+        and return the FULL grid tensors at the chain ends too (ready channel
+        at public index 0, done channel last on every virtual leg) — the form
+        :func:`~cyten_tpu.algorithms.exp_mpo.make_wii` consumes.
 
     Returns
     -------
@@ -341,9 +347,9 @@ def mpo_from_terms(site_legs, onsite=(), couplings=(), backend=None,
                     put((t, None), 'D', B.to_dtype(dtype))
         W = tensor_from_grid(grid, labels=['wL', 'p', 'wR', 'p*'],
                              row_leg='wL', col_leg='wR')
-        if not infinite and m == 0:
+        if not infinite and select_boundary and m == 0:
             W = _boundary_selector(W, left=True)
-        if not infinite and m == L - 1:
+        if not infinite and select_boundary and m == L - 1:
             W = _boundary_selector(W, left=False)
         mpos.append(W)
     res = MpoTensors(mpos)

@@ -645,6 +645,11 @@ class SimpleMPS:
         for i in range(1, self.L):
             E = tdot(E, other.Bs[i], 'vR', 'vL')
             E = tdot(dagger(self.Bs[i]), E, ['vL*', 'p*'], ['vR*', 'p'])
+        from ..tensors import Tensor, permute_legs, trace
+        if isinstance(E, Tensor) and not all(l.is_trivial for l in E.legs):
+            # charged boundary (nonzero total charge): the final [vR*; vR]
+            # pair is 1-dim but in a nontrivial sector — close it by a trace
+            E = trace(permute_legs(E, codomain=['vR'], domain=['vR*']))
         return _as_scalar(E)
 
 
