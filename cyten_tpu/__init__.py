@@ -49,6 +49,12 @@ def __getattr__(name):
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
 
 
+def __dir__():
+    # make the lazy TorchBlockBackend visible to dir() for reference API parity
+    # (reference exports it eagerly at top level, cyten/__init__.py)
+    return sorted(set(globals()) | {'TorchBlockBackend'})
+
+
 # reference-parity aliases (cyten exposes these names at top level)
 block_backends = blocks
 dummy_config = _config_module

@@ -126,9 +126,13 @@ def make_wii(full_mpos, dt) -> MpoTensors:
         mask_R[-1] = False
         wLp = wL.take_slice(mask_L)
         wRp = wR.take_slice(mask_R)
+        # expm roundoff scales with exp(||dt*H_site||): scale the projection
+        # tolerance with the block magnitude so large dt / strong couplings
+        # lose accuracy instead of spuriously tripping the charge check
+        wii_tol = 1e-10 * max(1.0, float(np.max(np.abs(wii))))
         T = SymmetricTensor.from_dense_block(
             wii, [wLp, p], [pstar, wRp], backend=W.backend,
-            labels=['wL', 'p', 'wR', 'p*'], tol=1e-10)
+            labels=['wL', 'p', 'wR', 'p*'], tol=wii_tol)
         out.append(T)
     res = MpoTensors(out)
     res.max_range = getattr(full_mpos, 'max_range', 1)
@@ -187,7 +191,9 @@ class ExpMPOEvolution:
                  chi_max: int = 64, eps: float = 1e-12,
                  compression: str = 'zip_up', n_sweeps: int = 2,
                  backend=None, svd_cut: float = 1e-12):
-        assert psi.bc == 'finite'
+        if psi.bc != 'finite':
+            raise ValueError("ExpMPOEvolution requires finite bc "
+                             "(use iTDVPEngine / TEBD for infinite MPS)")
         if compression not in ('zip_up', 'variational'):
             raise ValueError(f'unknown compression: {compression!r}')
         self.psi = psi

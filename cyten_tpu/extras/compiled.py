@@ -134,7 +134,7 @@ class CompiledContractionChain:
     """
 
     def __init__(self, x_template, steps, final=None):
-        from ._functions import compose, permute_legs
+        from ..tensors._functions import compose, permute_legs
 
         self.backend = x_template.backend
         plans = []
@@ -206,7 +206,7 @@ class CompiledContractionChain:
 
     def host_reference(self, x):
         """Run the uncompiled chain on a host tensor (for validation)."""
-        from ._functions import tdot
+        from ..tensors._functions import tdot
 
         raise NotImplementedError('kept for API symmetry; use the chain spec')
 
@@ -219,7 +219,7 @@ def compile_heff_chain(LP, RP, W1, W2, theta_template):
     per-coupled-sector-layout backend with numpy blocks; returns a
     :class:`CompiledContractionChain`.
     """
-    from ._functions import permute_legs
+    from ..tensors._functions import permute_legs
 
     def final(t):
         t = t.relabelled({'vR*': 'vL', 'vL*': 'vR'})

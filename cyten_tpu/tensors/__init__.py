@@ -10,7 +10,7 @@ from ._tensors import (
 )
 from ._functions import *  # noqa: F401,F403
 from ._functions import __all__ as _functions_all
-from . import compiled, krylov_based, planar, sparse
+from . import krylov_based, planar, sparse
 from .planar import (
     ContractionTree, ContractionTreeNode, PlanarDiagram, PlanarLinearOperator,
     horizontal_factorization, parse_leg_bipartition, planar_almost_equal,
@@ -27,7 +27,6 @@ from .krylov_based import (
     Arnoldi, KrylovBased, LanczosEvolution, LanczosGroundState, lanczos,
     lanczos_arpack,
 )
-from .compiled import CompiledContractionChain, GatherPlan, compile_heff_chain
 from .steady import steady_truncated_svd
 from .randomized import randomized_truncated_svd
 
@@ -48,6 +47,16 @@ __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Ident
            'gram_schmidt',
            'Arnoldi', 'KrylovBased', 'LanczosGroundState', 'LanczosEvolution',
            'lanczos', 'lanczos_arpack',
-           'CompiledContractionChain', 'GatherPlan', 'compile_heff_chain',
            'steady_truncated_svd', 'randomized_truncated_svd',
-           'compiled', 'krylov_based', 'planar', 'sparse']
+           'krylov_based', 'planar', 'sparse']
+
+
+def __getattr__(name):
+    # back-compat: tensors.compiled moved to cyten_tpu.extras.compiled
+    # (CPU/GPU-only by measurement, docs/DESIGN.md §4)
+    if name in ('compiled', 'CompiledContractionChain', 'GatherPlan',
+                'compile_heff_chain'):
+        from .. import extras
+
+        return extras.compiled if name == 'compiled' else getattr(extras, name)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

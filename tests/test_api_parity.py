@@ -250,7 +250,7 @@ def test_compiled_contraction_chain():
     import cyten_tpu as ct
     from cyten_tpu.backends.fusion_tree import FusionTreeBackend
     from cyten_tpu.tensors import tdot, permute_legs
-    from cyten_tpu.tensors.compiled import compile_heff_chain
+    from cyten_tpu.extras.compiled import compile_heff_chain
 
     ftb = FusionTreeBackend(ct.get_block_backend('numpy'))
     from bench import build_workload

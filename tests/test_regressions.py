@@ -185,3 +185,45 @@ def test_grouped_gemm_equivalence():
         assert tuple(r1) == tuple(r2)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_charged_su2_overlap_matches_norm():
+    """overlap(psi, psi) == norm_squared for a CHARGED non-abelian (SU(2)
+    fusion-tree) MPS: the trace closure of the charged boundary pair carries the
+    categorical qdim weight, which is exactly what reproduces the dense
+    (full-multiplet) inner product — no division by d_q is needed.
+    (ADVICE r2 item on algorithms/mps.py overlap.)"""
+    from cyten_tpu import DiagonalTensor
+    from cyten_tpu.algorithms.mps import SimpleMPS
+    from cyten_tpu.dtypes import Dtype
+    from cyten_tpu.models.sites import SpinSite
+
+    site = SpinSite(S=0.5, conserve='SU(2)')
+    sym = site.leg.symmetry
+    backend = ct.get_backend(sym, 'numpy')
+    triv = ElementarySpace(sym, sym.trivial_sector[None, :])
+    half = site.leg
+    d = int(half.dim)
+    # right-canonical charged B0: [vL(triv), p] -> [vR(j=1/2)], eye/sqrt(d)
+    block0 = (np.eye(d) / np.sqrt(d)).reshape(1, d, d)
+    B0 = SymmetricTensor.from_dense_block(
+        block0, [triv, half], [half], backend=backend,
+        labels=['vL', 'p', 'vR'], dtype=Dtype.float64)
+    S0 = DiagonalTensor.from_eye(triv, backend=backend, labels=['vL', 'vL*'],
+                                 dtype=Dtype.float64)
+    # B1: [vL(j=1/2), p] -> [vR(j=1)] via normalized CG (right-canonical)
+    one = ElementarySpace(sym, np.array([[2]]))
+    cg = np.asarray(sym.factors[0].fusion_tensor(
+        np.array([1]), np.array([1]), np.array([2])))[0]  # [a, b, m]
+    b1 = cg / np.sqrt(np.einsum('pm,pm->', cg[0], cg[0]))
+    B1 = SymmetricTensor.from_dense_block(
+        b1, [half, half], [one], backend=backend,
+        labels=['vL', 'p', 'vR'], dtype=Dtype.float64)
+    S1 = DiagonalTensor.from_eye(half, backend=backend, labels=['vL', 'vL*'],
+                                 dtype=Dtype.float64)
+    psi = SimpleMPS([B0, B1], [S0, S1])
+    dense = np.einsum('xpa,aqm->pqm', block0, b1)
+    dense_norm = float(np.sum(np.abs(dense) ** 2))
+    assert abs(dense_norm - 1.0) < 1e-12  # construction is canonical
+    assert abs(psi.overlap(psi) - dense_norm) < 1e-12
+    assert abs(psi.norm_squared() - dense_norm) < 1e-12
