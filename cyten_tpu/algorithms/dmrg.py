@@ -297,8 +297,11 @@ class DMRGEngine:
         #: so the energy error is second order (~1e-5 observed, test_bf16.py).
         self.env_dtype = env_dtype
         #: SVD method for dynamic (non-static) bond updates: 'exact' (per-sector
-        #: QDWH) or 'randomized' (GEMM/QR range finder — cheaper on TPU while
-        #: chi_max is well below the theta block sizes, i.e. the growth phase).
+        #: QDWH), 'adaptive' (warm-started rank-adaptive sketch seeded by the
+        #: bond's current B tensor — the only QDWH runs at kept-rank size, the
+        #: TPU growth-phase default candidate; tensors/adaptive.py), or
+        #: 'randomized' (cold GEMM/QR range finder; measured slower than exact
+        #: on TPU, docs/DESIGN.md §8c).
         #: Static mode has its own ladder (enable_static_mode(svd_mode=...)).
         self.dynamic_svd = dynamic_svd
         self.backend = psi.backend
@@ -696,7 +699,10 @@ class DMRGEngine:
         self.E = E
         A, S, B, err = split_truncate_theta(theta, self.chi_max, self.eps,
                                             pad_to_multiple=self.pad_chi_multiple,
-                                            method=self.dynamic_svd)
+                                            method=self.dynamic_svd,
+                                            Vh_prev=psi.Bs[i + 1]
+                                            if self.dynamic_svd == 'adaptive'
+                                            else None)
         self.trunc_err = max(self.trunc_err, err)
         # restore B form on site i: B_i = S_i^{-1} A S_new
         Sinv = pinv(psi.Ss[i], cutoff=1e-14)

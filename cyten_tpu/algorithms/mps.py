@@ -663,7 +663,7 @@ def _as_scalar(res):
 
 def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True,
                          pad_to_multiple: int = None, method: str = 'exact',
-                         rng=None):
+                         rng=None, Vh_prev=None, n_oversample: int = 16):
     """Split a two-site wavefunction and truncate.
 
     Parameters
@@ -672,11 +672,20 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
         Two-site wavefunction, labels [vL, p0, p1, vR] (any codomain/domain split).
     chi_max, eps
         Truncation: keep at most chi_max singular values, discard those below eps.
-    method : 'exact' | 'randomized'
+    method : 'exact' | 'randomized' | 'adaptive'
         'randomized' uses the GEMM/QR-heavy randomized range finder
         (:func:`~cyten_tpu.tensors.randomized.randomized_truncated_svd`) —
         cheaper on TPU when ``chi_max`` is well below the theta block sizes
         (the chi-growth phase; docs/DESIGN.md §8).
+        'adaptive' warm-starts from ``Vh_prev`` (the bond's previous right
+        isometry, e.g. the current ``B`` tensor) with ``n_oversample`` columns of
+        per-sector rank head-room
+        (:func:`~cyten_tpu.tensors.adaptive.adaptive_truncated_svd`) — the only
+        QDWH runs at the kept-rank size, not the theta block size. Falls back to
+        'exact' when ``Vh_prev`` is None.
+    Vh_prev
+        For ``method='adaptive'``: previous right isometry with labels
+        [vL, p, vR] (a ``B`` tensor) or already shaped [kept | vR, p1].
 
     Returns
     -------
@@ -686,7 +695,20 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
     err : truncation error
     """
     theta = permute_legs(theta, codomain=['vL', 'p0'], domain=['vR', 'p1'])
-    if method == 'randomized':
+    if method == 'adaptive' and Vh_prev is None:
+        method = 'exact'
+    if method == 'adaptive':
+        from ..tensors.adaptive import adaptive_truncated_svd
+
+        if 'p' in Vh_prev.labels:  # a B tensor [vL, p | vR]: reshape to Vh form
+            Vh_prev = permute_legs(Vh_prev.relabelled({'p': 'p1'}),
+                                   codomain=['vL'], domain=['vR', 'p1'])
+        U, S, Vh, err, _ = adaptive_truncated_svd(
+            theta, Vh_prev, chi_max=chi_max, svd_min=eps,
+            n_oversample=n_oversample, new_labels=('vR', 'vL'),
+            pad_to_multiple=pad_to_multiple, rng=rng,
+            normalize_to=1. if normalize else None)
+    elif method == 'randomized':
         from ..tensors.randomized import randomized_truncated_svd
 
         U, S, Vh, err, _ = randomized_truncated_svd(

@@ -29,6 +29,7 @@ from .krylov_based import (
 )
 from .steady import steady_truncated_svd
 from .randomized import randomized_truncated_svd
+from .adaptive import adaptive_truncated_svd
 
 __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Identity',
            'Mask', 'ChargedTensor', 'is_valid_leg_label', 'check_same_legs',
@@ -48,6 +49,7 @@ __all__ = ['LabelledLegs', 'Tensor', 'SymmetricTensor', 'DiagonalTensor', 'Ident
            'Arnoldi', 'KrylovBased', 'LanczosGroundState', 'LanczosEvolution',
            'lanczos', 'lanczos_arpack',
            'steady_truncated_svd', 'randomized_truncated_svd',
+           'adaptive_truncated_svd',
            'krylov_based', 'planar', 'sparse']
 
 

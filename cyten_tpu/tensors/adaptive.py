@@ -1,0 +1,161 @@
+"""Rank-adaptive warm-started truncated SVD — breaking the growth-phase QDWH wall.
+
+The steady SVD (``tensors/steady.py``) removes QDWH from the *converged* DMRG loop
+but freezes the per-sector ranks; the randomized SVD (``tensors/randomized.py``)
+adapts ranks but sketches ``chi_max + p`` columns per sector from scratch and was
+measured to lose to exact per-sector QDWH on TPU (docs/DESIGN.md §8c). This module
+is the middle ground the growth phase actually wants [VERDICT r2 #2]:
+
+    sketch  =  previous visit's right-isometry  ⊕  p fresh random columns
+
+Per sector, the previous kept rank ``k_c`` is warm (within O(truncation error) of
+the answer after the first sweep) and only the ``p`` head-room columns are cold, so
+one power iteration suffices and the sketch is ``k_c + p`` per sector instead of
+``chi_max + p``. The factorization itself never sees a large QDWH:
+
+1. ``V0 = qr([V_prev | Ω])``            — thin QR, warm ⊕ random, orthonormal
+2. ``V  <- qr(θ† (θ V))``  (n_power ×)  — 2 GEMMs + thin QR per iteration
+3. ``B = θ V;  B = Q R``                — thin QR; R is (k_c+p)² per sector
+4. ``R = U_R S W†``                     — QDWH SVD of the SMALL square R only
+5. ``U = Q U_R;  Vh = (V W)†``          — exact isometries by construction
+
+Cost: the only QDWH runs at size ``(k_c + p)``, not at the theta block size —
+eigh/svd cost scales ~n² on TPU (docs/DESIGN.md §8), so the factorization cost
+drops by ~(block_dim / (k_c+p))². Singular values come from the SVD of R directly
+(no Rayleigh-quotient squaring), so small-value accuracy matches the exact path.
+
+Ranks ADAPT: the truncation solver (full reference constraint set) runs on the
+computed spectrum; per visit each sector can grow by up to ``p`` (new sectors
+appear with up to ``p`` values — the random columns cover every candidate bond
+sector). The tail weight outside the sketch is accounted exactly via
+``||θ||² - ||S_all||²``, so the reported truncation error is upper-bound-correct
+even when the sketch undershoots.
+
+Reference counterpart being replaced: the per-sector full-SVD loop
+(reference cyten/backends/abelian.py:1928-2011). Truncation semantics follow the
+reference solver (cyten/backends/_backend.py:791-909) via
+``truncate_singular_values``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..symmetries import ElementarySpace
+from ._functions import (
+    compose, dagger, norm, qr, scalar_multiply, svd, svd_apply_mask,
+    tensor_from_grid, truncate_singular_values,
+)
+from ._tensors import SymmetricTensor
+
+__all__ = ['adaptive_truncated_svd']
+
+
+def _sketch_extra_leg(thp, warm_leg, n_extra: int):
+    """ElementarySpace of fresh sketch columns: for every candidate bond sector c
+    (present in BOTH the codomain and domain fusion of ``thp``), ``n_extra``
+    columns, capped so warm + extra never exceeds the exact bond rank
+    ``min(cod_mult_c, dom_mult_c)``. Returns None if no sector needs columns."""
+    cod_secs = thp.codomain.sector_decomposition
+    cod_mults = thp.codomain.multiplicities
+    dom_secs = thp.domain.sector_decomposition
+    dom_mults = thp.domain.multiplicities
+    cod = {tuple(int(x) for x in s): int(m) for s, m in zip(cod_secs, cod_mults)}
+    warm = {tuple(int(x) for x in s): int(m)
+            for s, m in zip(warm_leg.sector_decomposition, warm_leg.multiplicities)}
+    secs, mults = [], []
+    for s, m_dom in zip(dom_secs, dom_mults):
+        key = tuple(int(x) for x in s)
+        m_cod = cod.get(key)
+        if m_cod is None:
+            continue
+        full = min(int(m_dom), m_cod)
+        extra = min(n_extra, max(full - warm.get(key, 0), 0))
+        if extra > 0:
+            secs.append(s)
+            mults.append(extra)
+    if not secs:
+        return None
+    return ElementarySpace.from_sector_decomposition(
+        thp.symmetry, np.asarray(secs), np.asarray(mults, int),
+        is_dual=warm_leg.is_dual)
+
+
+def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
+                           n_power: int = 1, new_labels=('vR', 'vL'),
+                           chi_min=None, degeneracy_tol=None, trunc_cut=None,
+                           svd_min=None, pad_to_multiple: int = None,
+                           normalize_to: float = None, rng=None):
+    """Truncated SVD of ``thp``, warm-started from the previous visit's ``Vh_prev``
+    with ``n_oversample`` columns of per-sector rank head-room.
+
+    Parameters
+    ----------
+    thp : SymmetricTensor
+        The wavefunction as a morphism codomain -> domain (e.g. [vL, p0 | vR, p1]).
+    Vh_prev : SymmetricTensor
+        Right isometry from the previous visit of this bond (in DMRG: the current
+        ``B`` tensor as ``[kept] <- thp.domain``). Its per-sector ranks seed the
+        sketch; they do NOT freeze the result — ranks adapt by up to
+        ``n_oversample`` per sector per visit, including newly appearing sectors.
+    chi_max, chi_min, degeneracy_tol, trunc_cut, svd_min, pad_to_multiple
+        Truncation constraints, as in :func:`truncate_singular_values`.
+    n_power : int
+        Subspace (power) iterations after the warm start; 1 suffices once the
+        warm subspace is within O(truncation error) of the answer.
+
+    Returns
+    -------
+    (U, S, Vh, err, renormalize) — same convention as ``randomized_truncated_svd``.
+    ``err`` includes the (exactly accounted) weight outside the sketch.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    backend = thp.backend
+
+    V = dagger(Vh_prev)                         # thp.domain <- [kept_prev]
+    warm_leg = V.domain.factors[0]
+    G = _sketch_extra_leg(thp, warm_leg, int(n_oversample))
+    if G is not None:
+        omega = SymmetricTensor.from_random_normal(
+            list(V.codomain.factors), [G], backend=backend, rng=rng,
+            dtype=thp.dtype)
+        omega = omega.copy(deep=False)
+        omega.labels = V.labels
+        V0 = tensor_from_grid([[V, omega]])
+        V, _ = qr(V0)
+    # subspace iteration toward the dominant right-singular subspace
+    for _ in range(int(n_power)):
+        B = compose(thp, V)                     # [codomain | sketch]
+        Z = compose(dagger(thp), B)             # [domain | sketch]
+        V, _ = qr(Z)
+    B = compose(thp, V)
+    # factor through a thin QR so the only QDWH runs on the SMALL square R
+    Q, R = qr(B)                                # R: [q | sketch], (k_c+p)-sized
+    U_R, S, Vh_R = svd(R, new_labels=new_labels)
+    norm_S_all_sq = float(norm(S)) ** 2         # computed weight (qdim-weighted)
+
+    mask, err, new_norm = truncate_singular_values(
+        S, chi_max=chi_max, chi_min=chi_min, degeneracy_tol=degeneracy_tol,
+        trunc_cut=trunc_cut, svd_min=svd_min, pad_to_multiple=pad_to_multiple)
+    U_R, S, Vh_R = svd_apply_mask(U_R, S, Vh_R, mask)
+
+    U = compose(Q, U_R)
+    Vh = compose(Vh_R, dagger(V))
+    # exact error: discarded-by-truncation + missed-by-sketch, via norms
+    norm_t_sq = float(norm(thp)) ** 2
+    disc_sq = max(norm_S_all_sq - float(new_norm) ** 2, 0.)
+    missed_sq = max(norm_t_sq - norm_S_all_sq, 0.)
+    err_total = float(np.sqrt((disc_sq + missed_sq) / max(norm_t_sq, 1e-300)))
+
+    if normalize_to is None:
+        renormalize = 1.
+    else:
+        renormalize = normalize_to / float(new_norm)
+        S = scalar_multiply(renormalize, S)
+
+    a, b = new_labels
+    U = U.relabelled({U.labels[-1]: a})
+    S = S.relabelled([b, f'{b}*'])
+    Vh = Vh.relabelled({Vh.labels[0]: b})
+    return U, S, Vh, err_total, renormalize
