@@ -23,7 +23,8 @@ from .tebd import TEBDEngine
 from .tdvp import TDVP2Engine, TDVPEngine, TDVPQREngine
 from .vumps import VUMPSEngine
 
-__all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos', 'compress_mpo', 'TFIModel', 'HeisenbergModel',
+__all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos',
+           'compress_mpo', 'TFIModel', 'HeisenbergModel',
            'FermiHubbardModel', 'GoldenChainModel', 'KitaevChainModel', 'SpinChainModel',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',

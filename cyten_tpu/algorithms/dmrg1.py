@@ -22,7 +22,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..tensors import (
-    SymmetricTensor, apply_mask, apply_mask_DiagonalTensor, combine_legs, compose, dagger, eigh, norm,
+    SymmetricTensor, apply_mask, apply_mask_DiagonalTensor, combine_legs, compose,
+    dagger, eigh, norm,
     permute_legs, pinv, scale_axis, sqrt, svd, svd_apply_mask, tdot,
     tensor_from_grid, truncate_singular_values,
 )

@@ -28,7 +28,7 @@ The static environments are NOT taken from the engine as-is: the fixed-point
 equations determine their completed-/starting-H-channel components only up to
 a multiple of the identity, and that multiple shifts every omega(p) by a
 constant. They are re-anchored here at the boundary with the converged energy
-density held fixed (see :meth:`ExcitationEngine._absolute_envs`), which makes
+density held fixed (see :meth:`ExcitationEngine._anchored_LW`), which makes
 omega(p) absolute (validated against the exact transverse-field Ising
 dispersion, tests/test_excitations.py).
 

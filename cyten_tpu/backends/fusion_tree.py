@@ -215,7 +215,8 @@ class FusionTreeBackend(TensorBackend):
         out_shape = tuple(int(sp.dim) for sp in a.codomain.factors) \
             + tuple(int(sp.dim) for sp in reversed(a.domain.factors))
         res = res.reshape(out_shape)
-        if np.allclose(res.imag, 0, atol=1e-14 * max(1., float(np.abs(res).max() if res.size else 0.))):
+        scale = max(1., float(np.abs(res).max() if res.size else 0.))
+        if np.allclose(res.imag, 0, atol=1e-14 * scale):
             res = res.real.copy()
         return bb.as_block(res)
 

@@ -83,7 +83,8 @@ def _key(*sectors: Sector) -> tuple:
 
 
 class BaseSymmetry(metaclass=ABCMeta):
-    """Shared interface + derived-quantity fallbacks for :class:`SymmetryFactor` and :class:`Symmetry`.
+    """Shared interface + derived-quantity fallbacks for :class:`SymmetryFactor` /
+    :class:`Symmetry`.
 
     Concrete subclasses provide fusion rules and the primary topological data (N, F, R);
     everything else (B and C symbols, quantum dimensions, Frobenius-Schur indicators,
@@ -218,7 +219,8 @@ class BaseSymmetry(metaclass=ABCMeta):
         return res
 
     def c_symbol(self, a, b, c, d, e, f) -> np.ndarray:
-        r"""Braid-on-a-tree coefficients :math:`[C^{abc}_d]^{e\mu\nu}_{f\kappa\lambda}` [μ,ν,κ,λ]."""
+        r"""Braid-on-a-tree coefficients
+        :math:`[C^{abc}_d]^{e\mu\nu}_{f\kappa\lambda}` [μ,ν,κ,λ]."""
         if config.do_fusion_input_checks:
             ok = (self.can_fuse_to(a, b, e) and self.can_fuse_to(e, c, d)
                   and self.can_fuse_to(a, c, f) and self.can_fuse_to(f, b, d))

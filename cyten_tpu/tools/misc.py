@@ -353,7 +353,8 @@ def find_subclass(base_class: type, subclass_name):
         return found.pop()
     if not found:
         raise ValueError(f'no subclass of {base_class.__name__} named {subclass_name!r}')
-    raise ValueError(f'multiple subclasses of {base_class.__name__} named {subclass_name!r}: {found}')
+    raise ValueError(f'multiple subclasses of {base_class.__name__} named '
+                     f'{subclass_name!r}: {found}')
 
 
 def is_iterable(a) -> bool:

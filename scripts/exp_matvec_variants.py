@@ -265,7 +265,8 @@ def main():
         bench_chain('B  bond-gate 3-stage', lambda: lambda th: g_fns[2](g_fns[1](g_fns[0](th))),
                     theta_blocks, None, jax, jnp)
         bench_chain('B  bond-gate default', lambda: lambda th: g_fns[2](g_fns[1](g_fns[0](th))),
-                    theta_blocks, None, jax, jnp, prec='default')  # NOTE: clobbers STAGES; keep last
+                    theta_blocks, None, jax, jnp,
+                    prec='default')  # NOTE: clobbers STAGES; keep last
 
 
 if __name__ == '__main__':
