@@ -724,26 +724,26 @@ class FusionTreeBackend(TensorBackend):
                                dtype)
 
     def _apply_plan_grouped(self, a, plan, new_codomain, new_domain):
-        """GEMM-ized plan application (VERDICT r1 item 6): per shape class,
-        stack the gathered sub-blocks, apply ONE batched transpose, contract
-        with the dense tree-pair coefficient matrix as a single GEMM, then
-        scatter the result rows. Collapses the O(entries) stream of tiny
-        slice/scale/scatter ops into O(shape classes) MXU-friendly programs —
-        this is what pays below ~1k multiplets where the per-op dispatch/
-        scatter floor dominates (docs/DESIGN.md §5)."""
-        from .tree_moves import grouped_plan
+        """Index-batched plan application (VERDICT r1 #6 GEMM-ization + r2 #3
+        compile-time fix): per shape class, ONE batched gather per source
+        block, ONE transform (dense coefficient GEMM for small sub-blocks, a
+        per-entry coefficient multiply above the measured runtime crossover
+        ``config.fusion_tree_grouped_max_block``), and ONE batched scatter-add
+        per destination block. The XLA op count is O(blocks touched), not
+        O(plan entries) — the per-entry formulation emitted hundreds of
+        slice/scatter ops per permute and drove the fused SU(2) bond-update
+        compile to minutes (docs/DESIGN.md §12)."""
+        from ..config import config
+        from .tree_moves import batched_program
 
         bb = self.block_backend
         dtype = a.data.dtype
         if plan.complex_coeffs:
             dtype = dtype.to_complex
-        from math import prod
-
-        from ..config import config
-
-        max_block = config.fusion_tree_grouped_max_block
-        gp = grouped_plan(plan)
         lookup = {tuple(r): n for n, r in enumerate(a.data.block_inds)}
+        present = tuple(sorted(lookup))
+        prog = batched_program(plan, present,
+                               config.fusion_tree_grouped_max_block)
         new_blocks: dict[tuple, object] = {}
 
         def get_target(nbk):
@@ -755,47 +755,26 @@ class FusionTreeBackend(TensorBackend):
                 target = bb.accumulator(shape, dtype)
             return target
 
-        for g in gp.groups:
-            subs = []
-            keep = []
-            for ci, (obk, ors, ocs) in enumerate(g.src):
-                n = lookup.get(obk)
-                if n is None:
-                    continue
-                subs.append(bb.to_dtype(a.data.blocks[n][ors, ocs], dtype))
-                keep.append(ci)
-            if not subs:
-                continue
-            C = g.coeff[:, keep] if len(keep) != g.coeff.shape[1] else g.coeff
-            nz = np.flatnonzero(np.abs(C).max(axis=1) > 0)
-            if len(nz) == 0:
-                continue
-            if prod(g.mult_shape) > max_block:
-                # large sub-blocks: stacking copies more than the dispatch
-                # floor is worth (measured crossover, see config); per entry
-                for k, sub in enumerate(subs):
-                    sub = bb.reshape(sub, g.mult_shape)
-                    sub = bb.permute_axes(sub, g.axis_perm)
-                    sub = bb.reshape(sub, g.new_shape_2d)
-                    for di in nz:
-                        c = C[int(di), k]
-                        if c == 0:
-                            continue
-                        nbk, nrs, ncs = g.dst[int(di)]
-                        new_blocks[nbk] = bb.accum_add(
-                            get_target(nbk), (nrs, ncs), bb.mul(c, sub))
-                continue
-            x = bb.stack(subs, axis=0)
-            x = bb.reshape(x, (len(subs),) + g.mult_shape)
+        for g in prog.groups:
+            parts = [bb.batched_slice(a.data.blocks[lookup[obk]], starts,
+                                      g.old_shape_2d)
+                     for obk, starts in g.gathers]
+            x = parts[0] if len(parts) == 1 else bb.concatenate(parts, axis=0)
+            x = bb.to_dtype(x, dtype)
+            n = len(x)
+            x = bb.reshape(x, (n,) + g.mult_shape)
             x = bb.permute_axes(x, (0,) + tuple(p + 1 for p in g.axis_perm))
-            x = bb.reshape(x, (len(subs),
-                               g.new_shape_2d[0] * g.new_shape_2d[1]))
-            y = bb.matrix_dot(bb.as_block(C[nz], dtype), x)
-            for row, di in enumerate(nz):
-                nbk, nrs, ncs = g.dst[int(di)]
-                val = bb.reshape(y[row], g.new_shape_2d)
-                new_blocks[nbk] = bb.accum_add(get_target(nbk), (nrs, ncs),
-                                               val)
+            if g.mode == 'gemm':
+                x = bb.reshape(x, (n, g.new_shape_2d[0] * g.new_shape_2d[1]))
+                y = bb.matrix_dot(bb.as_block(g.coeff, dtype), x)
+                y = bb.reshape(y, (len(g.coeff),) + g.new_shape_2d)
+            else:  # 'sparse': per-entry coefficients, FLOPs ~ nnz
+                y = bb.reshape(x, (n,) + g.new_shape_2d)
+                y = y * bb.reshape(bb.as_block(g.coeff, dtype), (n, 1, 1))
+            for nbk, rows_idx, starts in g.scatters:
+                upd = y if rows_idx is None else bb.take_rows(y, rows_idx)
+                new_blocks[nbk] = bb.batched_accum_add(get_target(nbk),
+                                                       starts, upd)
         rows = list(new_blocks.keys())
         blocks = [bb.finalize_accumulator(new_blocks[r]) for r in rows]
         return BlockSparseData(blocks, np.array(rows, np.intp).reshape(len(rows), 2),

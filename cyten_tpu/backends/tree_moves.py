@@ -139,6 +139,132 @@ def grouped_plan(plan: PermutePlan) -> GroupedPlan:
     return GroupedPlan(groups=tuple(out), complex_coeffs=plan.complex_coeffs)
 
 
+@dataclass(frozen=True)
+class BatchedGroup:
+    """One shape-class of a plan, compiled to a constant-op-count program:
+    ``len(gathers)`` batched gathers + 1 transform (+1 GEMM or coeff-mul) +
+    ``len(scatters)`` batched scatter-adds, independent of the entry count.
+    This is the compile-time lever for the fusion-tree static mode (VERDICT r2
+    #3): the per-entry formulation emits O(entries) slice/scatter XLA ops and
+    drives TPU compile of the fused SU(2) bond update to minutes."""
+
+    mode: str                # 'gemm' (dense coeff GEMM) | 'sparse' (per-entry)
+    mult_shape: tuple
+    axis_perm: tuple
+    old_shape_2d: tuple      # gather window (rows, cols) in the old blocks
+    new_shape_2d: tuple      # scatter window in the new blocks
+    gathers: tuple           # ((old_block_key, starts[n, 2] ndarray), ...)
+    coeff: object            # 'gemm': [n_dst_kept, n_src]; 'sparse': [n_entries]
+    scatters: tuple          # ((new_block_key, rows_idx ndarray | None,
+    #                           starts[n, 2] ndarray), ...)
+
+
+@dataclass(frozen=True)
+class BatchedProgram:
+    groups: tuple
+    complex_coeffs: bool
+
+
+@functools.lru_cache(maxsize=1024)
+def batched_program(plan: PermutePlan, present: tuple,
+                    max_block: int) -> BatchedProgram:
+    """Compile ``grouped_plan(plan)`` + the set of PRESENT old blocks into a
+    fully index-batched program (see :class:`BatchedGroup`).
+
+    ``present`` is the sorted tuple of old block keys the tensor actually has
+    (host metadata) — missing blocks are structural zeros, so their columns are
+    dropped here once instead of being skipped entry-by-entry at apply time.
+    Groups whose sub-block volume exceeds ``max_block`` use the 'sparse' mode
+    (per-entry coefficients, FLOPs ~ nnz instead of the dense n_dst*n_src GEMM
+    — the measured runtime crossover, config.fusion_tree_grouped_max_block),
+    but with the same O(blocks) op count."""
+    from math import prod
+
+    present_set = set(present)
+    out = []
+    for g in grouped_plan(plan).groups:
+        avail = [i for i, (obk, _, _) in enumerate(g.src) if obk in present_set]
+        if not avail:
+            continue
+        h = g.src[avail[0]][1].stop - g.src[avail[0]][1].start
+        w = g.src[avail[0]][2].stop - g.src[avail[0]][2].start
+        mode = 'sparse' if prod(g.mult_shape) > max_block else 'gemm'
+        if mode == 'gemm':
+            buckets: dict = {}
+            stacked = []
+            for i in avail:
+                obk = g.src[i][0]
+                buckets.setdefault(obk, []).append(i)
+            for obk, idcs in buckets.items():
+                stacked.extend(idcs)
+            gathers = tuple(
+                (obk, np.array([[g.src[i][1].start, g.src[i][2].start]
+                                for i in idcs], np.int64))
+                for obk, idcs in buckets.items())
+            C = g.coeff[:, stacked]
+            nz = np.flatnonzero(np.abs(C).max(axis=1) > 0)
+            if len(nz) == 0:
+                continue
+            C = C[nz]
+            dst_buckets: dict = {}
+            for row, di in enumerate(nz):
+                nbk, nrs, ncs = g.dst[int(di)]
+                dst_buckets.setdefault(nbk, []).append(
+                    (row, nrs.start, ncs.start))
+            scatters = tuple(
+                (nbk,
+                 None if len(rows) == len(nz) and
+                 all(r == k for k, (r, _, _) in enumerate(rows))
+                 else np.array([r for r, _, _ in rows], np.intp),
+                 np.array([[rs, cs] for _, rs, cs in rows], np.int64))
+                for nbk, rows in dst_buckets.items())
+            out.append(BatchedGroup(
+                mode='gemm', mult_shape=g.mult_shape, axis_perm=g.axis_perm,
+                old_shape_2d=(h, w), new_shape_2d=g.new_shape_2d,
+                gathers=gathers, coeff=C, scatters=scatters))
+        else:
+            # entries = nonzeros of the coeff matrix restricted to avail srcs
+            avail_set = set(avail)
+            entries = [(di, si, g.coeff[di, si])
+                       for di in range(g.coeff.shape[0])
+                       for si in range(g.coeff.shape[1])
+                       if si in avail_set and g.coeff[di, si] != 0]
+            if not entries:
+                continue
+            # order by source block (first-appearance) for bucketed gathers
+            buckets = {}
+            for k, (di, si, c) in enumerate(entries):
+                buckets.setdefault(g.src[si][0], []).append(k)
+            entries = [entries[k] for idcs in buckets.values() for k in idcs]
+            gathers = []
+            pos = 0
+            for obk, idcs in buckets.items():
+                chunk = entries[pos:pos + len(idcs)]
+                gathers.append((obk, np.array(
+                    [[g.src[si][1].start, g.src[si][2].start]
+                     for _, si, _ in chunk], np.int64)))
+                pos += len(idcs)
+            gathers = tuple(gathers)
+            coeff_vec = np.array([c for _, _, c in entries])
+            dst_buckets = {}
+            for k, (di, _, _) in enumerate(entries):
+                nbk, nrs, ncs = g.dst[int(di)]
+                dst_buckets.setdefault(nbk, []).append((k, nrs.start, ncs.start))
+            scatters = tuple(
+                (nbk,
+                 None if len(rows) == len(entries) and
+                 all(r == k for k, (r, _, _) in enumerate(rows))
+                 else np.array([r for r, _, _ in rows], np.intp),
+                 np.array([[rs, cs] for _, rs, cs in rows], np.int64))
+                for nbk, rows in dst_buckets.items())
+            out.append(BatchedGroup(
+                mode='sparse', mult_shape=g.mult_shape, axis_perm=g.axis_perm,
+                old_shape_2d=(h, w), new_shape_2d=g.new_shape_2d,
+                gathers=gathers, coeff=coeff_vec, scatters=scatters))
+    return BatchedProgram(groups=tuple(out),
+                          complex_coeffs=plan.complex_coeffs)
+
+
 class _PairMap:
     """Linear map on (codomain tree, domain tree) pairs, composed move by move."""
 

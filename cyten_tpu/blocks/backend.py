@@ -256,6 +256,29 @@ class BlockBackend:
     def finalize_accumulator(self, acc):
         return self.xp.asarray(acc)
 
+    def batched_slice(self, block, starts, shape):
+        """Stack the equal-shaped 2D windows ``block[r:r+h, c:c+w]`` for each
+        row ``(r, c)`` of ``starts`` into a ``[len(starts), h, w]`` block.
+
+        Generic fallback loops; the jax backend lowers this to ONE gather —
+        the compile-time lever of the fusion-tree plan application (one XLA op
+        per (group, source block) instead of one slice per plan entry)."""
+        h, w = shape
+        return self.stack([block[r:r + h, c:c + w] for r, c in starts], axis=0)
+
+    def batched_accum_add(self, acc, starts, updates):
+        """``acc[r_i:r_i+h, c_i:c_i+w] += updates[i]`` for each row ``(r_i, c_i)``
+        of ``starts`` (repeated windows accumulate). Jax: ONE scatter-add."""
+        h, w = updates[0].shape if hasattr(updates[0], 'shape') else updates.shape[1:]
+        for k, (r, c) in enumerate(starts):
+            acc = self.accum_add(acc, (slice(r, r + h), slice(c, c + w)),
+                                 updates[k])
+        return acc
+
+    def take_rows(self, block, idx):
+        """``block[idx]`` for a host-side integer index array (axis 0)."""
+        return block[np.asarray(idx, np.intp)]
+
     def get_block_element(self, block, idx):
         res = block[tuple(idx)]
         return self.block_item(res)
@@ -719,6 +742,33 @@ class JaxBlockBackend(BlockBackend):
 
     def finalize_accumulator(self, acc):
         return acc
+
+    def batched_slice(self, block, starts, shape):
+        import jax
+
+        h, w = shape
+        starts = np.asarray(starts)
+        if len(starts) == 1:  # static slice: no gather/clamp machinery
+            r, c = int(starts[0, 0]), int(starts[0, 1])
+            return block[None, r:r + h, c:c + w]
+        starts = self.xp.asarray(starts.astype(np.int32))
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(block, (s[0], s[1]), tuple(shape))
+        )(starts)  # lowers to a single gather
+
+    def batched_accum_add(self, acc, starts, updates):
+        from jax import lax
+
+        starts = np.asarray(starts)
+        if len(starts) == 1:  # static windowed add: no scatter machinery
+            r, c = int(starts[0, 0]), int(starts[0, 1])
+            h, w = updates.shape[1:]
+            return acc.at[r:r + h, c:c + w].add(updates[0])
+        idx = self.xp.asarray(starts.astype(np.int32))
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1))
+        return lax.scatter_add(acc, idx, updates.astype(acc.dtype), dnums)
 
     def _set_diagonal(self, block, diag):
         d = diag.shape[0]
