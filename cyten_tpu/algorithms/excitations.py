@@ -226,6 +226,83 @@ class _HEffExcitation(LinearOperator):
         return X
 
 
+def _block_sites(As, pipe=None):
+    """Contract the cell's site tensors ``[vL, p; vR]`` into ONE blocked site
+    with the physical legs combined into a pipe (returned for reuse)."""
+    from ..tensors import combine_legs
+
+    L = len(As)
+    A = As[0].relabelled({'p': 'p0'})
+    for i in range(1, L):
+        A = tdot(A, As[i].relabelled({'p': f'p{i}'}), 'vR', 'vL')
+    plabels = [f'p{i}' for i in range(L)]
+    A = permute_legs(A, codomain=['vL'] + plabels, domain=['vR'])
+    A = combine_legs(A, plabels, pipes=None if pipe is None else [pipe])
+    A = A.relabelled({A.labels[1]: 'p'})
+    return A, A.codomain.factors[1]
+
+
+def _block_mpo(Ws, pipe):
+    """Contract the cell's MPO tensors ``[wL, p; p*, wR]`` into ONE blocked
+    tensor whose p / p* legs are the given pipe and its dual."""
+    from ..tensors import combine_legs
+
+    L = len(Ws)
+    W = Ws[0].relabelled({'p': 'p0', 'p*': 'p0*'})
+    for i in range(1, L):
+        W = tdot(W, Ws[i].relabelled({'p': f'p{i}', 'p*': f'p{i}*'}),
+                 'wR', 'wL')
+    plabels = [f'p{i}' for i in range(L)]
+    pslabels = [f'p{i}*' for i in range(L)]
+    W = permute_legs(W, codomain=['wL'] + plabels, domain=pslabels + ['wR'])
+    W = combine_legs(W, plabels, pslabels, pipes=[pipe, pipe.dual])
+    W = W.relabelled({W.labels[1]: 'p', W.labels[2]: 'p*'})
+    return W
+
+
+class _BlockedCellView:
+    """An ``L == 1`` view of an L-site uniform engine: the converged cell is
+    blocked into one fat site (physical legs combined into a pipe, the MPO
+    cell contracted over its virtual bonds). The single-site tangent space of
+    the blocked chain contains every intra-cell combination
+    ``AL..B_j..AR`` of the per-site ansatz, so nothing is lost variationally;
+    momenta become per-CELL (reduced Brillouin zone — bands fold)."""
+
+    def __init__(self, engine):
+        engine._solve_environments()  # also fills env_energy_cell
+        self._inner = engine
+        self.L = 1
+        self.backend = engine.backend
+        self.env_tol = engine.env_tol
+        self.env_max_iter = engine.env_max_iter
+        self.imaginary = getattr(engine, 'imaginary', True)
+        AL, pipe = _block_sites(engine.ALs)
+        AR, _ = _block_sites(engine.ARs, pipe=pipe)
+        W = _block_mpo(list(engine.model.H_mpo), pipe)
+        self.ALs = [AL]
+        self.ARs = [AR]
+        self.Cs = [engine.Cs[0]]
+        import types
+
+        self.model = types.SimpleNamespace(H_mpo=[W])
+        self.env_energy_cell = engine.env_energy_cell
+        self.LW = engine.LW
+        self.RW = engine.RW
+
+    def _solve_environments(self):
+        pass  # inner engine solved at construction; envs are re-anchored anyway
+
+    # boundary/channel constructions are shape-generic — borrow the engine's
+    from .itdvp import iTDVPEngine as _it
+
+    _env_dtype = _it._env_dtype
+    _boundary_LW = _it._boundary_LW
+    _boundary_RW = _it._boundary_RW
+    _eye_H_left = _it._eye_H_left
+    _eye_H_right = _it._eye_H_right
+    del _it
+
+
 class ExcitationEngine:
     """Quasiparticle dispersion omega(p) over a converged uniform ground state.
 
@@ -256,13 +333,21 @@ class ExcitationEngine:
 
     Notes
     -----
-    L > 1 unit cells are not implemented. Anyonic symmetries would need
+    L > 1 unit cells are handled by BLOCKING: the converged cell is contracted
+    into one fat site (physical legs combined into a pipe) and the one-site
+    machinery runs on the blocked chain. The blocked tangent space contains
+    every intra-cell placement of the per-site ansatz, so nothing is lost
+    variationally; the momentum argument is then per CELL (physical momentum
+    k = p / L up to reduced-zone folding). Anyonic symmetries would need
     topological-sector bookkeeping beyond the charge-leg mechanism.
     """
 
     def __init__(self, engine, gmres_tol: float = 1e-10, sector=None,
                  engine_right=None):
-        assert engine.L == 1, 'ExcitationEngine needs a one-site unit cell'
+        if engine.L > 1:
+            engine = _BlockedCellView(engine)
+        if engine_right is not None and engine_right.L > 1:
+            engine_right = _BlockedCellView(engine_right)
         engine._solve_environments()
         self.AL = engine.ALs[0]
         self.C = engine.Cs[0]

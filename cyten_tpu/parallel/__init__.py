@@ -7,13 +7,15 @@ truncation decisions).
 """
 
 from .sharding import (
-    make_mesh, replicate_tensor, shard_tensor, shard_tensor_sectors,
+    make_mesh, replicate_tensor, shard_tensor, shard_tensor_2d,
+    shard_tensor_sectors, sharded_fraction,
 )
 from .truncation import device_truncation_masks, global_truncate
 from .multihost import (
     initialize_distributed, make_global_mesh, shard_tensor_global,
 )
 
-__all__ = ['make_mesh', 'shard_tensor', 'shard_tensor_sectors',
+__all__ = ['make_mesh', 'shard_tensor', 'shard_tensor_2d', 'shard_tensor_sectors',
+           'sharded_fraction',
            'replicate_tensor', 'device_truncation_masks', 'global_truncate',
            'initialize_distributed', 'make_global_mesh', 'shard_tensor_global']

@@ -241,3 +241,76 @@ def test_dmrg_engine_mesh_option():
     lp = eng_mesh.LPs[2]
     assert any(getattr(b, 'sharding', None) is not None
                for b in lp.data.blocks)
+
+
+def test_2d_mesh_equivalence(workload):
+    """2D (row x col) block sharding: contraction + SVD on a 2x4 mesh equals
+    the single-device result. Contracting over the row-sharded leg makes XLA
+    psum over the 'sector' axis while the 'mult' axis rides along (VERDICT r2
+    #5: 2D mesh composition)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    theta, LP = workload
+    from cyten_tpu.parallel import shard_tensor_2d, sharded_fraction
+
+    mesh = make_mesh(shape=(2, 4), axis_names=('sector', 'mult'))
+
+    def f(lp, th):
+        return ct.tdot(th, lp, 'vL', 'vR')
+
+    ref = jax.jit(f)(LP, theta)
+    with mesh:
+        th_s = shard_tensor_2d(theta, mesh, 'vL', 'vR')
+        lp_s = shard_tensor_2d(LP, mesh, 'vR', 'vR*')
+        assert sharded_fraction(th_s, lp_s) == 1.0
+        out = jax.jit(f)(lp_s, th_s)
+    for b_ref, b_out in zip(ref.data.blocks, out.data.blocks):
+        np.testing.assert_allclose(np.asarray(b_ref), np.asarray(b_out),
+                                   rtol=1e-10, atol=1e-10)
+
+    # SVD path on 2D-sharded theta
+    def g(th):
+        U, S, Vh = ct.svd(ct.permute_legs(th, codomain=['vL', 'p0'],
+                                          domain=['vR', 'p1']),
+                          new_labels=['vR', 'vL'])
+        return S
+
+    S_ref = jax.jit(g)(theta)
+    with mesh:
+        S_out = jax.jit(g)(th_s)
+    for b_ref, b_out in zip(S_ref.data.blocks, S_out.data.blocks):
+        np.testing.assert_allclose(np.asarray(b_ref), np.asarray(b_out),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_sector_mult_composition(workload):
+    """Eager sector x mult composition: round-robin block rows with the
+    largest divisible axis sharded within each row (2D mesh form of
+    shard_tensor_sectors); results equal single-device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    theta, LP = workload
+    from cyten_tpu.parallel import shard_tensor_sectors, sharded_fraction
+
+    mesh = make_mesh(shape=(2, 4), axis_names=('sector', 'mult'))
+    th_s = shard_tensor_sectors(theta, mesh)
+    assert sharded_fraction(th_s) == 1.0
+    out = ct.tdot(th_s, LP, 'vL', 'vR')
+    ref = ct.tdot(theta, LP, 'vL', 'vR')
+    for b_ref, b_out in zip(ref.data.blocks, out.data.blocks):
+        np.testing.assert_allclose(np.asarray(b_ref), np.asarray(b_out),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_fraction_metric(workload):
+    """sharded_fraction: 0 for replicated, 1 for fully sharded tensors."""
+    theta, LP = workload
+    from cyten_tpu.parallel import sharded_fraction
+
+    mesh = make_mesh(4, axis_name='mult')
+    assert sharded_fraction(replicate_tensor(theta, mesh)) == 0.0
+    assert sharded_fraction(shard_tensor(theta, mesh, 'vL')) == 1.0
