@@ -255,8 +255,12 @@ def _block_mpo(Ws, pipe):
     plabels = [f'p{i}' for i in range(L)]
     pslabels = [f'p{i}*' for i in range(L)]
     W = permute_legs(W, codomain=['wL'] + plabels, domain=pslabels + ['wR'])
-    W = combine_legs(W, plabels, pslabels, pipes=[pipe, pipe.dual])
-    W = W.relabelled({W.labels[1]: 'p', W.labels[2]: 'p*'})
+    # the p* group must combine to the SAME pipe (as a domain factor, i.e.
+    # with the duality flag flipped), so contractions against the blocked
+    # site tensors' pipe leg match; group labels follow the legs order
+    W = combine_legs(W, plabels, list(reversed(pslabels)),
+                     pipes=[pipe, pipe], pipe_dualities=[False, True])
+    W = W.relabelled({W.labels[1]: 'p', W.labels[-1]: 'p*'})
     return W
 
 
