@@ -583,6 +583,150 @@ def svd_timing(chi, precision='float32', repeats=3):
     return best
 
 
+def svd_dynamic_timing(chi, precision='float32', repeats=3):
+    """Time the rank-adaptive warm-started truncated SVD (tensors/adaptive.py)
+    — the growth-phase replacement for the per-sector QDWH wall (VERDICT r2
+    #2). Warm start = the bond's previous-visit right isometry (here: the
+    exact ranks of a chi_max=chi truncation, as after any earlier visit);
+    timed end-to-end including sketch assembly, the fused GEMM/QR/small-SVD
+    device program, and the truncation-decision fetch."""
+    import cyten_tpu as ct
+    from cyten_tpu.config import config
+    from cyten_tpu.tensors import adaptive_truncated_svd, truncated_svd
+
+    backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    *_, theta = build_workload(backend, chi=chi)
+    old = config.matmul_precision
+    config.matmul_precision = precision
+    try:
+        _, _, Vh0, _, _ = truncated_svd(theta, chi_max=chi,
+                                        new_labels=('vR', 'vL'))
+        rng = np.random.default_rng(0)
+        adaptive_truncated_svd(theta, Vh0, chi_max=chi, rng=rng)  # compile
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            adaptive_truncated_svd(theta, Vh0, chi_max=chi, rng=rng)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        config.matmul_precision = old
+    return best
+
+
+def measured_bf16_peak(n=8192, iters=32):
+    """The chip's measured bf16 MXU ceiling: slope-timed big square matmul.
+    Emitted alongside the ladder so 'fraction of peak' claims in the bench
+    JSON are self-contained (BASELINE.md north star is 40% of MXU peak)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, k):
+        def body(c, _):
+            return lax.dot_general(c, x, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.bfloat16), None
+        y, _ = lax.scan(body, x, None, length=k)
+        return jnp.sum(y.astype(jnp.float32))
+
+    k1, k2 = 4, iters
+    float(run(x, k1))
+    t0 = time.perf_counter(); float(run(x, k1)); t1 = time.perf_counter()
+    float(run(x, k2))
+    t2 = time.perf_counter(); float(run(x, k2)); t3 = time.perf_counter()
+    dt = ((t3 - t2) - (t1 - t0)) / (k2 - k1)
+    return 2 * n ** 3 / dt / 1e12
+
+
+# f64 CPU DMRG reference for the accuracy scenario: L=24 U(1)-Heisenberg open
+# chain, chi=512, trunc_err 4.6e-14, measured 2026-08-20 on this container
+# (regenerate: scripts/exp_bf16_accuracy.py --reference)
+HEIS24_E_REF = -10.45378576040958
+
+
+def accuracy_bf16work(chi=1024, L=24, e_ref=HEIS24_E_REF, n_bf16_sweeps=6):
+    """End-to-end accuracy of the bar-meeting configuration at production
+    scale (VERDICT r2 #1b): FULL-bf16 DMRG (state, environments and
+    intermediates stored bfloat16, 1-pass matmuls, adaptive growth-phase SVD)
+    followed by ONE f32 polish sweep, on the U(1) Heisenberg chain — the
+    quoted-energy error vs the f64 CPU reference. ``eps=0`` +
+    ``chi_max=chi`` forces production-sized (chi=1024) blocks even though
+    L=24 converges at chi=256, so the bf16 rounding is exercised at scale."""
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms import DMRGEngine, HeisenbergModel, SimpleMPS
+    from cyten_tpu.dtypes import Dtype
+
+    model = HeisenbergModel(L=L, conserve='Sz', block_backend='jax')
+    psi = SimpleMPS.from_product_state(model.site_legs, [0, 1] * (L // 2),
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=chi, eps=0.,
+                     pad_chi_multiple=chi // 4,
+                     env_dtype=Dtype.bfloat16,
+                     matmul_precision='default',
+                     dynamic_svd='adaptive',
+                     lanczos_options={'N_max': 10, 'P_tol': 1e-10})
+    for _ in range(n_bf16_sweeps):
+        # full-bf16: demote the state after each sweep as well (the engine's
+        # env_dtype covers LP/RP, the HBM-dominant operands)
+        for i in range(len(eng.psi.Bs)):
+            eng.psi.Bs[i] = eng.psi.Bs[i].to_dtype(Dtype.bfloat16)
+            eng.psi.Ss[i] = eng.psi.Ss[i].to_dtype(Dtype.bfloat16)
+        E_b = eng.sweep()
+    # converge-then-polish (DESIGN §10): one f32 full-precision sweep
+    eng.env_dtype = None
+    eng.matmul_precision = 'float32'
+    for i in range(len(eng.psi.Bs)):
+        eng.psi.Bs[i] = eng.psi.Bs[i].to_dtype(Dtype.float32)
+        eng.psi.Ss[i] = eng.psi.Ss[i].to_dtype(Dtype.float32)
+    eng.LPs = [t if t is None else t.to_dtype(Dtype.float32) for t in eng.LPs]
+    eng.RPs = [t if t is None else t.to_dtype(Dtype.float32) for t in eng.RPs]
+    E = eng.sweep()
+    return float(E), float(E_b), (None if e_ref is None
+                                  else abs(float(E) - e_ref))
+
+
+def su2_step_with_compile(chi_mult=512, n_lanczos=10, svd_mode='steady'):
+    """The fused fusion-tree (SU(2)) bond update: explicit TPU compile time +
+    slope-timed step. The compile time is a tracked metric (VERDICT r2 #3:
+    the index-batched plan application brought it from minutes to ~20 s)."""
+    import jax
+
+    import cyten_tpu as ct
+    from cyten_tpu.algorithms.dmrg import HEffective, _get_static_bond_fn
+    from cyten_tpu.backends.fusion_tree import FusionTreeBackend
+
+    backend = FusionTreeBackend(ct.get_block_backend('jax'))
+    LP, RP, W1, W2, S, B1, B2, theta_tmpl, mask = build_step_state(
+        backend, chi_mult, builder=build_su2_workload)
+    impl = _get_static_bond_fn(n_lanczos, svd_mode)
+
+    def step(LP, RP, W1, W2, S, B1, B2, theta_tmpl):
+        H = HEffective(LP, RP, W1, W2)
+        return impl(H, S, B1, B2, theta_tmpl, mask)
+
+    lowered = jax.jit(step).lower(LP, RP, W1, W2, S, B1, B2, theta_tmpl)
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    out = compiled(LP, RP, W1, W2, S, B1, B2, theta_tmpl)
+    float(out[0])  # sync
+
+    def run_n(n):
+        t = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = compiled(LP, RP, W1, W2, S, B1, B2, theta_tmpl)
+        float(o[0])
+        return time.perf_counter() - t
+
+    n1, n2 = 5, 25
+    a = run_n(n1)
+    b = run_n(n2)
+    return compile_s, (b - a) / (n2 - n1)
+
+
 def main():
     chi = int(os.environ.get('BENCH_CHI', '4096'))
     # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
@@ -656,6 +800,33 @@ def main():
                     svd_timing(chi, precision) * 1e3, 1)
             except Exception as e:  # pragma: no cover - keep the main metric
                 result['svd_exact_ms'] = f'failed: {e}'
+            # growth-phase companion: rank-adaptive warm-started truncated SVD
+            # (tensors/adaptive.py — the QDWH-wall fix, VERDICT r2 #2)
+            try:
+                result['svd_dynamic_ms'] = round(
+                    svd_dynamic_timing(chi, precision) * 1e3, 1)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['svd_dynamic_ms'] = f'failed: {e}'
+        # chi=8192 precision ladder: the configuration that meets the
+        # BASELINE.md >=40%-of-MXU-peak bar, driver-visible (VERDICT r2 #1)
+        # alongside the measured bf16 ceiling it is judged against
+        if os.environ.get('BENCH_LADDER', '1') != '0' and chi != 8192:
+            try:
+                peak = measured_bf16_peak()
+                result['measured_peak_bf16_tflops'] = round(peak, 1)
+                t8, f8 = step_run(8192, n_lanczos=n_lanczos,
+                                  precision=precision, svd_mode=svd_mode)
+                result['step8192_ms'] = round(t8 * 1e3, 1)
+                result['step8192_tflops'] = round(f8 / t8 / 1e12, 2)
+                t8w, f8w = step_run(8192, n_lanczos=n_lanczos,
+                                    precision='default', svd_mode=svd_mode,
+                                    work_dtype='bfloat16')
+                result['step8192_bf16work_ms'] = round(t8w * 1e3, 1)
+                result['step8192_bf16work_tflops'] = round(f8w / t8w / 1e12, 2)
+                result['step8192_bf16work_frac_peak'] = round(
+                    f8w / t8w / 1e12 / peak, 3)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['step8192_ladder'] = f'failed: {e}'
         # non-abelian (fusion-tree) tracking metric in the same line
         if os.environ.get('BENCH_SU2', '1') != '0':
             chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
@@ -667,6 +838,31 @@ def main():
                 result[su2_key] = round(t_su2 * 1e3, 4)
             except Exception as e:  # pragma: no cover - keep the main metric
                 result[su2_key] = f'failed: {e}'
+            # the FULL fused SU(2) bond update, with its compile time — in
+            # the default line now that compile is seconds (VERDICT r2 #3)
+            try:
+                c_s, t_s = su2_step_with_compile(chi_mult)
+                result[f'su2_step_{chi_mult}mult_ms'] = round(t_s * 1e3, 2)
+                result['su2_step_compile_s'] = round(c_s, 1)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['su2_step_compile_s'] = f'failed: {e}'
+        print(json.dumps(result))
+        return
+    if scenario == 'accuracy':
+        # end-to-end accuracy of the full-bf16 + f32-polish protocol at
+        # production scale (VERDICT r2 #1b); reference: f64 CPU DMRG
+        chi_a = int(os.environ.get('BENCH_CHI', '1024'))
+        E, E_bf16, dE = accuracy_bf16work(chi=chi_a)
+        result = {
+            'metric': f'heis24_bf16work_polished_dE_chi{chi_a}',
+            'value': dE,
+            'unit': 'Hartree-equivalent (abs energy error)',
+            'vs_baseline': None,
+            'E_polished': E,
+            'E_bf16': E_bf16,
+            'E_ref_f64_cpu': HEIS24_E_REF,
+            'dE_bf16': abs(E_bf16 - HEIS24_E_REF),
+        }
         print(json.dumps(result))
         return
     if scenario == 'hubbard':

@@ -1626,13 +1626,21 @@ def _diagonal_per_sector(p: DiagonalTensor):
         return [(0, bb.to_numpy(p.data.block))]
     leg = p.leg
     lookup = {int(i): n for n, i in enumerate(p.data.block_inds)}
+    # ONE device->host transfer for all blocks (a per-block to_numpy costs one
+    # blocking round trip each — ~30 ms per sector over the tunneled TPU,
+    # paid by every host-driven truncation decision)
+    blocks = list(p.data.blocks)
+    if blocks:
+        flat = bb.to_numpy(bb.concatenate(blocks, axis=0))
+        sizes = np.cumsum([0] + [int(b.shape[0]) for b in blocks])
+        parts = [flat[sizes[k]:sizes[k + 1]] for k in range(len(blocks))]
     res = []
     for i in range(leg.num_sectors):
         n = lookup.get(i)
         if n is None:
             res.append((i, np.zeros(int(leg.multiplicities[i]))))
         else:
-            res.append((i, bb.to_numpy(p.data.blocks[n])))
+            res.append((i, parts[n]))
     return res
 
 

@@ -81,11 +81,42 @@ def _sketch_extra_leg(thp, warm_leg, n_extra: int):
         is_dual=warm_leg.is_dual)
 
 
+def _factor_chain(thp, V0, n_power: int):
+    """The GEMM/QR/small-SVD pipeline (everything before the truncation
+    decision) — jittable; fused into one device program on jit-capable
+    backends to avoid per-op dispatch round trips (cf. randomized.py)."""
+    V, _ = qr(V0)
+    for _ in range(int(n_power)):
+        B = compose(thp, V)                     # [codomain | sketch]
+        Z = compose(dagger(thp), B)             # [domain | sketch]
+        V, _ = qr(Z)
+    B = compose(thp, V)
+    # factor through a thin QR so the only QDWH runs on the SMALL square R
+    Q, R = qr(B)                                # R: [q | sketch], (k_c+p)-sized
+    U_R, S, Vh_R = svd(R)
+    # norms computed in-graph: two extra device scalars instead of two eager
+    # multi-block reductions (each a host round trip per block on the tunnel)
+    return V, Q, U_R, S, Vh_R, norm(S) ** 2, norm(thp) ** 2
+
+
+_JITTED_CHAIN = None
+
+
+def _get_jitted_chain():
+    global _JITTED_CHAIN
+    if _JITTED_CHAIN is None:
+        import jax
+
+        _JITTED_CHAIN = jax.jit(_factor_chain, static_argnums=(2,))
+    return _JITTED_CHAIN
+
+
 def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
                            n_power: int = 1, new_labels=('vR', 'vL'),
                            chi_min=None, degeneracy_tol=None, trunc_cut=None,
                            svd_min=None, pad_to_multiple: int = None,
-                           normalize_to: float = None, rng=None):
+                           normalize_to: float = None, rng=None,
+                           fused: bool = None):
     """Truncated SVD of ``thp``, warm-started from the previous visit's ``Vh_prev``
     with ``n_oversample`` columns of per-sector rank head-room.
 
@@ -123,17 +154,19 @@ def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
         omega = omega.copy(deep=False)
         omega.labels = V.labels
         V0 = tensor_from_grid([[V, omega]])
-        V, _ = qr(V0)
-    # subspace iteration toward the dominant right-singular subspace
-    for _ in range(int(n_power)):
-        B = compose(thp, V)                     # [codomain | sketch]
-        Z = compose(dagger(thp), B)             # [domain | sketch]
-        V, _ = qr(Z)
-    B = compose(thp, V)
-    # factor through a thin QR so the only QDWH runs on the SMALL square R
-    Q, R = qr(B)                                # R: [q | sketch], (k_c+p)-sized
-    U_R, S, Vh_R = svd(R, new_labels=new_labels)
-    norm_S_all_sq = float(norm(S)) ** 2         # computed weight (qdim-weighted)
+    else:
+        V0 = V
+    if fused is None:
+        fused = backend.block_backend.can_jit
+    chain = _get_jitted_chain() if fused else _factor_chain
+    V, Q, U_R, S, Vh_R, nS_sq, nt_sq = chain(thp, V0, int(n_power))
+    a, b = new_labels
+    U_R = U_R.copy(deep=False)
+    U_R.labels = [*U_R.labels[:-1], a]
+    S = S.relabelled([b, f'{b}*'])
+    Vh_R = Vh_R.copy(deep=False)
+    Vh_R.labels = [b, *Vh_R.labels[1:]]
+    norm_S_all_sq = float(nS_sq)                # computed weight (qdim-weighted)
 
     mask, err, new_norm = truncate_singular_values(
         S, chi_max=chi_max, chi_min=chi_min, degeneracy_tol=degeneracy_tol,
@@ -143,7 +176,7 @@ def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
     U = compose(Q, U_R)
     Vh = compose(Vh_R, dagger(V))
     # exact error: discarded-by-truncation + missed-by-sketch, via norms
-    norm_t_sq = float(norm(thp)) ** 2
+    norm_t_sq = float(nt_sq)
     disc_sq = max(norm_S_all_sq - float(new_norm) ** 2, 0.)
     missed_sq = max(norm_t_sq - norm_S_all_sq, 0.)
     err_total = float(np.sqrt((disc_sq + missed_sq) / max(norm_t_sq, 1e-300)))
