@@ -8,6 +8,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseli
 the speedup over the reference-style per-block numpy CPU path on the same workload.
 """
 
+import functools
 import json
 import os
 import time
@@ -613,6 +614,36 @@ def svd_dynamic_timing(chi, precision='float32', repeats=3):
     return best
 
 
+def svd_exact_e2e_timing(chi, precision='float32', repeats=3):
+    """End-to-end EXACT truncated SVD (factorize + truncation decision + mask
+    application) via the two-phase jitted path (tensors/adaptive.py
+    fused_truncated_svd) — the apples-to-apples companion of svd_dynamic_ms."""
+    import jax
+
+    import cyten_tpu as ct
+    from cyten_tpu.config import config
+    from cyten_tpu.tensors.adaptive import fused_truncated_svd
+
+    backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    *_, theta = build_workload(backend, chi=chi)
+    old = config.matmul_precision
+    config.matmul_precision = precision
+    try:
+        def run():
+            U, S, Vh, err, _ = fused_truncated_svd(theta, chi_max=chi)
+            jax.block_until_ready(S.data.blocks)
+
+        run()
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        config.matmul_precision = old
+    return best
+
+
 def measured_bf16_peak(n=8192, iters=32):
     """The chip's measured bf16 MXU ceiling: slope-timed big square matmul.
     Emitted alongside the ladder so 'fraction of peak' claims in the bench
@@ -623,7 +654,7 @@ def measured_bf16_peak(n=8192, iters=32):
 
     x = jnp.ones((n, n), jnp.bfloat16)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=1)
     def run(x, k):
         def body(c, _):
             return lax.dot_general(c, x, (((1,), (0,)), ((), ())),
@@ -807,6 +838,13 @@ def main():
                     svd_dynamic_timing(chi, precision) * 1e3, 1)
             except Exception as e:  # pragma: no cover - keep the main metric
                 result['svd_dynamic_ms'] = f'failed: {e}'
+            # end-to-end EXACT truncated SVD (factorize + decide + mask),
+            # two-phase jitted — what a dynamic bond update actually pays
+            try:
+                result['svd_exact_e2e_ms'] = round(
+                    svd_exact_e2e_timing(chi, precision) * 1e3, 1)
+            except Exception as e:  # pragma: no cover - keep the main metric
+                result['svd_exact_e2e_ms'] = f'failed: {e}'
         # chi=8192 precision ladder: the configuration that meets the
         # BASELINE.md >=40%-of-MXU-peak bar, driver-visible (VERDICT r2 #1)
         # alongside the measured bf16 ceiling it is judged against

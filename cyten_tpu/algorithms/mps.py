@@ -715,6 +715,17 @@ def split_truncate_theta(theta, chi_max: int, eps: float, normalize: bool = True
             theta, chi_max=chi_max, svd_min=eps, new_labels=['vR', 'vL'],
             pad_to_multiple=pad_to_multiple, rng=rng,
             normalize_to=1. if normalize else None)
+    elif theta.backend.block_backend.can_jit:
+        # same factorization + truncation, but two-phase jitted (one program
+        # for the SVD, one cached-per-mask-pattern program for the masking):
+        # the plain eager path pays per-block dispatch overhead that dominates
+        # the QDWH cost 3-30x on a remote TPU (docs/DESIGN.md §15)
+        from ..tensors.adaptive import fused_truncated_svd
+
+        U, S, Vh, err, _ = fused_truncated_svd(
+            theta, chi_max=chi_max, svd_min=eps, new_labels=('vR', 'vL'),
+            pad_to_multiple=pad_to_multiple,
+            normalize_to=1. if normalize else None)
     else:
         U, S, Vh = svd(theta, new_labels=['vR', 'vL'])
         mask, err, new_norm = truncate_singular_values(

@@ -190,8 +190,10 @@ class AbelianBackend(TensorBackend):
             list(reversed(new_domain.factors))
         new_row_leg = legs_order[row_pos]
         new_col_leg = legs_order[col_pos]
-        accumulators: dict[tuple, np.ndarray] = {}
-        np_dtype = np.dtype(dtype.to_numpy)
+        # accumulate with the block backend (no to_numpy: a host fetch per
+        # block costs one round trip each on remote devices, and would make
+        # this untraceable — the adaptive-SVD sketch assembly runs under jit)
+        accumulators: dict[tuple, object] = {}
         for i, row in enumerate(grid):
             for j, op in enumerate(row):
                 if op is None:
@@ -213,19 +215,18 @@ class AbelianBackend(TensorBackend):
                     if acc is None:
                         shape = [int(leg.multiplicities[n])
                                  for leg, n in zip(legs_order, new_bi)]
-                        acc = np.zeros(shape, dtype=np_dtype)
-                        accumulators[key] = acc
+                        acc = bb.accumulator(shape, dtype)
                     sl = [slice(None)] * len(legs_order)
                     ro = row_slices[row_sec]
                     co = col_slices[col_sec]
                     sl[row_pos] = slice(int(ro[i]), int(ro[i + 1]))
                     sl[col_pos] = slice(int(co[j]), int(co[j + 1]))
-                    acc[tuple(sl)] += np.asarray(bb.to_numpy(block),
-                                                 dtype=np_dtype)
+                    accumulators[key] = bb.accum_add(
+                        acc, tuple(sl), bb.to_dtype(block, dtype))
         keys = list(accumulators)
         block_inds = np.array(keys, dtype=np.intp).reshape(len(keys),
                                                            len(legs_order))
-        blocks = [bb.as_block(accumulators[k], dtype) for k in keys]
+        blocks = [bb.finalize_accumulator(accumulators[k]) for k in keys]
         return BlockSparseData(blocks, block_inds, dtype, is_sorted=False)
 
     def eye_data(self, codomain, domain, dtype):

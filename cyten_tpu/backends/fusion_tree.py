@@ -60,6 +60,9 @@ class FusionTreeBackend(TensorBackend):
 
     DataCls = BlockSparseData
     can_decompose_tensors = False
+    #: mask application resolves kept indices host-side (tree-block row masks)
+    #: and may not run under jit with a closed-over device mask
+    mask_apply_traceable = False
 
     def supports_symmetry(self, symmetry: Symmetry) -> bool:
         return True

@@ -702,20 +702,16 @@ class JaxBlockBackend(BlockBackend):
         return super().block_item(block)
 
     def norm(self, block, order=2) -> float:
-        # stays a DEVICE scalar in eager mode too: a float() here would force
-        # one blocking fetch PER BLOCK (~30 ms each over the tunnel) inside
-        # every tensor-level norm; callers that need a Python float wrap the
-        # (async, possibly summed-over-blocks) result in float() once
-        if block.dtype == _BF16:
-            block = block.astype(np.float32)
-        flat = self.xp.reshape(block, (-1,))
-        if order == 2:
-            return self.xp.sqrt(self.xp.sum(self.xp.abs(flat) ** 2))
-        if order == np.inf:
-            if flat.shape[0] == 0:
-                return 0.
-            return self.xp.max(self.xp.abs(flat))
-        return self.xp.sum(self.xp.abs(flat) ** order) ** (1. / order)
+        if self._is_tracer(block):
+            if block.dtype == _BF16:
+                block = block.astype(np.float32)
+            flat = self.xp.reshape(block, (-1,))
+            if order == 2:
+                return self.xp.sqrt(self.xp.sum(self.xp.abs(flat) ** 2))
+            if order == np.inf:
+                return self.xp.max(self.xp.abs(flat))
+            return self.xp.sum(self.xp.abs(flat) ** order) ** (1. / order)
+        return super().norm(block, order=order)
 
     def as_block(self, obj, dtype: Dtype = None, return_dtype: bool = False):
         block = self.xp.asarray(obj)

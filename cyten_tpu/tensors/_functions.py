@@ -1661,16 +1661,42 @@ def truncate_singular_values(S: DiagonalTensor, chi_max=None, chi_min=None,
         S_list, np.asarray(qdims, float), chi_max=chi_max, chi_min=chi_min,
         degeneracy_tol=degeneracy_tol, trunc_cut=trunc_cut, svd_min=svd_min,
         minimize_error=minimize_error, pad_to_multiple=pad_to_multiple)
-    bb = S.backend.block_backend
-    mask_by_sector = {tuple(leg.sector_decomposition[i]): m
-                      for (i, _), m in zip(per_sector, masks)}
+    # build the Mask DIRECTLY from the host-side boolean decision where the
+    # public basis is per-multiplicity (abelian/no-symmetry): the former
+    # DiagonalTensor detour shipped the bools to the device and fetched them
+    # straight back per sector inside diagonal_to_mask — one blocking round
+    # trip per sector on a remote TPU (~270 ms/bond at 9 sectors, measured)
+    fast = (leg.symmetry.can_be_dropped
+            and int(leg.dim) == int(np.sum(leg.multiplicities)))
+    if fast:
+        public = np.zeros(int(leg.dim), dtype=bool)
+        for (i, _), m in zip(per_sector, masks):
+            public[int(leg.slices[i, 0]):int(leg.slices[i, 1])] = m
+        if leg._basis_perm is not None:
+            public = public[leg.inverse_basis_perm]
+        data, small_leg = S.backend.mask_from_block(public, leg)
+        mask = Mask(data, space_in=leg, space_out=small_leg,
+                    is_projection=True, backend=S.backend, labels=S.labels)
+        # host copy of the boolean pattern: lets downstream caches key
+        # compiled programs on the mask content without a device fetch
+        # (tensors/adaptive.py; fast path only — fusion-tree mask application
+        # needs host-resolved masks and stays eager)
+        mask._host_bools = tuple(
+            (tuple(int(x) for x in leg.sector_decomposition[i]),
+             np.asarray(m, bool).tobytes())
+            for (i, _), m in zip(per_sector, masks))
+    else:  # per-multiplet masks with qdim > 1 (or no dense basis)
+        bb = S.backend.block_backend
+        mask_by_sector = {tuple(leg.sector_decomposition[i]): m
+                          for (i, _), m in zip(per_sector, masks)}
 
-    def func(shape, sector):
-        return bb.as_block(mask_by_sector[tuple(sector)], Dtype.bool)
+        def func(shape, sector):
+            return bb.as_block(mask_by_sector[tuple(sector)], Dtype.bool)
 
-    diag = DiagonalTensor.from_sector_block_func(func, leg, backend=S.backend)
-    diag.dtype = Dtype.bool
-    mask = Mask.from_DiagonalTensor(diag)
+        diag = DiagonalTensor.from_sector_block_func(func, leg,
+                                                     backend=S.backend)
+        diag.dtype = Dtype.bool
+        mask = Mask.from_DiagonalTensor(diag)
     return mask, err, new_norm
 
 

@@ -81,11 +81,23 @@ def _sketch_extra_leg(thp, warm_leg, n_extra: int):
         is_dual=warm_leg.is_dual)
 
 
-def _factor_chain(thp, V0, n_power: int):
-    """The GEMM/QR/small-SVD pipeline (everything before the truncation
-    decision) — jittable; fused into one device program on jit-capable
-    backends to avoid per-op dispatch round trips (cf. randomized.py)."""
-    V, _ = qr(V0)
+def _factor_chain(thp, Vh_prev, omega, n_power: int,
+                  assume_isometry: bool = True):
+    """The sketch assembly + GEMM/QR/small-SVD pipeline (everything before the
+    truncation decision) — jittable; fused into one device program on
+    jit-capable backends so the whole phase costs ONE dispatch instead of one
+    round trip per block operation (cf. randomized.py; docs/DESIGN.md §15)."""
+    V = dagger(Vh_prev)                         # thp.domain <- [kept_prev]
+    if omega is None:
+        # a DMRG B tensor is already a right isometry: its dagger has
+        # orthonormal columns, so the sketch QR is redundant (measured:
+        # ~40 ms of thin QR at chi=4096); n_power >= 1 re-orthonormalizes
+        # anyway, so even a slightly degraded input is safe
+        if not assume_isometry:
+            V, _ = qr(V)
+    else:
+        V0 = tensor_from_grid([[V, omega]])
+        V, _ = qr(V0)
     for _ in range(int(n_power)):
         B = compose(thp, V)                     # [codomain | sketch]
         Z = compose(dagger(thp), B)             # [domain | sketch]
@@ -100,6 +112,7 @@ def _factor_chain(thp, V0, n_power: int):
 
 
 _JITTED_CHAIN = None
+_PHASE2_CACHE: dict = {}
 
 
 def _get_jitted_chain():
@@ -107,8 +120,125 @@ def _get_jitted_chain():
     if _JITTED_CHAIN is None:
         import jax
 
-        _JITTED_CHAIN = jax.jit(_factor_chain, static_argnums=(2,))
+        _JITTED_CHAIN = jax.jit(_factor_chain, static_argnums=(3, 4))
     return _JITTED_CHAIN
+
+
+def _exact_chain(thp):
+    """Full (exact) SVD + in-graph norms — phase 1 of the fused exact path."""
+    U, S, Vh = svd(thp)
+    return U, S, Vh, norm(S) ** 2
+
+
+_JITTED_EXACT = None
+
+
+def _get_jitted_exact():
+    global _JITTED_EXACT
+    if _JITTED_EXACT is None:
+        import jax
+
+        _JITTED_EXACT = jax.jit(_exact_chain)
+    return _JITTED_EXACT
+
+
+_MASK_CACHE: dict = {}
+
+
+def _mask_cache_key(mask):
+    """Cache key identifying the mask EXACTLY: its boolean pattern plus the
+    large leg's full signature (two identical patterns on different legs must
+    not share a compiled program). None disables the jitted path (no host
+    pattern, or a backend whose mask application is not traceable — the
+    fusion-tree backend resolves masks host-side)."""
+    bools = getattr(mask, '_host_bools', None)
+    if bools is None or not getattr(mask.backend, 'mask_apply_traceable', True):
+        return None
+    leg = mask.large_leg
+    return (str(leg.symmetry),
+            tuple(map(tuple, leg.sector_decomposition.tolist())),
+            tuple(int(m) for m in leg.multiplicities),
+            bool(leg.is_dual), bools)
+
+
+def _apply_mask_cached(U, S, Vh, mask, fused):
+    """``svd_apply_mask`` as a jitted program cached on the mask pattern."""
+    key = _mask_cache_key(mask) if fused else None
+    if key is None:
+        return svd_apply_mask(U, S, Vh, mask)
+    fn = _MASK_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda U, S, Vh: svd_apply_mask(U, S, Vh, mask))
+        if len(_MASK_CACHE) > 512:
+            _MASK_CACHE.clear()
+        _MASK_CACHE[key] = fn
+    return fn(U, S, Vh)
+
+
+def fused_truncated_svd(thp, chi_max: int = None, new_labels=('vR', 'vL'),
+                        chi_min=None, degeneracy_tol=None, trunc_cut=None,
+                        svd_min=None, pad_to_multiple: int = None,
+                        normalize_to: float = None, fused: bool = None):
+    """EXACT truncated SVD with the same two-phase jit structure as the
+    adaptive path: one jitted factorization program, a host truncation
+    decision (single batched fetch), and a mask application jitted per mask
+    pattern. Numerically identical to :func:`truncated_svd`; on a remote TPU
+    the eager per-block dispatch overhead of the plain path dominates its
+    QDWH cost 3-30x (measured, docs/DESIGN.md §15), which this removes.
+
+    Returns ``(U, S, Vh, err, renormalize)``."""
+    backend = thp.backend
+    if fused is None:
+        fused = backend.block_backend.can_jit
+    chain = _get_jitted_exact() if fused else _exact_chain
+    U, S, Vh, nS_sq = chain(thp)
+    a, b = new_labels
+    U = U.copy(deep=False)
+    U.labels = [*U.labels[:-1], a]
+    S = S.relabelled([b, f'{b}*'])
+    Vh = Vh.copy(deep=False)
+    Vh.labels = [b, *Vh.labels[1:]]
+    mask, err, new_norm = truncate_singular_values(
+        S, chi_max=chi_max, chi_min=chi_min, degeneracy_tol=degeneracy_tol,
+        trunc_cut=trunc_cut, svd_min=svd_min, pad_to_multiple=pad_to_multiple)
+    U, S, Vh = _apply_mask_cached(U, S, Vh, mask, fused)
+    if normalize_to is None:
+        renormalize = 1.
+    else:
+        renormalize = normalize_to / float(new_norm)
+        S = scalar_multiply(renormalize, S)
+    return U, S, Vh, err, renormalize
+
+
+def _phase2(Q, U_R, S, Vh_R, V, mask):
+    """Mask application + the two output composes (post-truncation phase)."""
+    U_R, S, Vh_R = svd_apply_mask(U_R, S, Vh_R, mask)
+    U = compose(Q, U_R)
+    Vh = compose(Vh_R, dagger(V))
+    return U, S, Vh
+
+
+def _phase2_run(Q, U_R, S, Vh_R, V, mask, fused):
+    """Run phase 2, jitted per mask pattern. The mask is a trace-time constant
+    (it determines output shapes), so compiled programs are cached on its
+    boolean content (host copy attached by truncate_singular_values — no
+    device fetch); with chi bucketing (pad_to_multiple) the patterns repeat,
+    bounding recompiles exactly like the static-mode structures."""
+    key = _mask_cache_key(mask) if fused else None
+    if key is None:
+        return _phase2(Q, U_R, S, Vh_R, V, mask)
+    fn = _PHASE2_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(lambda Q, U_R, S, Vh_R, V: _phase2(Q, U_R, S, Vh_R, V,
+                                                        mask))
+        if len(_PHASE2_CACHE) > 512:
+            _PHASE2_CACHE.clear()
+        _PHASE2_CACHE[key] = fn
+    return fn(Q, U_R, S, Vh_R, V)
 
 
 def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
@@ -144,22 +274,26 @@ def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
         rng = np.random.default_rng()
     backend = thp.backend
 
-    V = dagger(Vh_prev)                         # thp.domain <- [kept_prev]
-    warm_leg = V.domain.factors[0]
+    warm_leg = Vh_prev.codomain.factors[0]
     G = _sketch_extra_leg(thp, warm_leg, int(n_oversample))
     if G is not None:
         omega = SymmetricTensor.from_random_normal(
-            list(V.codomain.factors), [G], backend=backend, rng=rng,
+            list(Vh_prev.domain.factors), [G], backend=backend, rng=rng,
             dtype=thp.dtype)
+        from ._tensors import _dual_label_list
+
         omega = omega.copy(deep=False)
-        omega.labels = V.labels
-        V0 = tensor_from_grid([[V, omega]])
+        omega.labels = _dual_label_list(Vh_prev.labels)  # == dagger(Vh_prev)'s
     else:
-        V0 = V
+        omega = None
     if fused is None:
-        fused = backend.block_backend.can_jit
+        # the grid assembly is traceable on backends with a blockwise
+        # from_grid (abelian); elsewhere only the no-growth case fuses
+        fused = backend.block_backend.can_jit and (
+            omega is None or hasattr(backend, 'from_grid'))
     chain = _get_jitted_chain() if fused else _factor_chain
-    V, Q, U_R, S, Vh_R, nS_sq, nt_sq = chain(thp, V0, int(n_power))
+    V, Q, U_R, S, Vh_R, nS_sq, nt_sq = chain(thp, Vh_prev, omega,
+                                             int(n_power))
     a, b = new_labels
     U_R = U_R.copy(deep=False)
     U_R.labels = [*U_R.labels[:-1], a]
@@ -171,10 +305,7 @@ def adaptive_truncated_svd(thp, Vh_prev, chi_max: int, n_oversample: int = 16,
     mask, err, new_norm = truncate_singular_values(
         S, chi_max=chi_max, chi_min=chi_min, degeneracy_tol=degeneracy_tol,
         trunc_cut=trunc_cut, svd_min=svd_min, pad_to_multiple=pad_to_multiple)
-    U_R, S, Vh_R = svd_apply_mask(U_R, S, Vh_R, mask)
-
-    U = compose(Q, U_R)
-    Vh = compose(Vh_R, dagger(V))
+    U, S, Vh = _phase2_run(Q, U_R, S, Vh_R, V, mask, fused)
     # exact error: discarded-by-truncation + missed-by-sketch, via norms
     norm_t_sq = float(nt_sq)
     disc_sq = max(norm_S_all_sq - float(new_norm) ** 2, 0.)
