@@ -44,11 +44,19 @@ def make_mesh(n_devices: int = None, axis_name: str = 'mult', shape=None,
     devices = jax.devices()
     if shape is not None:
         n = int(np.prod(shape))
+        if n_devices is not None and n_devices != n:
+            raise ValueError(f'n_devices={n_devices} contradicts '
+                             f'prod(shape)={n}; pass only one of them')
+        if n > len(devices):
+            raise ValueError(f'mesh shape {tuple(shape)} needs {n} devices, '
+                             f'only {len(devices)} available')
         if axis_names is None:
             axis_names = ('sector', 'mult')[:len(shape)]
         return Mesh(np.array(devices[:n]).reshape(shape), tuple(axis_names))
     if n_devices is None:
         n_devices = len(devices)
+    elif n_devices > len(devices):
+        raise ValueError(f'n_devices={n_devices} > {len(devices)} available')
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 

@@ -1631,9 +1631,15 @@ def _diagonal_per_sector(p: DiagonalTensor):
     # paid by every host-driven truncation decision)
     blocks = list(p.data.blocks)
     if blocks:
-        flat = bb.to_numpy(bb.concatenate(blocks, axis=0))
-        sizes = np.cumsum([0] + [int(b.shape[0]) for b in blocks])
-        parts = [flat[sizes[k]:sizes[k + 1]] for k in range(len(blocks))]
+        try:
+            flat = bb.to_numpy(bb.concatenate(blocks, axis=0))
+            sizes = np.cumsum([0] + [int(b.shape[0]) for b in blocks])
+            parts = [flat[sizes[k]:sizes[k + 1]] for k in range(len(blocks))]
+        except Exception:
+            # blocks committed to different devices (e.g. after
+            # shard_tensor_sectors round-robin placement) cannot be
+            # concatenated on-device; pay the per-block fetch instead
+            parts = [np.asarray(bb.to_numpy(b)) for b in blocks]
     res = []
     for i in range(leg.num_sectors):
         n = lookup.get(i)

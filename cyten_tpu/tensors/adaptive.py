@@ -171,9 +171,11 @@ def _apply_mask_cached(U, S, Vh, mask, fused):
         import jax
 
         fn = jax.jit(lambda U, S, Vh: svd_apply_mask(U, S, Vh, mask))
-        if len(_MASK_CACHE) > 512:
-            _MASK_CACHE.clear()
         _MASK_CACHE[key] = fn
+        while len(_MASK_CACHE) > 512:  # LRU: evict oldest, not wholesale
+            _MASK_CACHE.pop(next(iter(_MASK_CACHE)))
+    else:
+        _MASK_CACHE[key] = _MASK_CACHE.pop(key)  # mark most-recently-used
     return fn(U, S, Vh)
 
 
@@ -235,9 +237,11 @@ def _phase2_run(Q, U_R, S, Vh_R, V, mask, fused):
 
         fn = jax.jit(lambda Q, U_R, S, Vh_R, V: _phase2(Q, U_R, S, Vh_R, V,
                                                         mask))
-        if len(_PHASE2_CACHE) > 512:
-            _PHASE2_CACHE.clear()
         _PHASE2_CACHE[key] = fn
+        while len(_PHASE2_CACHE) > 512:  # LRU: evict oldest, not wholesale
+            _PHASE2_CACHE.pop(next(iter(_PHASE2_CACHE)))
+    else:
+        _PHASE2_CACHE[key] = _PHASE2_CACHE.pop(key)  # mark most-recently-used
     return fn(Q, U_R, S, Vh_R, V)
 
 
