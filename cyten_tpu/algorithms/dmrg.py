@@ -527,65 +527,106 @@ class DMRGEngine:
                 psi.Bs[i + 1], self.model.H_mpo[i], self.model.H_mpo[i + 1])
         return jax.tree_util.tree_structure(args)
 
-    def _static_runs(self):
-        """Maximal runs of consecutive bonds with identical structures."""
+    def _static_runs(self, max_period: int = 2):
+        """Maximal runs of consecutive bonds whose structures repeat with
+        period p <= max_period; returns ``[(b0, b1, p)]`` with ``(b1 - b0)``
+        a multiple of p.
+
+        p=1 is the uniform case (e.g. parity-conserving TFI at saturated
+        chi). p=2 covers the generic alternating case: on SU(2) spin-1/2 or
+        U(1)-Sz chains the virtual legs alternate between the two charge
+        classes (integer/half-integer total spin, even/odd Sz offset), so
+        NO two consecutive bonds ever share a structure — but next-nearest
+        bonds do. Ties prefer the smaller period (smaller compiled body).
+        """
         L = self.psi.L
+        structs = [self._bond_structure(i) for i in range(L - 1)]
         runs = []
         i = 0
         while i < L - 1:
-            j = i + 1
-            s_i = self._bond_structure(i)
-            while j < L - 1 and self._bond_structure(j) == s_i:
-                j += 1
-            runs.append((i, j))  # bonds [i, j)
-            i = j
+            best_j, best_p = i + 1, 1
+            for p in range(1, max_period + 1):
+                if i + p > L - 1:
+                    break
+                j = i + p  # first full period
+                while j < L - 1 and structs[j] == structs[j - p]:
+                    j += 1
+                j = i + ((j - i) // p) * p  # whole periods only
+                if j > best_j:
+                    best_j, best_p = j, p
+            runs.append((i, best_j, best_p))  # bonds [i, best_j)
+            i = best_j
         return runs
 
     def _get_batched_half_sweep(self, key, right: bool):
+        """One jitted lax.scan over supercells of ``p`` consecutive bonds.
+
+        ``key = (b0, b1, p)``: bonds [b0, b1) whose structures repeat with
+        period p (see _static_runs). The scan body unrolls the p per-residue
+        bond updates (each with its own frozen mask/template), so the carry
+        returns to the structure it started with — that is what makes the
+        alternating-structure case (SU(2)/U(1) chains) scannable at all.
+        """
         entry = self._static_cache.get(('half', key, right))
         if entry is not None:
             return entry
         import jax
 
-        b0 = key[0]
-        theta_tmpl, mask = self._static_consts(b0)
+        b0, b1, p = key
+        # per-residue trace-time constants, in PROCESSING order: ascending
+        # b0+k for the right pass, descending b1-1-k for the left pass
+        rep_bonds = ([b0 + k for k in range(p)] if right
+                     else [b1 - 1 - k for k in range(p)])
+        consts = [self._static_consts(i) for i in rep_bonds]
+        masks = [c[1] for c in consts]
+        tmpls = tuple(c[0] for c in consts)
         impl = _get_static_bond_fn(self._static_n_lanczos,
                                    getattr(self, '_static_svd_mode', 'exact'))
 
         if right:
-            def half(LP0, S0, B0, xs, theta_tmpl):
-                """Right pass over a uniform run: carry (LP_i, S_i, B_i); xs
-                per bond i (ascending): (B_{i+1}, RP_{i+1}, W_i, W_{i+1})."""
+            def half(LP0, S0, B0, xs, tmpls):
+                """Right pass: carry (LP_i, S_i, B_i); xs[k] stacked over
+                cells, per bond i = b0 + c*p + k (ascending):
+                (B_{i+1}, RP_{i+1}, W_i, W_{i+1})."""
                 def body(carry, x):
-                    LP, S_i, B_i = carry
-                    B_ip1, RP, W_i, W_ip1 = x
-                    H = HEffective(LP, RP, W_i, W_ip1)
-                    E, nB, S2, B2, LPn, RPn = impl(H, S_i, B_i, B_ip1,
-                                                   theta_tmpl, mask)
-                    S2 = S2.relabelled(['vL', 'vL*'])
-                    return (LPn, S2, B2), (E, nB, RPn, S2, LPn)
+                    outs = []
+                    for k in range(p):
+                        LP, S_i, B_i = carry
+                        B_ip1, RP, W_i, W_ip1 = x[k]
+                        H = HEffective(LP, RP, W_i, W_ip1)
+                        E, nB, S2, B2, LPn, RPn = impl(H, S_i, B_i, B_ip1,
+                                                       tmpls[k], masks[k])
+                        S2 = S2.relabelled(['vL', 'vL*'])
+                        carry = (LPn, S2, B2)
+                        outs.append((E, nB, RPn, S2, LPn))
+                    return carry, tuple(outs)
 
                 return jax.lax.scan(body, (LP0, S0, B0), xs)
         else:
-            def half(RP0, B0, xs, theta_tmpl):
-                """Left pass: carry (RP_{i+1}, B_{i+1}); xs per bond i
-                (DESCENDING): (S_i, B_i, LP_i, W_i, W_{i+1})."""
+            def half(RP0, B0, xs, tmpls):
+                """Left pass: carry (RP_{i+1}, B_{i+1}); xs[k] stacked over
+                cells, per bond i = b1 - 1 - c*p - k (DESCENDING):
+                (S_i, B_i, LP_i, W_i, W_{i+1})."""
                 def body(carry, x):
-                    RP, B_ip1 = carry
-                    S_i, B_i, LP, W_i, W_ip1 = x
-                    H = HEffective(LP, RP, W_i, W_ip1)
-                    E, nB, S2, B2, LPn, RPn = impl(H, S_i, B_i, B_ip1,
-                                                   theta_tmpl, mask)
-                    S2 = S2.relabelled(['vL', 'vL*'])
-                    return (RPn, nB), (E, S2, B2, RPn, nB)
+                    outs = []
+                    for k in range(p):
+                        RP, B_ip1 = carry
+                        S_i, B_i, LP, W_i, W_ip1 = x[k]
+                        H = HEffective(LP, RP, W_i, W_ip1)
+                        E, nB, S2, B2, LPn, RPn = impl(H, S_i, B_i, B_ip1,
+                                                       tmpls[k], masks[k])
+                        S2 = S2.relabelled(['vL', 'vL*'])
+                        carry = (RPn, nB)
+                        outs.append((E, S2, B2, RPn, nB))
+                    return carry, tuple(outs)
 
                 return jax.lax.scan(body, (RP0, B0), xs)
-        # theta_tmpl is a jit ARGUMENT (see _static_consts: as a closed-over
-        # constant its zero block would be embedded in the HLO)
+        # the theta templates are jit ARGUMENTS (see _static_consts: as
+        # closed-over constants their zero blocks would embed in the HLO)
         jfn = jax.jit(half)
 
-        def fn(*args, _jfn=jfn, _tmpl=theta_tmpl):
-            return _jfn(*args, _tmpl)
+        def fn(*args, _jfn=jfn, _tmpls=tmpls):
+            return _jfn(*args, _tmpls)
 
         self._static_cache[('half', key, right)] = fn
         return fn
@@ -610,41 +651,54 @@ class DMRGEngine:
         assert getattr(self, 'static_mode', False)
         psi = self.psi
         runs = self._static_runs()
-        for (b0, b1) in runs:
-            if b1 - b0 < 2:
+        for (b0, b1, p) in runs:
+            n_cells = (b1 - b0) // p
+            if n_cells < 2:
                 for i in range(b0, b1):
                     self.update_bond(i)
                 continue
-            fn = self._get_batched_half_sweep((b0, b1), right=True)
-            xs = self._stack([
-                (psi.Bs[i + 1], self.RPs[i + 1], self.model.H_mpo[i],
-                 self.model.H_mpo[i + 1]) for i in range(b0, b1)])
+            fn = self._get_batched_half_sweep((b0, b1, p), right=True)
+            xs = tuple(
+                self._stack([
+                    (psi.Bs[i + 1], self.RPs[i + 1], self.model.H_mpo[i],
+                     self.model.H_mpo[i + 1])
+                    for i in range(b0 + k, b1, p)])
+                for k in range(p))
             (LP_last, S_last, B_last), ys = fn(self.LPs[b0], psi.Ss[b0],
                                                psi.Bs[b0], xs)
-            for k, i in enumerate(range(b0, b1)):
-                E, nB, RPn, S2, LPn = self._unstack(ys, k)
-                self.E = E
-                psi.Bs[i] = nB
-                psi.Ss[i + 1] = S2
-                self.RPs[i] = RPn
-                self.LPs[i + 1] = LPn
+            for k in range(p):
+                for c in range(n_cells):
+                    i = b0 + c * p + k
+                    E, nB, RPn, S2, LPn = self._unstack(ys[k], c)
+                    self.E = E
+                    psi.Bs[i] = nB
+                    psi.Ss[i + 1] = S2
+                    self.RPs[i] = RPn
+                    self.LPs[i + 1] = LPn
             psi.Bs[b1] = B_last
-        for (b0, b1) in reversed(runs):
-            if b1 - b0 < 2:
+        for (b0, b1, p) in reversed(runs):
+            n_cells = (b1 - b0) // p
+            if n_cells < 2:
                 for i in range(b1 - 1, b0 - 1, -1):
                     self.update_bond(i)
                 continue
-            fn = self._get_batched_half_sweep((b0, b1), right=False)
-            xs = self._stack([
-                (psi.Ss[i], psi.Bs[i], self.LPs[i], self.model.H_mpo[i],
-                 self.model.H_mpo[i + 1]) for i in range(b1 - 1, b0 - 1, -1)])
+            fn = self._get_batched_half_sweep((b0, b1, p), right=False)
+            # bond of cell c, residue k (descending): i = b1 - 1 - c*p - k
+            xs = tuple(
+                self._stack([
+                    (psi.Ss[i], psi.Bs[i], self.LPs[i], self.model.H_mpo[i],
+                     self.model.H_mpo[i + 1])
+                    for i in range(b1 - 1 - k, b0 - 1, -p)])
+                for k in range(p))
             (RP_last, B_first), ys = fn(self.RPs[b1], psi.Bs[b1], xs)
-            for k, i in enumerate(range(b1 - 1, b0 - 1, -1)):
-                E, S2, B2, RPn, nB = self._unstack(ys, k)
-                self.E = E
-                psi.Ss[i + 1] = S2
-                psi.Bs[i + 1] = B2
-                self.RPs[i] = RPn
+            for k in range(p):
+                for c in range(n_cells):
+                    i = b1 - 1 - c * p - k
+                    E, S2, B2, RPn, nB = self._unstack(ys[k], c)
+                    self.E = E
+                    psi.Ss[i + 1] = S2
+                    psi.Bs[i + 1] = B2
+                    self.RPs[i] = RPn
             psi.Bs[b0] = B_first  # == nB of the last processed bond
         self.E = float(self.E)
         return self.E

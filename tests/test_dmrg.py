@@ -524,11 +524,47 @@ def test_static_batched_half_sweep():
     eng.enable_static_mode(n_lanczos=20, svd_mode='steady')
     eng.sweep()
     runs = eng._static_runs()
-    assert any(b1 - b0 >= 3 for b0, b1 in runs), runs  # a real uniform run
+    assert any(b1 - b0 >= 3 * p for b0, b1, p in runs), runs  # a real run
     E = None
     for _ in range(2):
         E = eng.sweep_static_batched()
     assert abs(E - E_exact) < 1e-8
+    E2 = eng.sweep()  # per-bond static sweep must agree
+    assert abs(E2 - E) < 1e-10
+
+
+@pytest.mark.slow
+def test_static_batched_half_sweep_period2_su2():
+    """Period-2 batched static sweeps on the FUSION-TREE backend: SU(2)
+    spin-1/2 bond legs ALTERNATE between integer and half-integer total spin,
+    so no two consecutive bonds ever share a pytree structure — but
+    next-nearest bonds do. _static_runs detects the period-2 pattern and the
+    half sweep scans over supercells of 2 bonds (NEXT.md round-3 rough edge:
+    'sweep_static_batched does not yet cover the fusion-tree backend').
+    Needs a long enough saturated plateau (L=20 at chi_mult=8, pad 4) for a
+    multi-cell run to exist."""
+    from cyten_tpu.algorithms import DMRGEngine, SimpleMPS
+    from cyten_tpu.algorithms.models import (
+        HeisenbergModel, heisenberg_exact_finite_gs_energy,
+    )
+
+    L = 20
+    E_exact = heisenberg_exact_finite_gs_energy(L, 1.)
+    model = HeisenbergModel(L=L, conserve='SU(2)', block_backend='jax')
+    psi = SimpleMPS.from_singlet_pairs(model.site_legs[0], L,
+                                       backend=model.backend)
+    eng = DMRGEngine(psi, model, chi_max=8, eps=1e-14, pad_chi_multiple=4)
+    for _ in range(3):
+        eng.sweep()
+    eng.enable_static_mode(n_lanczos=10, svd_mode='steady')
+    eng.sweep()
+    runs = eng._static_runs()
+    # the alternating structure forces p=2 for any multi-cell run
+    assert any(p == 2 and (b1 - b0) // p >= 2 for b0, b1, p in runs), runs
+    E = None
+    for _ in range(2):
+        E = eng.sweep_static_batched()
+    assert abs(E - E_exact) < 1e-6  # chi_mult=8-limited truncation floor
     E2 = eng.sweep()  # per-bond static sweep must agree
     assert abs(E2 - E) < 1e-10
 
