@@ -53,6 +53,37 @@ def _on_signal(signum, frame):  # pragma: no cover - timing-dependent
     os._exit(0)
 
 
+def _start_watchdog(margin_s: float = 60.):  # pragma: no cover - timing
+    """Emit-and-exit from a daemon THREAD at deadline+margin.
+
+    Signal handlers only run between Python bytecodes: if the main thread is
+    blocked inside a C call (a tunneled XLA compile RPC that never returns —
+    observed >25 min on a chi=8192 program), SIGTERM/SIGALRM handlers never
+    fire and the deadline logic is dead weight. A watchdog thread is immune
+    to that: it sleeps past the deadline, prints whatever metrics exist, and
+    hard-exits the process."""
+    import threading
+
+    def run():
+        while True:
+            left = _time_left() + margin_s
+            if left <= 0:
+                break
+            time.sleep(min(left, 30.))
+        if not _EMITTED:
+            if not _RESULT.get('metric'):
+                # even the first metric never landed: emit a failure record —
+                # a diagnosable line beats an empty capture
+                _RESULT.update({'metric': 'bench_incomplete', 'value': 0.0,
+                                'unit': 'none', 'vs_baseline': None})
+            _RESULT.setdefault('note', 'watchdog: main thread stuck past '
+                                       'deadline (likely a hung compile RPC)')
+            _emit(partial=True)
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def _enable_compilation_cache():
     """Repo-local persistent XLA cache: the driver re-runs bench on the same
     chip, so compiles warmed by any earlier run are ~free on the next."""
@@ -837,6 +868,7 @@ def main():
         signal.alarm(int(_DEADLINE_S) + 150)
     except (ValueError, OSError):  # pragma: no cover - non-main thread etc.
         pass
+    _start_watchdog()
     _enable_compilation_cache()
     chi = int(os.environ.get('BENCH_CHI', '4096'))
     # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
@@ -859,18 +891,20 @@ def main():
         suffix = (f'_{work_dtype}work' if work_dtype
                   else (f'_{env_dtype}env' if env_dtype else ''))
         # ---- 0. provisional metric (~20 s): if a surprise kill lands during
-        # the headline's minutes-long cold compile, the SIGTERM handler still
-        # has a valid metric line to emit ----
+        # the headline's minutes-long cold compile, the watchdog still has a
+        # valid metric line to emit. Skipped with BENCH_LADDER=0 (it is the
+        # ladder's peak measurement; also far too slow on CPU hosts) ----
         peak0 = None
-
-        def _provisional():
-            nonlocal peak0
-            peak0 = measured_bf16_peak()
-            _RESULT.update({'metric': 'measured_peak_bf16_tflops',
-                            'value': round(peak0, 1), 'unit': 'TFLOP/s',
-                            'vs_baseline': None,
-                            'note': 'provisional: headline step timed out'})
-        _gated('provisional_peak', 0, _provisional)
+        if os.environ.get('BENCH_LADDER', '1') != '0':
+            def _provisional():
+                nonlocal peak0
+                peak0 = measured_bf16_peak()
+                _RESULT.update({'metric': 'measured_peak_bf16_tflops',
+                                'value': round(peak0, 1), 'unit': 'TFLOP/s',
+                                'vs_baseline': None,
+                                'note': 'provisional: headline step timed '
+                                        'out'})
+            _gated('provisional_peak', 25, _provisional)
         # ---- 1. headline (ungated): the full step at the bench chi ----
         t_step, flops = step_run(chi, n_lanczos=n_lanczos, precision=precision,
                                  svd_mode=svd_mode, env_dtype=env_dtype,
@@ -948,14 +982,6 @@ def main():
                 _RESULT['su2_step_compile_s'] = round(c_s, 1)
             _gated('su2_step_compile_s', 90, _su2_step)
         # ---- 6. lower-value companions, kept if budget remains ----
-        if os.environ.get('BENCH_LADDER', '1') != '0' and chi != 8192:
-            def _ladder_f32():
-                t8, f8 = step_run(8192, n_lanczos=n_lanczos,
-                                  precision=precision, svd_mode=svd_mode,
-                                  lengths=(6,))
-                _RESULT['step8192_ms'] = round(t8 * 1e3, 1)
-                _RESULT['step8192_tflops'] = round(f8 / t8 / 1e12, 2)
-            _gated('step8192_ms', 110, _ladder_f32)
         if env_dtype is None and os.environ.get('BENCH_BF16', '1') != '0':
             def _bf16env():
                 # bf16-stored MPO environments (the recommended converged-
@@ -979,6 +1005,17 @@ def main():
                 _RESULT['vs_baseline'] = round(
                     numpy_run(chi)[0] * (n_lanczos + 2) / t_step, 3)
             _gated('vs_baseline_note', 90, _vs_np)
+        if os.environ.get('BENCH_LADDER', '1') != '0' and chi != 8192:
+            # LAST: its cold compile was observed to hang >25 min in the
+            # tunnel — everything above must already be in _RESULT when the
+            # watchdog fires
+            def _ladder_f32():
+                t8, f8 = step_run(8192, n_lanczos=n_lanczos,
+                                  precision=precision, svd_mode=svd_mode,
+                                  lengths=(6,))
+                _RESULT['step8192_ms'] = round(t8 * 1e3, 1)
+                _RESULT['step8192_tflops'] = round(f8 / t8 / 1e12, 2)
+            _gated('step8192_ms', 110, _ladder_f32)
         _RESULT['bench_wall_s'] = round(time.monotonic() - _T0, 1)
         _emit()
         return

@@ -783,7 +783,14 @@ class DMRGEngine:
         E_old = np.inf
         sig_old = None
         for sweep in range(n_sweeps):
-            E = self.sweep()
+            # in static mode, run each half sweep as one lax.scan dispatch per
+            # uniform (period-p) bond run; per-bond env casting/sharding hooks
+            # (env_dtype, mesh) stay on the per-bond path
+            if (getattr(self, 'static_mode', False)
+                    and self.env_dtype is None and self.mesh is None):
+                E = self.sweep_static_batched()
+            else:
+                E = self.sweep()
             if verbose:
                 print(f'sweep {sweep + 1}: E = {E:.12f}, '
                       f'max chi = {self.psi.max_chi()}')

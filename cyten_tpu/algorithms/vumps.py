@@ -58,6 +58,41 @@ class VUMPSEngine(iTDVPEngine):
         self.grad_norm = np.inf
         self.energy_estimate = None   # lam_AC - lam_C (energy density per site)
 
+    @classmethod
+    def from_warm_start(cls, model, initial_state=None, psi=None,
+                        chi_max: int = 32, eps: float = 1e-12,
+                        n_steps: int = 20, tol: float = 1e-7,
+                        n_cells: int = 16, **kwargs):
+        """Engine seeded by a short iDMRG run (the recommended start).
+
+        VUMPS iterates within the gauge orbit of its starting state; from a
+        random or product start on a multi-site unit cell (period-2 order,
+        dimerized couplings) it can converge to a LOCAL minimum — the
+        eigensolves are per-site and nothing reshuffles weight between the
+        cell's inequivalent bonds. A loose iDMRG warm start (default 20
+        steps at ``tol=1e-7``) lands in the right basin, after which VUMPS
+        converges the uniform fixed point rapidly.
+
+        Pass either ``initial_state`` (per-site basis indices for
+        ``SimpleMPS.from_product_state``) or an infinite ``psi`` to start
+        from. Remaining ``kwargs`` go to ``VUMPSEngine.__init__``.
+        """
+        from .idmrg import iDMRGEngine
+        from .mps import SimpleMPS
+
+        if psi is None:
+            if initial_state is None:
+                raise ValueError('pass initial_state (per-site basis indices)'
+                                 ' or an infinite psi to warm-start from')
+            psi = SimpleMPS.from_product_state(model.site_legs, initial_state,
+                                               backend=model.backend,
+                                               bc='infinite')
+        eng = iDMRGEngine(psi, model, chi_max=chi_max, eps=eps)
+        eng.run(n_steps=n_steps, tol=tol)
+        psi = eng.psi
+        psi.canonicalize_infinite(n_cells=n_cells)
+        return cls(psi, model, **kwargs)
+
     def step(self):
         """One VUMPS iteration: eigensolve every AC_i and C_i, re-gauge."""
         L = self.L

@@ -19,6 +19,36 @@ def _warm_start(model, basis, chi, n_steps=20):
     return psi
 
 
+def test_vumps_from_warm_start_dimerized():
+    """VUMPSEngine.from_warm_start on a PERIOD-2 cell (dimerized XX chain):
+    from a random/product start VUMPS can hit a local minimum here (per-site
+    eigensolves never reshuffle weight between the cell's inequivalent
+    bonds); the built-in iDMRG warm start lands in the right basin. Exact
+    energy: free fermions with hopping alternating t1/t2."""
+    import types
+
+    from scipy.integrate import quad
+
+    from cyten_tpu import get_backend
+    from cyten_tpu.algorithms.models import mpo_from_terms, spin_half_site
+
+    J1, J2 = 1.0, 0.6
+    t1, t2 = J1 / 2, J2 / 2
+    leg = spin_half_site(conserve='Sz')
+    backend = get_backend(leg.symmetry, 'numpy')
+    Sp = np.array([[0., 1.], [0., 0.]])
+    h = 0.5 * (np.kron(Sp, Sp.T) + np.kron(Sp.T, Sp))
+    W = mpo_from_terms([leg, leg], couplings=[(0, 1, h, J1), (1, 2, h, J2)],
+                       bc='infinite', backend=backend)
+    model = types.SimpleNamespace(H_mpo=W, bc='infinite',
+                                  site_legs=[leg, leg], backend=backend)
+    eng = VUMPSEngine.from_warm_start(model, initial_state=[0, 1], chi_max=24)
+    e = eng.run(max_iter=80, tol=1e-11)
+    e_exact = -quad(lambda k: abs(t1 + t2 * np.exp(1j * k)),
+                    0, 2 * np.pi)[0] / (2 * np.pi) / 2
+    assert abs(e - e_exact) < 1e-8, (e, e_exact)
+
+
 def test_vumps_tfi_gapped():
     """From a LOOSE iDMRG warm start (20 steps), VUMPS converges the uniform
     fixed point to the exact free-fermion energy density."""
