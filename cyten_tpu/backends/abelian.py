@@ -22,7 +22,7 @@ from typing import Callable
 
 import numpy as np
 
-from ..dtypes import Dtype
+from ..dtypes import Dtype, is_complex_scalar
 from ..symmetries import (
     AbelianLegPipe, ElementarySpace, Leg, LegPipe, Symmetry, TensorProduct,
 )
@@ -819,7 +819,7 @@ class AbelianBackend(TensorBackend):
 
     def mul(self, a, b):
         dtype = b.data.dtype
-        if isinstance(a, complex) and a.imag != 0:
+        if is_complex_scalar(a):
             dtype = dtype.to_complex
         bb = self.block_backend
         blocks = [bb.mul(a, bb.to_dtype(blk, dtype)) for blk in b.data.blocks]
@@ -829,8 +829,7 @@ class AbelianBackend(TensorBackend):
 
     def linear_combination(self, a, v, b, w):
         dtype = Dtype.common(v.data.dtype, w.data.dtype)
-        if (isinstance(a, complex) and a.imag != 0) or \
-                (isinstance(b, complex) and b.imag != 0):
+        if is_complex_scalar(a) or is_complex_scalar(b):
             dtype = dtype.to_complex
         bb = self.block_backend
         is_diag = isinstance(v.data, DiagonalBlockData)

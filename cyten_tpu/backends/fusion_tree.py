@@ -29,7 +29,7 @@ from typing import Callable
 
 import numpy as np
 
-from ..dtypes import Dtype
+from ..dtypes import Dtype, is_complex_scalar
 from ..symmetries import (
     ElementarySpace, Leg, LegPipe, Symmetry, SymmetryError, TensorProduct,
 )
@@ -305,7 +305,7 @@ class FusionTreeBackend(TensorBackend):
 
     def mul(self, a, b):
         dtype = b.data.dtype
-        if isinstance(a, complex) and a.imag != 0:
+        if is_complex_scalar(a):
             dtype = dtype.to_complex
         bb = self.block_backend
         blocks = [bb.mul(a, bb.to_dtype(blk, dtype)) for blk in b.data.blocks]

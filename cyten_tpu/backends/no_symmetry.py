@@ -11,7 +11,7 @@ from typing import Callable
 
 import numpy as np
 
-from ..dtypes import Dtype
+from ..dtypes import Dtype, is_complex_scalar
 from ..symmetries import ElementarySpace, Leg, Symmetry, TensorProduct
 from ._backend import TensorBackend
 from .data import DenseData
@@ -171,15 +171,14 @@ class NoSymmetryBackend(TensorBackend):
 
     def mul(self, a, b):
         dtype = b.data.dtype
-        if isinstance(a, complex) and a.imag != 0:
+        if is_complex_scalar(a):
             dtype = dtype.to_complex
         return DenseData(self.block_backend.mul(a, self.block_backend.to_dtype(
             b.data.block, dtype)), dtype)
 
     def linear_combination(self, a, v, b, w):
         dtype = Dtype.common(v.data.dtype, w.data.dtype)
-        if (isinstance(a, complex) and a.imag != 0) or \
-                (isinstance(b, complex) and b.imag != 0):
+        if is_complex_scalar(a) or is_complex_scalar(b):
             dtype = dtype.to_complex
         block = self.block_backend.linear_combination(
             a, self.block_backend.to_dtype(v.data.block, dtype),

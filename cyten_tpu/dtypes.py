@@ -15,7 +15,29 @@ import enum
 
 import numpy as np
 
-__all__ = ['Dtype']
+__all__ = ['Dtype', 'is_complex_scalar']
+
+
+def is_complex_scalar(a) -> bool:
+    """Is ``a`` a complex scalar with (possibly) non-zero imaginary part?
+
+    The naive ``isinstance(a, complex)`` covers Python ``complex`` and
+    ``np.complex128`` (a subclass) but is FALSE for ``np.complex64``, jax
+    device scalars, and jit tracers. Backend ``mul``/``linear_combination``
+    used it to decide the result *metadata* dtype while the block arithmetic
+    promoted regardless — so a jax complex scalar produced complex blocks in
+    a container claiming a real dtype, and the next metadata-trusting cast
+    silently DROPPED the imaginary parts (found via the TDVP-QR overlap
+    regression, round 4).
+
+    For device scalars / tracers the imaginary part cannot be inspected
+    without a sync (or at all), so any complex-dtyped scalar counts as
+    complex — a harmless conservative promotion.
+    """
+    if isinstance(a, complex):
+        return a.imag != 0
+    dt = getattr(a, 'dtype', None)
+    return dt is not None and np.issubdtype(dt, np.complexfloating)
 
 
 class Dtype(enum.Enum):

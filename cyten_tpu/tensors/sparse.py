@@ -12,7 +12,7 @@ from typing import Callable, Sequence
 
 import numpy as np
 
-from ..dtypes import Dtype
+from ..dtypes import Dtype, is_complex_scalar
 from ._functions import inner, linear_combination, norm, scalar_multiply
 from ._tensors import Tensor
 
@@ -135,7 +135,7 @@ class ShiftedLinearOperator(LinearOperatorWrapper):
         self.operator = operator
         self.shift = shift
         dtype = operator.dtype
-        if dtype is not None and isinstance(shift, complex) and shift.imag != 0:
+        if dtype is not None and is_complex_scalar(shift):
             self.dtype = dtype.to_complex  # else: delegate to the wrapped op
 
     def matvec(self, vec: Tensor) -> Tensor:

@@ -227,3 +227,54 @@ def test_charged_su2_overlap_matches_norm():
     assert abs(dense_norm - 1.0) < 1e-12  # construction is canonical
     assert abs(psi.overlap(psi) - dense_norm) < 1e-12
     assert abs(psi.norm_squared() - dense_norm) < 1e-12
+
+
+def test_non_python_complex_scalars_promote_dtype():
+    """scalar_multiply / linear_combination with NON-python complex scalars
+    (np.complex64, jax device scalars, jit tracers) must promote the data
+    container's dtype like python ``complex`` does.
+
+    Regression (round 4): backend ``mul`` decided the metadata dtype via
+    ``isinstance(a, complex)`` — False for those scalars — while the block
+    arithmetic promoted regardless. The container then claimed a real dtype
+    over complex blocks, and the next metadata-trusting cast (e.g. the
+    ``to_dtype`` inside ``linear_combination``) silently dropped the
+    imaginary parts. Surfaced as a 4% overlap error in real-time TDVP when
+    the Lanczos-evolution coefficients arrived as jax scalars.
+    """
+    from cyten_tpu.dtypes import Dtype, is_complex_scalar
+    from cyten_tpu.tensors import scalar_multiply
+
+    assert is_complex_scalar(1j)
+    assert is_complex_scalar(np.complex128(1j))
+    assert is_complex_scalar(np.complex64(1j))
+    assert not is_complex_scalar(1.0)
+    assert not is_complex_scalar(np.float64(2.0))
+
+    scalars = [1j, np.complex128(1j), np.complex64(1j)]
+    try:
+        import jax.numpy as jnp
+
+        scalars.append(jnp.asarray(1j))
+    except ImportError:
+        pass
+
+    for sym, be in [(ct.u1_symmetry, 'numpy'), (ct.u1_symmetry, 'jax'),
+                    (ct.no_symmetry, 'numpy'), (ct.su2_symmetry, 'numpy')]:
+        backend = ct.get_backend(sym, be)
+        if sym == ct.no_symmetry:
+            leg = ElementarySpace(sym, [[0]], [5])
+        else:
+            leg = ElementarySpace(sym, [[0], [1]], [2, 3])
+        rng = np.random.default_rng(0)
+        t = SymmetricTensor.from_random_normal([leg], [leg], backend=backend,
+                                               labels=['a', 'b'], rng=rng)
+        n0 = float(norm(t))
+        for c in scalars:
+            r = scalar_multiply(c, t)
+            assert r.dtype == Dtype.complex128, (sym, be, type(c), r.dtype)
+            # the linear_combination cast is where imag parts used to vanish
+            r2 = r + r
+            assert abs(float(norm(r)) - n0) < 1e-12 * n0, (sym, be, type(c))
+            assert abs(float(norm(r2)) - 2 * n0) < 1e-12 * n0, (sym, be,
+                                                                type(c))
