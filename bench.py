@@ -31,6 +31,33 @@ _T0 = time.monotonic()
 _DEADLINE_S = float(os.environ.get('BENCH_DEADLINE_S', '420'))
 _RESULT: dict = {}
 _EMITTED = False
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               '.bench_last_good.json')
+
+
+def _save_last_good():
+    """Persist a completed headline result so a later run that dies before
+    its own headline (hung tunnel claim/compile) can attach these numbers —
+    clearly labeled as a PREVIOUS run on the same chip — to its failure
+    record instead of reporting nothing."""
+    if _RESULT.get('metric') in (None, 'bench_incomplete') \
+            or 'step_ms' not in _RESULT:
+        return
+    try:
+        rec = dict(_RESULT)
+        rec['measured_at'] = time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())
+        with open(_LAST_GOOD_PATH, 'w') as f:
+            json.dump(rec, f)
+    except OSError:
+        pass
+
+
+def _attach_last_good():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            _RESULT['last_good'] = json.load(f)
+    except (OSError, ValueError):
+        pass
 
 
 def _time_left():
@@ -42,8 +69,15 @@ def _emit(partial=False):
     if _EMITTED:
         return
     _EMITTED = True
-    if partial:
+    if partial and 'step_ms' not in _RESULT:
+        # died before the headline completed: attach the last completed
+        # run's numbers (same chip, labeled with their timestamp)
         _RESULT['partial'] = True
+        _attach_last_good()
+    else:
+        if partial:
+            _RESULT['partial'] = True
+        _save_last_good()  # headline completed: remember it for future runs
     print(json.dumps(_RESULT), flush=True)
 
 
