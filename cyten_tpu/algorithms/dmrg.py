@@ -444,7 +444,8 @@ class DMRGEngine:
 
     # --- static (fully fused) steady-state mode --------------------------------------
 
-    def enable_static_mode(self, n_lanczos: int = 20, svd_mode: str = 'exact'):
+    def enable_static_mode(self, n_lanczos: int = 20, svd_mode: str = 'exact',
+                           max_period: int = 2):
         """Freeze the current bond structures: subsequent sweeps run every bond
         update as ONE jitted device program (theta assembly, Lanczos, SVD,
         truncation to the frozen per-sector chi allocation, environment
@@ -461,6 +462,10 @@ class DMRGEngine:
         self.static_mode = True
         self._static_n_lanczos = n_lanczos
         self._static_svd_mode = svd_mode
+        #: largest structure-repetition period the batched sweep detects
+        #: (2 covers alternating charge classes; raise for longer unit cells,
+        #: e.g. 4-site dimerization patterns)
+        self._static_max_period = max_period
         self._static_cache = {}
 
     def _static_entry(self, i: int):
@@ -527,7 +532,7 @@ class DMRGEngine:
                 psi.Bs[i + 1], self.model.H_mpo[i], self.model.H_mpo[i + 1])
         return jax.tree_util.tree_structure(args)
 
-    def _static_runs(self, max_period: int = 2):
+    def _static_runs(self, max_period: int = None):
         """Maximal runs of consecutive bonds whose structures repeat with
         period p <= max_period; returns ``[(b0, b1, p)]`` with ``(b1 - b0)``
         a multiple of p.
@@ -539,6 +544,8 @@ class DMRGEngine:
         NO two consecutive bonds ever share a structure — but next-nearest
         bonds do. Ties prefer the smaller period (smaller compiled body).
         """
+        if max_period is None:
+            max_period = getattr(self, '_static_max_period', 2)
         L = self.psi.L
         structs = [self._bond_structure(i) for i in range(L - 1)]
         runs = []
