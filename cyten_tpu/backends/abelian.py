@@ -273,14 +273,20 @@ class AbelianBackend(TensorBackend):
                     block, self.block_backend.xp.asarray(sp.basis_perm), axis=ax)
         block_inds = _valid_block_inds(codomain, domain)
         blocks = []
-        total_sq = self.block_backend.norm(block) ** 2
+        total_sq = self.block_backend.norm_sq(block)
         kept_sq = 0.
         for row in block_inds:
             slices = tuple(slice(int(sp.slices[i, 0]), int(sp.slices[i, 1]))
                            for sp, i in zip(spaces, row))
             b = block[slices]
             blocks.append(b)
-            kept_sq += self.block_backend.norm(b) ** 2
+            kept_sq = kept_sq + self.block_backend.norm_sq(b)
+        # device scalars until here; the comparison below is the single sync
+        # (skip it entirely under jit / with tol=None — no concretization)
+        if tol is not None and not getattr(self.block_backend, '_is_tracer',
+                                           lambda x: False)(total_sq):
+            total_sq = float(total_sq)
+            kept_sq = float(kept_sq)
         if tol is not None and total_sq > 0:
             # allowance for float accumulation noise in the norms (dtype-aware)
             eps = dtype.eps if not dtype.is_bool else 1e-15
@@ -867,9 +873,16 @@ class AbelianBackend(TensorBackend):
     def norm(self, a):
         if not a.data.blocks:
             return 0.
-        total = sum(self.block_backend.norm(b) ** 2 for b in a.data.blocks)
+        bb = self.block_backend
+        # aggregate ON DEVICE: one host fetch for the tensor, not one per block
+        total = bb.norm_sq(a.data.blocks[0])
+        for b in a.data.blocks[1:]:
+            total = total + bb.norm_sq(b)
         res = total ** 0.5
-        return float(res) if isinstance(res, (int, float)) else res
+        is_tracer = getattr(bb, '_is_tracer', None)
+        if is_tracer is not None and is_tracer(res):
+            return res  # under jit: keep the traced scalar
+        return float(res)
 
     def item(self, a):
         if len(a.data.blocks) == 0:

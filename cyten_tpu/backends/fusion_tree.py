@@ -332,18 +332,26 @@ class FusionTreeBackend(TensorBackend):
         return float(a.codomain.symmetry.qdim(a.codomain.sector_decomposition[i]))
 
     def norm(self, a):
+        bb = self.block_backend
+        # qdim-weighted squared norms, aggregated ON DEVICE: one host fetch
+        # per tensor, not one per block (see BlockBackend.norm_sq)
         if isinstance(a.data, DiagonalBlockData):
             leg = a.leg
-            total = sum(float(leg.sector_qdims[int(i)])
-                        * self.block_backend.norm(b) ** 2
-                        for b, i in zip(a.data.blocks, a.data.block_inds))
-            res = total ** 0.5
-            return float(res) if isinstance(res, (int, float)) else res
-        total = 0.
-        for n, b in enumerate(a.data.blocks):
-            total = total + self._qdim_of_block(a, n) * self.block_backend.norm(b) ** 2
+            terms = [float(leg.sector_qdims[int(i)]) * bb.norm_sq(b)
+                     for b, i in zip(a.data.blocks, a.data.block_inds)]
+        else:
+            terms = [self._qdim_of_block(a, n) * bb.norm_sq(b)
+                     for n, b in enumerate(a.data.blocks)]
+        if not terms:
+            return 0.
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
         res = total ** 0.5
-        return float(res) if isinstance(res, (int, float)) else res
+        is_tracer = getattr(bb, '_is_tracer', None)
+        if is_tracer is not None and is_tracer(res):
+            return res  # under jit: keep the traced scalar
+        return float(res)
 
     def inner(self, a, b, do_dagger):
         bb = self.block_backend

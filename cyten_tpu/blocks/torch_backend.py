@@ -262,6 +262,10 @@ class TorchBlockBackend(BlockBackend):
         block, _ = self._linalg_upcast(block)  # accumulate reductions in f32
         return float(self.torch.linalg.vector_norm(block.flatten(), ord=order))
 
+    def norm_sq(self, block):
+        block, _ = self._linalg_upcast(block)
+        return self.torch.linalg.vector_norm(block.flatten()) ** 2
+
     def _dot_dtypes(self, a, b):
         """(a, b, cast_back): torch requires equal dtypes; bf16 dots accumulate
         in f32 (same policy as the jax backend's preferred_element_type path)."""

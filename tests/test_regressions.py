@@ -278,3 +278,48 @@ def test_non_python_complex_scalars_promote_dtype():
             assert abs(float(norm(r)) - n0) < 1e-12 * n0, (sym, be, type(c))
             assert abs(float(norm(r2)) - 2 * n0) < 1e-12 * n0, (sym, be,
                                                                 type(c))
+
+
+def test_eager_norm_single_fetch():
+    """Eager tensor norm must aggregate on device: NO per-block ``norm``
+    fetches (one ~30 ms tunnel round trip each), only ``norm_sq`` backend
+    scalars summed device-side with a single final conversion (round 4,
+    docs/DESIGN.md §16). Also pins the public contract: an eager ``norm``
+    returns a host float and its value matches the per-block computation."""
+    from cyten_tpu.dtypes import Dtype
+    from cyten_tpu.tensors import scalar_multiply
+
+    rng = np.random.default_rng(7)
+    for sym, be in [(ct.u1_symmetry, 'numpy'), (ct.u1_symmetry, 'jax'),
+                    (ct.su2_symmetry, 'numpy'), (ct.su2_symmetry, 'jax')]:
+        backend = ct.get_backend(sym, be)
+        leg = ElementarySpace(sym, [[0], [1], [2]], [2, 3, 4])
+        t = SymmetricTensor.from_random_normal([leg], [leg], backend=backend,
+                                               labels=['a', 'b'], rng=rng)
+        bb = backend.block_backend
+        calls = []
+        orig = type(bb).norm
+
+        def counting_norm(self, block, order=2):
+            calls.append(order)
+            return orig(self, block, order=order)
+
+        type(bb).norm = counting_norm
+        try:
+            n = norm(t)
+        finally:
+            type(bb).norm = orig
+        assert calls == [], (sym, be, 'per-block norm fetch on eager path')
+        assert isinstance(n, float), (sym, be, type(n))
+        expected = sum(
+            float(sym.qdim(t.codomain.sector_decomposition[
+                int(t.data.block_inds[k, 0])]))
+            * np.sum(np.abs(np.asarray(b)) ** 2)
+            for k, b in enumerate(t.data.blocks)) ** 0.5
+        assert abs(n - expected) < 1e-5 * expected, (sym, be)
+        # bf16 storage: reduction upcasts, value still sane
+        n_bf = norm(t.to_dtype(Dtype.bfloat16))
+        assert abs(n_bf - expected) < 2e-2 * expected, (sym, be)
+        # and the zero-block corner
+        z = scalar_multiply(0., t)
+        assert float(norm(z)) == 0.
