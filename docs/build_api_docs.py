@@ -221,7 +221,9 @@ def render_module(name: str) -> str:
     if data:
         lines.append('## Data\n')
         for n, obj in data:
-            lines.append(f'- `{n}` = `{obj!r}`'[:120])
+            # default reprs carry memory addresses — volatile across builds
+            r = re.sub(r' object at 0x[0-9a-f]+', ' object', repr(obj))
+            lines.append(f'- `{n}` = `{r}`'[:120])
         lines.append('')
     return '\n'.join(lines) + '\n'
 
