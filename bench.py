@@ -33,18 +33,39 @@ _RESULT: dict = {}
 _EMITTED = False
 _LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                '.bench_last_good.json')
+_ACCURACY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '.bench_accuracy.json')
 
 
 def _save_last_good():
-    """Persist a completed headline result so a later run that dies before
-    its own headline (hung tunnel claim/compile) can attach these numbers —
-    clearly labeled as a PREVIOUS run on the same chip — to its failure
-    record instead of reporting nothing."""
+    """Persist the metrics gathered so far, MERGED into any previous record
+    for the same headline metric, so a later run that hangs mid-capture can
+    attach the most complete known-good numbers — clearly labeled (via
+    ``measured_at``) as a previous measurement on the same chip.
+
+    Called after the headline lands and again after EVERY completed gated
+    metric (round-4 post-mortem: the r04 capture lost the chi=8192 ladder to
+    one hung compile because last-good was only written at full emit)."""
     if _RESULT.get('metric') in (None, 'bench_incomplete') \
             or 'step_ms' not in _RESULT:
         return
     try:
-        rec = dict(_RESULT)
+        rec = {}
+        try:
+            with open(_LAST_GOOD_PATH) as f:
+                prev = json.load(f)
+            if prev.get('metric') == _RESULT.get('metric'):
+                # same headline config: keep fields this run hasn't reached yet
+                rec = prev
+        except (OSError, ValueError):
+            pass
+        for k, v in _RESULT.items():
+            if k == 'partial':
+                continue
+            if isinstance(v, str) and (v.startswith('skipped:')
+                                       or v.startswith('failed:')):
+                continue  # never overwrite a good number with a skip marker
+            rec[k] = v
         rec['measured_at'] = time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())
         with open(_LAST_GOOD_PATH, 'w') as f:
             json.dump(rec, f)
@@ -69,15 +90,15 @@ def _emit(partial=False):
     if _EMITTED:
         return
     _EMITTED = True
-    if partial and 'step_ms' not in _RESULT:
-        # died before the headline completed: attach the last completed
-        # run's numbers (same chip, labeled with their timestamp)
+    if partial:
+        # attach the merged known-good record on ANY partial emission (not
+        # only pre-headline): whatever this run lost to a hang is still
+        # reported, labeled with the timestamp it was actually measured at
         _RESULT['partial'] = True
+        _save_last_good()
         _attach_last_good()
     else:
-        if partial:
-            _RESULT['partial'] = True
-        _save_last_good()  # headline completed: remember it for future runs
+        _save_last_good()  # remember the complete capture for future runs
     print(json.dumps(_RESULT), flush=True)
 
 
@@ -139,10 +160,12 @@ def _gated(key, est_s, fn):
         _RESULT[key] = f'skipped: {int(max(0, _time_left()))}s left < ~{est_s}s'
         return None
     try:
-        return fn()
+        out = fn()
     except Exception as e:  # pragma: no cover - keep the metrics we have
         _RESULT[key] = f'failed: {e}'
         return None
+    _save_last_good()  # checkpoint after every completed metric
+    return out
 
 
 def build_workload(backend, chi=2048, seed=0):
@@ -806,6 +829,161 @@ def measured_bf16_peak(n=8192, iters=32):
     return 2 * n ** 3 / dt / 1e12
 
 
+def measured_hbm_gbps(n_mb=512, lengths=(4, 16)):
+    """The chip's measured HBM streaming bandwidth (read + write), via a
+    slope-timed elementwise update of one large f32 array. Emitted alongside
+    the step metrics so the ``*_frac_roofline`` fields are self-contained
+    (the v5e nominal is ~820 GB/s; what this chip sustains is what counts)."""
+    import jax
+    from jax import lax
+    import jax.numpy as jnp
+
+    n = int(n_mb * 2 ** 20 // 4)
+    x = jnp.ones((n,), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(x, k):
+        def body(c, _):
+            # one read + one write of the full array per iteration; the
+            # multiply-add cannot be elided or folded across iterations
+            return c * np.float32(0.999999) + np.float32(1e-7), None
+        y, _ = lax.scan(body, x, None, length=k)
+        return y[0]
+
+    times = {}
+    for k in lengths:
+        float(run(x, k))  # warmup/compile
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run(x, k))
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    k1, k2 = lengths
+    dt = (times[k2] - times[k1]) / (k2 - k1)
+    return 2 * n * 4 / dt / 1e9
+
+
+def _tdot_meta(bi1, dims1, bi2, dims2, legs1, legs2):
+    """Metadata-only tdot: given (block_inds, per-leg multiplicities) of two
+    block-sparse tensors, return the output's (block_inds, dims, elems).
+
+    Mirrors ``tools.flops.tdot_flops`` pairing; output legs are
+    ``[open1..., open2...]`` per tdot semantics. Lets the traffic model chain
+    through the matvec stages without touching device (or even host) data."""
+    open1 = [n for n in range(len(dims1)) if n not in legs1]
+    open2 = [n for n in range(len(dims2)) if n not in legs2]
+
+    def size(row, dims):
+        return int(np.prod([dims[i][row[i]] for i in range(len(dims))],
+                           dtype=np.int64))
+
+    groups1: dict[tuple, list] = {}
+    for row in bi1:
+        groups1.setdefault(tuple(row[i] for i in legs1), []).append(row)
+    out_rows = {}
+    pair1 = pair2 = 0  # per-GEMM-pair operand reads (the streaming model)
+    for row2 in bi2:
+        key = tuple(row2[i] for i in legs2)
+        for row1 in groups1.get(key, ()):
+            out = tuple(row1[i] for i in open1) + tuple(row2[i] for i in open2)
+            out_rows[out] = 1
+            pair1 += size(row1, dims1)
+            pair2 += size(row2, dims2)
+    out_dims = [dims1[i] for i in open1] + [dims2[i] for i in open2]
+    elems = 0
+    bi_out = []
+    for row in out_rows:
+        bi_out.append(row)
+        elems += int(np.prod([out_dims[i][row[i]] for i in range(len(row))],
+                             dtype=np.int64))
+    return bi_out, out_dims, elems, pair1, pair2
+
+
+def matvec_traffic_bytes(chi, env_bytes=4, work_bytes=4, model='unique'):
+    """HBM traffic of ONE north-star matvec chain, from metadata only.
+
+    ``model='unique'`` (speed of light): every operand read once, each stage
+    intermediate written once and read once by the next stage, theta' written
+    once — a true lower bound for ANY implementation of this chain.
+    ``model='stream'`` (this storage's roofline): each per-sector GEMM streams
+    both operand blocks from HBM (so blocks participating in several pairs are
+    re-read) — what an ideally-fused single-pass (bf16 'default' precision)
+    per-block dispatch can actually achieve; matches the DESIGN §4 bound."""
+    import cyten_tpu as ct
+
+    backend = ct.get_backend(ct.u1_symmetry, 'numpy')
+    LP, RP, W1, W2, theta = build_workload(backend, chi=1024)
+    # rebuild metadata at the TARGET chi without allocating chi-sized blocks:
+    # the sector structure is chi-independent, only multiplicities scale
+    charges = np.arange(-4, 5)
+    weights = np.exp(-0.4 * charges ** 2)
+    mults = np.maximum(1, np.round(chi * weights / weights.sum()).astype(int))
+    mult_map = {int(c): int(m) for c, m in zip(charges, mults)}
+
+    def meta(t):
+        bi = [tuple(int(x) for x in row) for row in t.data.block_inds]
+        dims = []
+        for i in range(t.num_legs):
+            leg = t.get_leg_co_domain(i)
+            if leg.dim > 64:  # a virtual (chi-scaled) leg: rescale to target
+                dims.append(np.array([mult_map[int(s[0])]
+                                      for s in leg.sector_decomposition]))
+            else:
+                dims.append(np.asarray(leg.multiplicities))
+        return bi, dims
+
+    elems = {}
+    for name, t in (('LP', LP), ('RP', RP), ('W1', W1), ('W2', W2),
+                    ('theta', theta)):
+        bi, dims = meta(t)
+        elems[name] = sum(
+            int(np.prod([dims[i][row[i]] for i in range(len(row))],
+                        dtype=np.int64)) for row in bi)
+        if name == 'LP':
+            bi_LP, dims_LP = bi, dims
+        elif name == 'theta':
+            bi_th, dims_th = bi, dims
+        elif name == 'W1':
+            bi_W, dims_W = bi, dims
+        elif name == 'RP':
+            bi_RP, dims_RP = bi, dims
+    # stage 0: LP (legs [vR*, wR, vR]) . theta[vL, p0, p1, vR] over vR<->vL
+    bi1, d1, e1, p0a, p0b = _tdot_meta(bi_LP, dims_LP, bi_th, dims_th,
+                                       [2], [0])
+    # x1 legs [vR*, wR, p0, p1, vR]; stage 1: . W1[wL, p0, wR, p0*] over
+    # (wR, p0) <-> (wL, p0*)
+    bi2, d2, e2, p1a, p1b = _tdot_meta(bi1, d1, bi_W, dims_W, [1, 2], [0, 3])
+    # x2 legs [vR*, p1, vR, p0', wR]; stage 2: . W2 over (wR, p1)<->(wL, p1*)
+    bi3, d3, e3, p2a, p2b = _tdot_meta(bi2, d2, bi_W, dims_W, [4, 1], [0, 3])
+    # x3 legs [vR*, vR, p0', p1', wR]; stage 3: . RP over (vR, wR)<->(vL, wL)
+    _, _, e4, p3a, p3b = _tdot_meta(bi3, d3, bi_RP, dims_RP, [1, 4], [0, 1])
+    if model == 'stream':
+        reads = (p0a * env_bytes + p0b * work_bytes          # LP . theta
+                 + (p1a + p1b + p2a + p2b) * work_bytes      # . W1, . W2
+                 + p3a * work_bytes + p3b * env_bytes)       # . RP
+        writes = (e1 + e2 + e3 + e4) * work_bytes
+        inter_reads_extra = 0  # pair reads of x1/x2/x3 already in p1a/p2a/p3a
+        return reads + writes + inter_reads_extra
+    env = (elems['LP'] + elems['RP']) * env_bytes
+    mpo = (elems['W1'] + elems['W2']) * work_bytes
+    inter = 2 * (e1 + e2 + e3) * work_bytes  # written once + read once
+    io = (elems['theta'] + e4) * work_bytes
+    return env + mpo + inter + io
+
+
+def _roofline_ms(flops, traffic_bytes, peak_tf, bw_gbps, passes=1):
+    """Lower-bound wall time of a kernel: the binding constraint of the MXU
+    (``passes`` bf16 passes per logical FLOP — 6 for 'float32' precision,
+    3 for 'tensorfloat32', 1 for 'default') and the HBM streaming bound."""
+    t_mxu = passes * flops / (peak_tf * 1e12)
+    t_hbm = traffic_bytes / (bw_gbps * 1e9)
+    return max(t_mxu, t_hbm) * 1e3
+
+
+_PASSES = {'float32': 6, 'tensorfloat32': 3, 'default': 1, 'bfloat16': 1}
+
+
 # f64 CPU DMRG reference for the accuracy scenario: L=24 U(1)-Heisenberg open
 # chain, chi=512, trunc_err 4.6e-14, measured 2026-08-20 on this container
 # (regenerate: scripts/exp_bf16_accuracy.py --reference)
@@ -903,6 +1081,11 @@ def main():
     except (ValueError, OSError):  # pragma: no cover - non-main thread etc.
         pass
     _start_watchdog()
+    if os.environ.get('BENCH_PLATFORM'):
+        # the axon TPU plugin overrides the JAX_PLATFORMS env var; only the
+        # config update forces CPU (for smoke tests on the host)
+        import jax
+        jax.config.update('jax_platforms', os.environ['BENCH_PLATFORM'])
     _enable_compilation_cache()
     chi = int(os.environ.get('BENCH_CHI', '4096'))
     # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
@@ -929,15 +1112,18 @@ def main():
         # valid metric line to emit. Skipped with BENCH_LADDER=0 (it is the
         # ladder's peak measurement; also far too slow on CPU hosts) ----
         peak0 = None
+        hbm0 = None
         if os.environ.get('BENCH_LADDER', '1') != '0':
             def _provisional():
-                nonlocal peak0
+                nonlocal peak0, hbm0
                 peak0 = measured_bf16_peak()
                 _RESULT.update({'metric': 'measured_peak_bf16_tflops',
                                 'value': round(peak0, 1), 'unit': 'TFLOP/s',
                                 'vs_baseline': None,
                                 'note': 'provisional: headline step timed '
                                         'out'})
+                hbm0 = measured_hbm_gbps()
+                _RESULT['measured_hbm_gbps'] = round(hbm0, 1)
             _gated('provisional_peak', 25, _provisional)
         # ---- 1. headline (ungated): the full step at the bench chi ----
         t_step, flops = step_run(chi, n_lanczos=n_lanczos, precision=precision,
@@ -951,6 +1137,21 @@ def main():
             'vs_baseline': None,  # numpy baseline measured last (gated below)
             'step_ms': round(t_step * 1e3, 3),
         })
+        # frac-of-peak / frac-of-roofline companions (VERDICT r4 #1d): a flat
+        # raw-TF headline must read as "at the bound", not "no progress".
+        # The roofline counts only the (n_lanczos + 2) matvec-equivalents the
+        # FLOP metric counts — SVD/orthogonalization time is in the numerator
+        # but not the bound, so the fraction is conservative (a true <= 1).
+        if peak0 is not None and hbm0 is not None:
+            wb = 2 if work_dtype == 'bfloat16' else 4
+            eb = 2 if (env_dtype == 'bfloat16' or wb == 2) else 4
+            tr = matvec_traffic_bytes(chi, eb, wb, 'stream') * (n_lanczos + 2)
+            t_roof = _roofline_ms(flops, tr, peak0, hbm0,
+                                  _PASSES.get(precision, 1))
+            _RESULT['step_frac_peak'] = round(
+                flops / t_step / 1e12 / peak0, 3)
+            _RESULT['step_frac_roofline'] = round(t_roof / (t_step * 1e3), 3)
+        _save_last_good()  # headline checkpoint (r4 #1a)
         # ---- 2. the bar-meeting configuration (BASELINE.md >=40% of MXU
         # peak, VERDICT r2 #1): measured bf16 ceiling + chi=8192 full-bf16
         # step, driver-visible in this same JSON line ----
@@ -966,7 +1167,33 @@ def main():
                     f8w / t8w / 1e12, 2)
                 _RESULT['step8192_bf16work_frac_peak'] = round(
                     f8w / t8w / 1e12 / peak, 3)
+                if hbm0 is not None:
+                    tr8 = matvec_traffic_bytes(8192, 2, 2, 'stream') \
+                        * (n_lanczos + 2)
+                    _RESULT['step8192_bf16work_frac_roofline'] = round(
+                        _roofline_ms(f8w, tr8, peak, hbm0, 1) / (t8w * 1e3),
+                        3)
             _gated('step8192_ladder', 100, _ladder)
+        # ---- 2b. non-abelian BASELINE configs, driver-visible (VERDICT r4
+        # #3): the FULL fused SU(2) bond update + compile time, and the
+        # anyonic golden-chain matvec ----
+        if os.environ.get('BENCH_SU2', '1') != '0':
+            chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
+
+            def _su2_step():
+                c_s, t_s = su2_step_with_compile(chi_mult)
+                _RESULT[f'su2_step_{chi_mult}mult_ms'] = round(t_s * 1e3, 2)
+                _RESULT['su2_step_compile_s'] = round(c_s, 1)
+                _RESULT['su2_step_compile_cache'] = (
+                    'warm' if c_s < 5. else 'cold')
+            _gated('su2_step_compile_s', 90, _su2_step)
+
+            def _golden():
+                t_g, _ = su2_run(chi_mult, lengths=(10, 50), skip_numpy=True,
+                                 builder=build_golden_workload)
+                _RESULT[f'golden_matvec_{chi_mult}mult_ms'] = round(
+                    t_g * 1e3, 4)
+            _gated(f'golden_matvec_{chi_mult}mult_ms', 80, _golden)
         # ---- 3. full-bf16 companion at the bench chi (top rung of the
         # precision ladder; sticky-scalar rule, DESIGN §10) ----
         if (env_dtype is None and work_dtype is None
@@ -995,7 +1222,8 @@ def main():
                 _RESULT['svd_exact_ms'] = round(
                     svd_timing(chi, precision) * 1e3, 1)
             _gated('svd_exact_ms', 35, _svd_exact)
-        # ---- 5. non-abelian (fusion-tree) tracking metrics ----
+        # ---- 5. fusion-tree matvec tracking metric (the step + golden lines
+        # moved up to section 2b — VERDICT r4 #3) ----
         if os.environ.get('BENCH_SU2', '1') != '0':
             chi_mult = int(os.environ.get('BENCH_CHI_MULT', '512'))
 
@@ -1006,15 +1234,6 @@ def main():
                 _RESULT[f'su2_matvec_{chi_mult}mult_ms'] = round(
                     t_su2 * 1e3, 4)
             _gated(f'su2_matvec_{chi_mult}mult_ms', 80, _su2_matvec)
-
-            def _su2_step():
-                # the FULL fused SU(2) bond update + its compile time
-                # (VERDICT r2 #3: index-batched plans, minutes -> seconds;
-                # a warm persistent cache makes compile_s near-zero)
-                c_s, t_s = su2_step_with_compile(chi_mult)
-                _RESULT[f'su2_step_{chi_mult}mult_ms'] = round(t_s * 1e3, 2)
-                _RESULT['su2_step_compile_s'] = round(c_s, 1)
-            _gated('su2_step_compile_s', 90, _su2_step)
         # ---- 6. lower-value companions, kept if budget remains ----
         if env_dtype is None and os.environ.get('BENCH_BF16', '1') != '0':
             def _bf16env():
@@ -1050,6 +1269,16 @@ def main():
                 _RESULT['step8192_ms'] = round(t8 * 1e3, 1)
                 _RESULT['step8192_tflops'] = round(f8 / t8 / 1e12, 2)
             _gated('step8192_ms', 110, _ladder_f32)
+        # accuracy companion (VERDICT r2 #1b / r4 #8): the bf16-work
+        # protocol's end-to-end energy error, co-reported in the same JSON as
+        # the speed bar. The live run takes minutes (BENCH_SCENARIO=accuracy
+        # regenerates it); here we attach the last measurement on this chip,
+        # labeled with its timestamp.
+        try:
+            with open(_ACCURACY_PATH) as f:
+                _RESULT['accuracy_companion'] = json.load(f)
+        except (OSError, ValueError):
+            pass
         _RESULT['bench_wall_s'] = round(time.monotonic() - _T0, 1)
         _emit()
         return
@@ -1069,6 +1298,14 @@ def main():
             'dE_bf16': abs(E_bf16 - HEIS24_E_REF),
         }
         _RESULT.update(result)
+        try:  # persist for the default capture's accuracy_companion field
+            rec = dict(result)
+            rec['measured_at'] = time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                               time.gmtime())
+            with open(_ACCURACY_PATH, 'w') as f:
+                json.dump(rec, f)
+        except OSError:
+            pass
         _emit()
         return
     if scenario == 'hubbard':
