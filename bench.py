@@ -55,7 +55,10 @@ def _save_last_good():
             with open(_LAST_GOOD_PATH) as f:
                 prev = json.load(f)
             if prev.get('metric') == _RESULT.get('metric'):
-                # same headline config: keep fields this run hasn't reached yet
+                # same headline config: keep fields this run hasn't reached
+                # yet — but never inherit a previous run's failure markers
+                prev.pop('partial', None)
+                prev.pop('note', None)
                 rec = prev
         except (OSError, ValueError):
             pass

@@ -281,17 +281,19 @@ class AbelianBackend(TensorBackend):
             b = block[slices]
             blocks.append(b)
             kept_sq = kept_sq + self.block_backend.norm_sq(b)
-        # device scalars until here; the comparison below is the single sync
-        # (skip it entirely under jit / with tol=None — no concretization)
-        if tol is not None and not getattr(self.block_backend, '_is_tracer',
-                                           lambda x: False)(total_sq):
+        # device scalars until here; the comparison below is the single sync.
+        # The WHOLE tolerance check is skipped under jit (a traced norm cannot
+        # be compared without concretizing) and with tol=None.
+        is_traced = getattr(self.block_backend, '_is_tracer',
+                            lambda x: False)(total_sq)
+        if tol is not None and not is_traced:
             total_sq = float(total_sq)
             kept_sq = float(kept_sq)
-        if tol is not None and total_sq > 0:
-            # allowance for float accumulation noise in the norms (dtype-aware)
-            eps = dtype.eps if not dtype.is_bool else 1e-15
-            if (total_sq - kept_sq) > (tol ** 2 + 64 * eps) * total_sq:
-                raise ValueError('Block is not symmetric up to tolerance.')
+            if total_sq > 0:
+                # allowance for float accumulation noise (dtype-aware)
+                eps = dtype.eps if not dtype.is_bool else 1e-15
+                if (total_sq - kept_sq) > (tol ** 2 + 64 * eps) * total_sq:
+                    raise ValueError('Block is not symmetric up to tolerance.')
         return BlockSparseData(blocks, block_inds, dtype, is_sorted=True)
 
     def to_dense_block(self, a):

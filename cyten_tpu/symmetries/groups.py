@@ -473,13 +473,61 @@ class SUN(Group):
     def _group_name(self, sectors) -> str:
         return ' '.join(','.join(str(int(x)) for x in s) for s in sectors)
 
+    @staticmethod
+    def _file_key(prefix: str, sectors) -> str:
+        """Dataset key in the reference's F/R file format
+        (reference _symmetries.py:1984, 2046): ``F[2, 1, 0][1, 0, 0]...``."""
+        return prefix + ''.join(
+            '[' + ', '.join(str(int(x)) for x in s) + ']' for s in sectors)
+
+    def _file_cg(self, a, b, c) -> np.ndarray:
+        """Dense CG tensor [mu, m_a, m_b, m_c] from a reference-format CG
+        file (nested groups ``/N_{N}/a.../b.../Irrep{c}a{mu}`` holding
+        1-based sparse coefficient tables, reference _symmetries.py:1861-1884).
+        Only ``a x b`` is stored, not ``b x a``; the swapped lookup transposes
+        the first two state indices, exactly as the reference reader does."""
+        file = self._load_h5('CG')
+        root = f'N_{self.N}/'
+        path = root + '/'.join(str(int(x)) for x in (*a, *b))
+        swapped = False
+        grp = file.get(path)
+        if grp is None or len(grp) == 0:
+            grp = file.get(root + '/'.join(str(int(x)) for x in (*b, *a)))
+            swapped = True
+        if grp is None:
+            raise SymmetryError(
+                f'CG tensor for {a} x {b} not in data file')
+        cname = ''.join(str(int(x)) for x in c)
+        mult = self._n_symbol(a, b, c)
+        da, db, dc = (self.sector_dim(s) for s in (a, b, c))
+        X = np.zeros((mult, da, db, dc), dtype=np.float64)
+        for mu in range(1, mult + 1):
+            ds = grp.get(f'Irrep{cname}a{mu}')
+            if ds is None:
+                raise SymmetryError(
+                    f'CG tensor {a} x {b} -> {c} (mu={mu}) not in data file')
+            rows = np.asarray(ds)[0]  # [n_entries, 4]: q_a, q_b, q_c, value
+            qa = rows[:, 0].astype(int) - 1
+            qb = rows[:, 1].astype(int) - 1
+            qc = rows[:, 2].astype(int) - 1
+            if swapped:
+                qa, qb = qb, qa
+            X[mu - 1, qa, qb, qc] = rows[:, 3]
+        return X
+
     def _f_symbol(self, a, b, c, d, e, f) -> np.ndarray:
         if self.Ffile is not None:
             file = self._load_h5('F')
-            key = self._group_name([a, b, c, d, e, f])
-            if key not in file:
+            grp = file['F_sym']
+            key = self._file_key('F', [a, b, c, d, e, f])
+            if key not in grp:
+                # the reference also accepts the all-duals key (its files
+                # store one of the two, _symmetries.py:1985-1994)
+                key = self._file_key('F', [self.dual_sector(s)
+                                           for s in (a, b, c, d, e, f)])
+            if key not in grp:
                 raise SymmetryError(f'F symbol {key} not in data file')
-            return np.asarray(file[key])
+            return np.asarray(grp[key])
         # derive from native CG tensors: overlap of the two fusion trees
         #   right tree: X^{bc}_{e,mu} then X^{ae}_{d,nu}
         #   left tree:  X^{ab}_{f,kappa} then X^{fc}_{d,lambda}
@@ -497,10 +545,11 @@ class SUN(Group):
     def _r_symbol(self, a, b, c) -> np.ndarray:
         if self.Rfile is not None:
             file = self._load_h5('R')
-            key = self._group_name([a, b, c])
-            if key not in file:
+            grp = file['R_sym']
+            key = self._file_key('R', [a, b, c])
+            if key not in grp:
                 raise SymmetryError(f'R symbol {key} not in data file')
-            return np.asarray(file[key])
+            return np.asarray(grp[key])
         # symmetric gauge (see _native_cg): R is diagonal with entries +-1
         X_ab = self._native_cg(a, b, c)
         X_ba = self._native_cg(b, a, c)
@@ -511,15 +560,13 @@ class SUN(Group):
 
     def _fusion_tensor(self, a, b, c, Z_a: bool, Z_b: bool) -> np.ndarray:
         if self.CGfile is not None:
-            file = self._load_h5('CG')
-            key = self._group_name([a, b, c])
-            if key not in file:
-                raise SymmetryError(f'CG tensor {key} not in data file')
-            X = np.asarray(file[key])
-            if Z_a or Z_b:
-                raise NotImplementedError('Z isos with file-backed SU(N) CG data')
-            return X
-        X = self._native_cg(a, b, c)
+            X = self._file_cg(a, b, c)
+        else:
+            X = self._native_cg(a, b, c)
+        # the Z isos below come from the SAME data source (file or native), so
+        # the gauge is consistent either way. (The reference raises
+        # NotImplementedError for Z_a/Z_b with its file-backed data,
+        # /root/reference/cyten/symmetries/_symmetries.py:1897-1898.)
         if Z_a:
             X = np.moveaxis(np.tensordot(X, self.Z_iso(self.dual_sector(a)),
                                          (1, 0)), -1, 1)
@@ -569,25 +616,32 @@ class SUN(Group):
 
     def Z_iso(self, a: Sector) -> np.ndarray:
         """Z isomorphism: sqrt(d_a) times the CG projection of a-bar x a onto
-        the trivial sector; matrix indices [m_abar, m_a]."""
-        if self.CGfile is not None:
-            raise NotImplementedError('Z isos with file-backed SU(N) CG data')
+        the trivial sector; matrix indices [m_abar, m_a].
+
+        Works for file-backed CG data too: the file's own (a-bar, a, trivial)
+        tensor IS the Z iso in the file's gauge (the reference has no SUN
+        Z iso at all, _symmetries.py:1897-1898)."""
         a_bar = self.dual_sector(a)
-        X0 = self._native_cg(a_bar, a, self.trivial_sector)
+        if self.CGfile is not None:
+            X0 = self._file_cg(a_bar, a, self.trivial_sector)
+        else:
+            X0 = self._native_cg(a_bar, a, self.trivial_sector)
         return np.sqrt(self.sector_dim(a)) * np.ascontiguousarray(X0[0, :, :, 0])
 
     def frobenius_schur(self, a: Sector) -> int:
         if np.array_equal(self.dual_sector(a), a):
-            if self.CGfile is None:
-                # real vs pseudo-real: Z^T = FS * Z for a self-conjugate irrep
-                Z = self.Z_iso(a)
-                i, j = np.unravel_index(np.argmax(np.abs(Z)), Z.shape)
-                return int(np.sign(Z[j, i] / Z[i, j]))
-            # fall back to the F-symbol derivation if data is available
+            # real vs pseudo-real: Z^T = FS * Z for a self-conjugate irrep
+            # (works for native AND file-backed CG data since Z_iso does)
             try:
-                return super().frobenius_schur(a)
+                Z = self.Z_iso(a)
             except SymmetryError:
-                return 1
+                # file lacks the (a-bar, a, trivial) tensor: F-symbol fallback
+                try:
+                    return super().frobenius_schur(a)
+                except SymmetryError:
+                    return 1
+            i, j = np.unravel_index(np.argmax(np.abs(Z)), Z.shape)
+            return int(np.sign(Z[j, i] / Z[i, j]))
         return 1
 
     def __repr__(self):

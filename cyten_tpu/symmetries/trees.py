@@ -320,7 +320,24 @@ class FusionTree:
         return res
 
     def twist(self, idcs: Sequence[int], overtwist: bool) -> dict[FusionTree, complex]:
-        """Twist the legs `idcs` (jointly) above the tree."""
+        """Twist the legs `idcs` (jointly) above the tree.
+
+        Prefix sets (and single legs / all legs) are diagonal: a twist of the
+        corresponding inner (or coupled) sector. A contiguous mid-segment
+        ``[i, j)`` uses the ribbon identity
+        ``theta_{A (x) B} = c_{B,A} c_{A,B} (theta_A (x) theta_B)`` with
+        ``A = [0, i)``: the segment twist is the prefix twist of ``[0, j)``
+        times the inverse prefix twist of ``[0, i)`` and the inverse double
+        block-braiding — a linear combination of trees. (The reference raises
+        ``NotImplementedError`` here and sketches exactly this as its
+        'Option A', reference symmetries/trees.py:1090-1099.)
+
+        Non-contiguous sets depend on how the strands are routed into the
+        twist loop; the convention here is to gather them rightward — each
+        selected strand passing OVER the skipped ones, independent of the
+        twist chirality, so undertwist stays the exact inverse of overtwist —
+        into a contiguous block, twist, and route back.
+        """
         sym = self.symmetry
         if sym.has_trivial_braid or len(idcs) == 0:
             return {self: 1}
@@ -334,13 +351,86 @@ class FusionTree:
         elif idcs == [*range(len(idcs))]:
             # contiguous from the left: twist of the corresponding inner sector
             theta = sym.topological_twist(self.inner_sectors[idcs[-1] - 1])
+        elif idcs == [*range(idcs[0], idcs[-1] + 1)]:
+            return self._twist_segment(idcs[0], idcs[-1] + 1, overtwist)
         else:
-            raise NotImplementedError('twist of non-contiguous legs')
+            return self._twist_gathered(idcs, overtwist)
         if not overtwist:
             theta = np.conj(theta)
         return {self: theta}
 
+    def _twist_segment(self, i: int, j: int,
+                       overtwist: bool) -> dict[FusionTree, complex]:
+        """Joint twist of the contiguous legs ``[i, j)`` via the ribbon
+        identity (see :meth:`twist`); ``0 < i < j <= num_uncoupled``."""
+        # operators act bottom-up: c_{B,A}^-1 (inverse of the exchange whose
+        # left block has size j-i), then c_{A,B}^-1, then the prefix twist of
+        # [0, j) (central within the first j strands, so it may follow the
+        # braids), then the inverse prefix twist of [0, i) on top
+        terms = {self: 1. + 0j}
+        terms = _apply_block_exchange(terms, j - i, j, overtwist, invert=True)
+        terms = _apply_block_exchange(terms, i, j, overtwist, invert=True)
+        out: dict[FusionTree, complex] = {}
+        for tree, coeff in terms.items():
+            # the fused sector of the prefix [0, k) is inner_sectors[k - 2]
+            th_j = tree.symmetry.topological_twist(
+                tree.coupled if j == tree.num_uncoupled
+                else tree.inner_sectors[j - 2])
+            th_i = tree.symmetry.topological_twist(
+                tree.uncoupled[0] if i == 1 else tree.inner_sectors[i - 2])
+            if not overtwist:
+                th_j = np.conj(th_j)
+                th_i = np.conj(th_i)
+            c = coeff * th_j / th_i
+            out[tree] = out.get(tree, 0) + c
+        return {t: c for t, c in out.items() if abs(c) > 1e-14}
+
+    def _twist_gathered(self, idcs: list[int],
+                        overtwist: bool) -> dict[FusionTree, complex]:
+        """Joint twist of a non-contiguous leg set: gather the selected legs
+        rightward into a contiguous block ending at ``idcs[-1]``, twist the
+        block, and invert the gathering braids (routing convention documented
+        in :meth:`twist`)."""
+        gather: list[int] = []  # elementary braid positions, in apply order
+        target = idcs[-1]
+        # move each selected leg (right to left in selection order) rightward
+        # so the block [target - len + 1, target] becomes selected
+        positions = list(idcs)
+        for k in range(len(positions) - 2, -1, -1):
+            want = target - (len(positions) - 1 - k)
+            for p in range(positions[k], want):
+                gather.append(p)
+        terms = {self: 1. + 0j}
+        # the gather routing is a FIXED convention (selected strands pass over
+        # the skipped ones), independent of the twist chirality: the mirror
+        # image of the whole diagram then flips every crossing, which is
+        # exactly conjugating by the same gather — so undertwist stays the
+        # adjoint of overtwist
+        for p in gather:
+            terms = _apply_move(
+                terms, lambda t, p=p: t.braid(p, overbraid=True))
+        lo = target - len(idcs) + 1
+        out: dict[FusionTree, complex] = {}
+        for tree, coeff in terms.items():
+            if lo == 0:
+                th = tree.symmetry.topological_twist(
+                    tree.coupled if target + 1 == tree.num_uncoupled
+                    else tree.inner_sectors[target - 1])
+                if not overtwist:
+                    th = np.conj(th)
+                sub = {tree: th}
+            else:
+                sub = tree._twist_segment(lo, target + 1, overtwist)
+            for t2, c2 in sub.items():
+                out[t2] = out.get(t2, 0) + coeff * c2
+        for p in reversed(gather):
+            out = _apply_move(
+                out, lambda t, p=p: t.braid(p, overbraid=False))
+        return {t: c for t, c in out.items() if abs(c) > 1e-14}
+
     # --- tree algebra ---
+
+
 
     def extended(self, new_uncoupled: Sector, mu: int, new_coupled: Sector,
                  is_dual: bool) -> FusionTree:
@@ -689,3 +779,30 @@ class fusion_trees(Iterable[FusionTree]):
         return (f'fusion_trees[{self.symmetry!s}]'
                 f'({[self.symmetry.sector_str(a) for a in self.uncoupled]} -> '
                 f'{self.symmetry.sector_str(self.coupled)})')
+
+
+def _apply_move(terms: dict, move) -> dict:
+    """Apply a tree-move (tree -> {tree: coeff}) to a linear combination."""
+    out: dict = {}
+    for tree, coeff in terms.items():
+        for t2, c2 in move(tree).items():
+            out[t2] = out.get(t2, 0) + coeff * c2
+    return {t: c for t, c in out.items() if abs(c) > 1e-14}
+
+
+def _apply_block_exchange(terms: dict, left: int, j: int, over: bool,
+                          invert: bool = False) -> dict:
+    """Braid the leg block ``[0, left)`` past ``[left, j)`` (the left block
+    passes OVER for ``over=True``), as a schedule of elementary braids.
+
+    ``invert=True`` applies the exact inverse morphism — which acts on the
+    *exchanged* configuration (right block of size ``left`` now leftmost) and
+    undoes it: reversed schedule, opposite chirality."""
+    moves = [left - 1 - t + s for s in range(j - left) for t in range(left)]
+    chir = over
+    if invert:
+        moves = moves[::-1]
+        chir = not over
+    for p in moves:
+        terms = _apply_move(terms, lambda t, p=p: t.braid(p, overbraid=chir))
+    return terms

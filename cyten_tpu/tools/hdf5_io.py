@@ -64,8 +64,118 @@ def _unleaf(node):
     return np.asarray(node)
 
 
+class _SaveContext:
+    """Identity memo for :func:`to_tree` (shared-object + cycle support).
+
+    Mirrors the reference saver's memoization semantics (reference
+    hdf5_io.py:431-520: ``memorize_save`` keyed on ``id(obj)``, repeated
+    objects become hard links): the first encounter of a shareable object
+    allocates an id and every occurrence becomes a ``Ref`` node pointing into
+    a ``shared`` table; entries referenced only once are inlined again before
+    writing, so acyclic single-owner saves keep the exact pre-existing layout.
+    """
+
+    def __init__(self):
+        self.memo: dict = {}      # id(obj) -> (ref_id, obj)  (obj pins id())
+        self.shared: dict = {}    # ref_id -> tree node
+        self.next_id = 0
+
+
+_ACTIVE_SAVE_CTX: list = []  # stack; lets registered to_fns nest to_tree calls
+_ACTIVE_LOAD_CTX: list = []  # stack of _LoadContext for nested from_tree calls
+
+
 def to_tree(obj):
-    """Convert a supported object into a nested dict of plain data (+ type tags)."""
+    """Convert a supported object into a nested dict of plain data (+ type tags).
+
+    Objects referenced more than once (e.g. an MPS whose sites share one
+    ``ElementarySpace``) are stored once in a ``Graph`` node's ``shared``
+    table and referenced by ``Ref`` nodes; reference cycles through lists and
+    dicts are supported. Trees without sharing are returned in the plain
+    (un-wrapped) layout.
+    """
+    if _ACTIVE_SAVE_CTX:
+        # nested call (a registered to_fn recursing): share the outer memo so
+        # cross-references between siblings still deduplicate
+        return _to_tree(obj, _ACTIVE_SAVE_CTX[-1])
+    ctx = _SaveContext()
+    _ACTIVE_SAVE_CTX.append(ctx)
+    try:
+        root = _to_tree(obj, ctx)
+    finally:
+        _ACTIVE_SAVE_CTX.pop()
+    _inline_single_refs(root, ctx)
+    if not ctx.shared:
+        return root
+    return {'__type__': 'Graph', 'root': root,
+            'shared': {str(i): t for i, t in ctx.shared.items()}}
+
+
+def _collect_refs(node, out):
+    if isinstance(node, dict):
+        if node.get('__type__') == 'Ref':
+            out.append(int(node['id']))
+            return
+        for v in node.values():
+            _collect_refs(v, out)
+    elif isinstance(node, list):
+        for v in node:
+            _collect_refs(v, out)
+
+
+def _inline_single_refs(root, ctx):
+    """Splice shared-table entries used exactly once back into their use site
+    (in place), so sharing costs nothing when there is none. An entry that is
+    part of a cycle is reachable from itself and therefore counted >= 2."""
+    counts: dict = {}
+    refs: list = []
+    _collect_refs(root, refs)
+    for t in ctx.shared.values():
+        _collect_refs(t, refs)
+    for i in refs:
+        counts[i] = counts.get(i, 0) + 1
+
+    def splice(node):
+        if isinstance(node, dict):
+            if node.get('__type__') == 'Ref':
+                i = int(node['id'])
+                if counts.get(i) == 1:
+                    entry = ctx.shared.pop(i)
+                    node.clear()
+                    node.update(entry)
+                    splice(node)  # the entry may itself contain single refs
+                return
+            for v in node.values():
+                splice(v)
+        elif isinstance(node, list):
+            for v in node:
+                splice(v)
+
+    splice(root)
+    for t in list(ctx.shared.values()):
+        splice(t)
+
+
+def _memoized(obj, ctx, build):
+    """Return a Ref node for `obj`, building its table entry on first visit.
+
+    The (empty) entry dict is registered BEFORE ``build`` fills it, so cycles
+    terminate: re-encountering `obj` while its entry is being built simply
+    yields another Ref to the same id."""
+    key = id(obj)
+    hit = ctx.memo.get(key)
+    if hit is not None:
+        return {'__type__': 'Ref', 'id': hit[0]}
+    n = ctx.next_id
+    ctx.next_id += 1
+    ctx.memo[key] = (n, obj)
+    entry: dict = {}
+    ctx.shared[n] = entry
+    entry.update(build())
+    return {'__type__': 'Ref', 'id': n}
+
+
+def _to_tree(obj, ctx):
     from ..backends.data import BlockSparseData, DenseData, DiagonalBlockData, \
         MaskBlockData
     from ..symmetries import (
@@ -81,74 +191,89 @@ def to_tree(obj):
         return obj
     if isinstance(obj, Dtype):
         return {'__type__': 'Dtype', 'name': obj.name}
-    if isinstance(obj, (list, tuple)):
-        return {'__type__': 'list' if isinstance(obj, list) else 'tuple',
-                'items': [to_tree(x) for x in obj]}
+    if isinstance(obj, list):
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'list', 'items': [_to_tree(x, ctx) for x in obj]})
+    if isinstance(obj, tuple):
+        return {'__type__': 'tuple', 'items': [_to_tree(x, ctx) for x in obj]}
     if isinstance(obj, dict):
-        return {'__type__': 'dict',
-                'keys': [to_tree(k) for k in obj.keys()],
-                'values': [to_tree(v) for v in obj.values()]}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'dict',
+            'keys': [_to_tree(k, ctx) for k in obj.keys()],
+            'values': [_to_tree(v, ctx) for v in obj.values()]})
     if isinstance(obj, Symmetry):
-        return {'__type__': 'Symmetry', 'config': to_tree(obj.to_config())}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'Symmetry', 'config': _to_tree(obj.to_config(), ctx)})
     if isinstance(obj, AbelianLegPipe):
-        return {'__type__': 'AbelianLegPipe',
-                'legs': [to_tree(l) for l in obj.legs],
-                'is_dual': obj.is_dual, 'combine_cstyle': obj.combine_cstyle}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'AbelianLegPipe',
+            'legs': [_to_tree(l, ctx) for l in obj.legs],
+            'is_dual': obj.is_dual, 'combine_cstyle': obj.combine_cstyle})
     if isinstance(obj, LegPipe):
-        return {'__type__': 'LegPipe',
-                'legs': [to_tree(l) for l in obj.legs],
-                'is_dual': obj.is_dual, 'combine_cstyle': obj.combine_cstyle}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'LegPipe',
+            'legs': [_to_tree(l, ctx) for l in obj.legs],
+            'is_dual': obj.is_dual, 'combine_cstyle': obj.combine_cstyle})
     if isinstance(obj, ElementarySpace):
-        return {'__type__': 'ElementarySpace',
-                'symmetry': to_tree(obj.symmetry),
-                'defining_sectors': obj.defining_sectors,
-                'multiplicities': obj.multiplicities,
-                'is_dual': obj.is_dual,
-                'basis_perm': obj._basis_perm}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'ElementarySpace',
+            'symmetry': _to_tree(obj.symmetry, ctx),
+            'defining_sectors': obj.defining_sectors,
+            'multiplicities': obj.multiplicities,
+            'is_dual': obj.is_dual,
+            'basis_perm': obj._basis_perm})
     if isinstance(obj, TensorProduct):
-        return {'__type__': 'TensorProduct',
-                'symmetry': to_tree(obj.symmetry),
-                'factors': [to_tree(f) for f in obj.factors]}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'TensorProduct',
+            'symmetry': _to_tree(obj.symmetry, ctx),
+            'factors': [_to_tree(f, ctx) for f in obj.factors]})
     if isinstance(obj, (DenseData, BlockSparseData, DiagonalBlockData,
                         MaskBlockData)):
         tree = {'__type__': type(obj).__name__}
         if isinstance(obj, DenseData):
             tree['block'] = _leaf(obj.block)
-            tree['dtype'] = to_tree(obj.dtype)
+            tree['dtype'] = _to_tree(obj.dtype, ctx)
         else:
             tree['blocks'] = [_leaf(b) for b in obj.blocks]
             tree['block_inds'] = np.asarray(obj.block_inds)
             if not isinstance(obj, MaskBlockData):
-                tree['dtype'] = to_tree(obj.dtype)
+                tree['dtype'] = _to_tree(obj.dtype, ctx)
         return tree
     if isinstance(obj, Mask):
-        return {'__type__': 'Mask', 'data': to_tree(obj.data),
-                'space_in': to_tree(obj.domain.factors[0]),
-                'space_out': to_tree(obj.codomain.factors[0]),
-                'is_projection': obj.is_projection,
-                'backend': obj.backend.block_backend.name,
-                'labels': to_tree(obj.labels)}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'Mask', 'data': _to_tree(obj.data, ctx),
+            'space_in': _to_tree(obj.domain.factors[0], ctx),
+            'space_out': _to_tree(obj.codomain.factors[0], ctx),
+            'is_projection': obj.is_projection,
+            'backend': obj.backend.block_backend.name,
+            'labels': _to_tree(obj.labels, ctx)})
     if isinstance(obj, DiagonalTensor):
-        return {'__type__': 'DiagonalTensor', 'data': to_tree(obj.data),
-                'leg': to_tree(obj.leg),
-                'backend': obj.backend.block_backend.name,
-                'labels': to_tree(obj.labels)}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'DiagonalTensor', 'data': _to_tree(obj.data, ctx),
+            'leg': _to_tree(obj.leg, ctx),
+            'backend': obj.backend.block_backend.name,
+            'labels': _to_tree(obj.labels, ctx)})
     if isinstance(obj, ChargedTensor):
-        return {'__type__': 'ChargedTensor',
-                'invariant_part': to_tree(obj.invariant_part),
-                'charged_state': None if obj.charged_state is None
-                else np.asarray(obj.charged_state)}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'ChargedTensor',
+            'invariant_part': _to_tree(obj.invariant_part, ctx),
+            'charged_state': None if obj.charged_state is None
+            else np.asarray(obj.charged_state)})
     if isinstance(obj, SymmetricTensor):
-        return {'__type__': 'SymmetricTensor', 'data': to_tree(obj.data),
-                'codomain': to_tree(obj.codomain), 'domain': to_tree(obj.domain),
-                'backend': obj.backend.block_backend.name,
-                'labels': to_tree(obj.labels)}
+        return _memoized(obj, ctx, lambda: {
+            '__type__': 'SymmetricTensor', 'data': _to_tree(obj.data, ctx),
+            'codomain': _to_tree(obj.codomain, ctx),
+            'domain': _to_tree(obj.domain, ctx),
+            'backend': obj.backend.block_backend.name,
+            'labels': _to_tree(obj.labels, ctx)})
     # registered composite types (SimpleMPS etc.)
     for name, (cls, to_fn, _) in _TREE_TYPES.items():
         if isinstance(obj, cls):
-            tree = {k: to_tree(v) for k, v in to_fn(obj).items()}
-            tree['__type__'] = name
-            return tree
+            def build(name=name, to_fn=to_fn):
+                tree = {k: _to_tree(v, ctx) for k, v in to_fn(obj).items()}
+                tree['__type__'] = name
+                return tree
+            return _memoized(obj, ctx, build)
     # fallback: objects exposing to_tree/from_tree
     if hasattr(obj, 'to_tree'):
         tree = obj.to_tree()
@@ -157,8 +282,56 @@ def to_tree(obj):
     raise TypeError(f'cannot serialize {type(obj).__name__}')
 
 
+class _LoadContext:
+    """Resolves ``Ref`` nodes against a ``Graph`` node's shared table.
+
+    Resolution is on-demand and order-independent (the table entry is built
+    the first time any Ref to it is resolved); identity is restored — every
+    Ref with the same id yields the *same* Python object. Cycles are
+    supported through mutable containers (lists/dicts are registered before
+    their items are filled, mirroring the reference loader's ``memorize_load``
+    semantics, reference hdf5_io.py:1270-1350)."""
+
+    def __init__(self, shared: dict):
+        self.shared = {int(k): v for k, v in shared.items()}
+        self.memo: dict = {}
+        self.building: set = set()
+
+    def resolve(self, i: int):
+        i = int(i)
+        if i in self.memo:
+            return self.memo[i]
+        if i not in self.shared:
+            raise Hdf5ImportError(f'dangling Ref id {i}')
+        entry = self.shared[i]
+        t = entry.get('__type__') if isinstance(entry, dict) else None
+        if t == 'list':
+            obj: list = []
+            self.memo[i] = obj  # pre-register: cycles through lists work
+            obj.extend(from_tree(x) for x in entry['items'])
+            return obj
+        if t == 'dict':
+            obj_d: dict = {}
+            self.memo[i] = obj_d
+            for k, v in zip(entry['keys'], entry['values']):
+                obj_d[from_tree(k)] = from_tree(v)
+            return obj_d
+        if i in self.building:
+            raise Hdf5ImportError(
+                f'reference cycle through an immutable node (id {i}, type '
+                f'{t!r}): only cycles through lists/dicts are supported')
+        self.building.add(i)
+        try:
+            obj = from_tree(entry)
+        finally:
+            self.building.discard(i)
+        self.memo[i] = obj
+        return obj
+
+
 def from_tree(tree):
-    """Inverse of :func:`to_tree`."""
+    """Inverse of :func:`to_tree` (transparently resolves ``Graph``/``Ref``
+    nodes, restoring shared-object identity)."""
     from ..backends import get_backend
     from ..backends.data import BlockSparseData, DenseData, DiagonalBlockData, \
         MaskBlockData
@@ -172,6 +345,17 @@ def from_tree(tree):
         return tree
     assert isinstance(tree, dict), f'unexpected node: {tree!r}'
     t = tree.get('__type__')
+    if t == 'Graph':
+        ctx = _LoadContext(tree['shared'])
+        _ACTIVE_LOAD_CTX.append(ctx)
+        try:
+            return from_tree(tree['root'])
+        finally:
+            _ACTIVE_LOAD_CTX.pop()
+    if t == 'Ref':
+        if not _ACTIVE_LOAD_CTX:
+            raise Hdf5ImportError('Ref node outside a Graph')
+        return _ACTIVE_LOAD_CTX[-1].resolve(tree['id'])
     if t == 'Dtype':
         return Dtype[tree['name']]
     if t == 'list':

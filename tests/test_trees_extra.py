@@ -214,3 +214,71 @@ def test_twist_inverse(symmetry_and_pool, np_random):
                 np.testing.assert_allclose(c, expect, atol=1e-10)
         checked += 1
     assert checked > 0
+
+
+def _twist_matrix(trees, idcs, overtwist=True):
+    idx = {t: i for i, t in enumerate(trees)}
+    M = np.zeros((len(trees), len(trees)), complex)
+    for t in trees:
+        for t2, c in t.twist(idcs, overtwist).items():
+            M[idx[t2], idx[t]] = c
+    return M
+
+
+@pytest.mark.parametrize('idcs', [[1, 2], [2, 3], [1, 3], [0, 2], [0, 1, 3],
+                                  [0, 2, 3], [1, 2, 3]])
+def test_general_twist_fibonacci(idcs):
+    """Joint twists of mid-segments and non-contiguous leg sets (the
+    reference raises NotImplementedError for both, reference
+    symmetries/trees.py:1090-1099).
+
+    Oracle: the joint twist of a leg subset is conjugate to the twist of the
+    subset fused into one bundle, so its SPECTRUM is {theta_d} over the
+    fusion channels d of the subset — independent of any routing convention.
+    Also checks unitarity and that undertwist is the exact adjoint."""
+    fib = sym.fibonacci_anyon_category
+    tau = np.array([1])
+    one = np.array([0])
+    trees = list(fusion_trees(fib, [tau] * 4, one))
+    M = _twist_matrix(trees, idcs)
+    np.testing.assert_allclose(M @ M.conj().T, np.eye(len(trees)), atol=1e-10)
+    np.testing.assert_allclose(_twist_matrix(trees, idcs, False), M.conj().T,
+                               atol=1e-10)
+    theta_tau = np.exp(4j * np.pi / 5)
+    ev = {complex(np.round(v, 8)) for v in np.linalg.eigvals(M)}
+    if len(idcs) == 2:  # tau x tau = 1 + tau -> {1, theta_tau}
+        assert ev == {1. + 0j, complex(np.round(theta_tau, 8))}
+    else:  # three of four taus with vacuum total must fuse to tau
+        assert ev == {complex(np.round(theta_tau, 8))}
+
+
+@pytest.mark.parametrize('idcs', [[1, 2], [1, 3], [0, 2]])
+def test_general_twist_ising(idcs):
+    """Same oracle on Ising sigma strands: sigma x sigma = 1 + psi gives
+    twist spectrum {+1, -1}."""
+    ising = sym.ising_anyon_category
+    sig = np.array([1])
+    vac = np.array([0])
+    trees = list(fusion_trees(ising, [sig] * 4, vac))
+    M = _twist_matrix(trees, idcs)
+    np.testing.assert_allclose(M @ M.conj().T, np.eye(len(trees)), atol=1e-10)
+    np.testing.assert_allclose(_twist_matrix(trees, idcs, False), M.conj().T,
+                               atol=1e-10)
+    ev = {complex(np.round(v, 8)) for v in np.linalg.eigvals(M)}
+    assert ev == {1. + 0j, -1. + 0j}
+
+
+def test_general_twist_reduces_to_special_cases(np_random):
+    """Segment/gathered paths agree with the diagonal special cases where
+    both apply (single leg; prefix via the gathered machinery)."""
+    fib = sym.fibonacci_anyon_category
+    tau = np.array([1])
+    trees = list(fusion_trees(fib, [tau] * 4, tau))
+    for tree in trees:
+        # single leg via the segment machinery == diagonal single twist
+        seg = tree._twist_segment(2, 3, True)
+        single = tree.twist([2], True)
+        assert set(seg) == set(single)
+        for t in seg:
+            np.testing.assert_allclose(complex(seg[t]), complex(single[t]),
+                                       atol=1e-10)
