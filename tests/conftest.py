@@ -43,6 +43,28 @@ def pytest_addoption(parser):
                      help='Comma-separated block-backend names to test')
     parser.addoption('--rng-seed', action='store', default=12345, type=int,
                      help='The rng seed')
+    parser.addoption('--shard', action='store', default=None,
+                     help='Deterministic suite slice "k/N" (k = 1..N): run '
+                          'only tests whose stable id-hash lands in slice k. '
+                          'The union over k = 1..N is exactly the full suite; '
+                          'lets a session revalidate the full matrix in '
+                          'bounded chunks (see tests/README_SHARDS.md)')
+
+
+def pytest_collection_modifyitems(config, items):
+    shard = config.getoption('--shard')
+    if not shard:
+        return
+    import zlib
+
+    k, n = (int(x) for x in shard.split('/'))
+    assert 1 <= k <= n, f'--shard {shard}: need 1 <= k <= N'
+    kept = [it for it in items
+            if zlib.crc32(it.nodeid.encode()) % n == k - 1]
+    deselected = [it for it in items
+                  if zlib.crc32(it.nodeid.encode()) % n != k - 1]
+    items[:] = kept
+    config.hook.pytest_deselected(items=deselected)
 
 
 def pytest_generate_tests(metafunc):
