@@ -775,6 +775,72 @@ def svd_dynamic_timing(chi, precision='float32', repeats=3):
     return best
 
 
+def svd_growth_timing(chi, precision='float32', repeats=3, decay=28.,
+                      svd_min=1e-2):
+    """Growth-regime SVD comparison (VERDICT r4 #5): adaptive warm-started
+    vs exact fused, on a theta whose singular spectrum DECAYS so that only
+    ~chi/4 values survive the cut — the regime the adaptive path exists for
+    (early sweeps, bond still growing; the saturated-rank comparison at
+    chi_max ranks measures its worst case instead).
+
+    The decaying workload is the bench theta right-composed with a diagonal
+    ``exp(-decay * k / dim)`` on the vR leg, so singular values fall off
+    exponentially; ``svd_min`` then keeps ~chi/4 of them (trunc_cut alone is
+    only a LOWER bound under minimize_error semantics). Warm start = the
+    previous-visit isometry at the kept rank.
+    Returns ``(t_dyn, t_exact, kept)``."""
+    import numpy as np
+
+    import cyten_tpu as ct
+    from cyten_tpu import DiagonalTensor
+    from cyten_tpu.config import config
+    from cyten_tpu.dtypes import Dtype
+    from cyten_tpu.tensors import compose
+    from cyten_tpu.tensors.adaptive import (
+        adaptive_truncated_svd, fused_truncated_svd,
+    )
+
+    backend = ct.get_backend(ct.u1_symmetry, 'jax')
+    *_, theta = build_workload(backend, chi=chi)
+    v_leg = theta.get_leg_co_domain('vR')
+    bb = backend.block_backend
+
+    def func(shape, coupled):
+        k = np.arange(shape[0])
+        return bb.as_block(np.exp(-decay * k / max(shape[0], 1)),
+                           Dtype.float32)
+
+    D = DiagonalTensor.from_sector_block_func(func, v_leg, backend=backend,
+                                              labels=['vR', 'vR*'])
+    theta = compose(theta, D, relabel2={'vR*': 'vR'})
+
+    old = config.matmul_precision
+    config.matmul_precision = precision
+    try:
+        # previous-visit warm start at the surviving rank
+        _, S0, Vh0, _, _ = fused_truncated_svd(theta, chi_max=chi,
+                                               svd_min=svd_min)
+        kept = int(S0.leg.dim)
+
+        rng = np.random.default_rng(0)
+        adaptive_truncated_svd(theta, Vh0, chi_max=chi, svd_min=svd_min,
+                               rng=rng)  # compile
+        t_dyn = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            adaptive_truncated_svd(theta, Vh0, chi_max=chi,
+                                   svd_min=svd_min, rng=rng)
+            t_dyn = min(t_dyn, time.perf_counter() - t0)
+        t_ex = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fused_truncated_svd(theta, chi_max=chi, svd_min=svd_min)
+            t_ex = min(t_ex, time.perf_counter() - t0)
+    finally:
+        config.matmul_precision = old
+    return t_dyn, t_ex, kept
+
+
 def svd_exact_e2e_timing(chi, precision='float32', repeats=3):
     """End-to-end EXACT truncated SVD (factorize + truncation decision + mask
     application) via the two-phase jitted path (tensors/adaptive.py
@@ -1220,6 +1286,13 @@ def main():
                 _RESULT['svd_exact_e2e_ms'] = round(
                     svd_exact_e2e_timing(chi, precision) * 1e3, 1)
             _gated('svd_exact_e2e_ms', 45, _svd_e2e)
+
+            def _svd_growth():
+                t_d, t_e, kept = svd_growth_timing(chi, precision)
+                _RESULT['svd_growth_dyn_ms'] = round(t_d * 1e3, 1)
+                _RESULT['svd_growth_exact_ms'] = round(t_e * 1e3, 1)
+                _RESULT['svd_growth_rank'] = kept
+            _gated('svd_growth_dyn_ms', 60, _svd_growth)
 
             def _svd_exact():
                 _RESULT['svd_exact_ms'] = round(
