@@ -92,10 +92,156 @@ def _get_jitted_env_updates():
     return _JITTED_UPDATE_LP, _JITTED_UPDATE_RP
 
 
+def _apply_bond_mixing(x1, W1, W2):
+    """Apply BOTH MPO tensors to ``x1 = LP . theta`` in a single pass.
+
+    The classic chain runs two sparse GEMM stages (``. W1`` then ``. W2``)
+    whose chi^2-sized intermediates each make a full HBM round trip and are
+    re-read once per block pair — ~600 MB of the chi=4096 matvec's 1.1 GB
+    streaming traffic for ~0.4 GFLOP of work (metadata traffic model,
+    bench.matvec_traffic_bytes). Here, per (vR*, vR) sector group, all x1
+    blocks are concatenated along one (w, p0, p1) channel axis and hit a
+    single small mixing matrix assembled from W1·W2 at trace time: every x1
+    element is read once, every output element written once.
+
+    ``x1`` legs ``[vR*, wR, p0, p1, vR]`` (any conventional order — axes are
+    resolved by label); returns the tensor the chained
+    ``tdot(W2, tdot(W1, x1, ...), ...)`` computes, with legs
+    ``[p1, wR, p0, vR*, vR]``. Abelian backends only (index-equality pairing).
+    """
+    backend = x1.backend
+    bb = backend.block_backend
+    xp = bb.xp
+    ax_i, ax_w, ax_p0, ax_p1, ax_b = x1.get_leg_idcs(
+        ['vR*', 'wR', 'p0', 'p1', 'vR'])
+    w1_wL, w1_p0, w1_wR, w1_p0c = W1.get_leg_idcs(['wL', 'p0', 'wR', 'p0*'])
+    w2_wL, w2_p1, w2_wR, w2_p1c = W2.get_leg_idcs(['wL', 'p1', 'wR', 'p1*'])
+
+    # index W blocks by their contracted legs (index equality — contracted
+    # legs are mutually dual spaces with the same defining-sector order)
+    W1_by = {}
+    for n, r in enumerate(W1.data.block_inds):
+        W1_by.setdefault((int(r[w1_p0c]), int(r[w1_wL])), []).append(n)
+    W2_by = {}
+    for n, r in enumerate(W2.data.block_inds):
+        W2_by.setdefault((int(r[w2_p1c]), int(r[w2_wL])), []).append(n)
+
+    def squeeze_w1(n):
+        blk = W1.data.blocks[n]
+        t = xp.transpose(blk, (w1_wL, w1_p0, w1_wR, w1_p0c))
+        return xp.reshape(t, (t.shape[0], t.shape[2]))  # [m_w0, m_w1]
+
+    def squeeze_w2(n):
+        blk = W2.data.blocks[n]
+        t = xp.transpose(blk, (w2_wL, w2_p1, w2_wR, w2_p1c))
+        return xp.reshape(t, (t.shape[0], t.shape[2]))  # [m_w1, m_w2]
+
+    # in-channel (w, p0, p1) -> [(out-channel (w2, p0o, p1o), piece, m_w2)]
+    piece_cache: dict = {}
+
+    def pieces_for(in_key):
+        if in_key in piece_cache:
+            return piece_cache[in_key]
+        w, p0, p1 = in_key
+        out: dict = {}
+        for n1 in W1_by.get((p0, w), ()):
+            r1 = W1.data.block_inds[n1]
+            p0o, w1 = int(r1[w1_p0]), int(r1[w1_wR])
+            A = squeeze_w1(n1)
+            for n2 in W2_by.get((p1, w1), ()):
+                r2 = W2.data.block_inds[n2]
+                p1o, w2 = int(r2[w2_p1]), int(r2[w2_wR])
+                # precision-honoring dot (matches the chained-tdot numerics)
+                piece = bb.tensordot(A, [1], squeeze_w2(n2), [0])  # [m0, m2]
+                key = (w2, p0o, p1o)
+                out[key] = piece if key not in out else out[key] + piece
+        res = sorted(out.items())
+        piece_cache[in_key] = res
+        return res
+
+    # group x1 blocks by (vR* sector, vR sector)
+    groups: dict = {}
+    for n, row in enumerate(x1.data.block_inds):
+        key = (int(row[ax_i]), int(row[ax_b]))
+        groups.setdefault(key, []).append(
+            (n, (int(row[ax_w]), int(row[ax_p0]), int(row[ax_p1]))))
+
+    out_blocks = []
+    out_rows = []
+    res_dtype = x1.data.dtype
+    for (i_idx, b_idx), members in sorted(groups.items()):
+        members = [(n, k) for n, k in members if pieces_for(k)]
+        if not members:
+            continue
+        # channel layouts
+        out_keys = sorted({ok for _, k in members
+                           for ok, _ in pieces_for(k)})
+        out_sizes = {}
+        for _, k in members:
+            for ok, piece in pieces_for(k):
+                out_sizes[ok] = piece.shape[1]
+        C_out = sum(out_sizes[ok] for ok in out_keys)
+        col_off = {}
+        off = 0
+        for ok in out_keys:
+            col_off[ok] = off
+            off += out_sizes[ok]
+        # concatenated input [mi, C_in, mb] and mixing matrix [C_in, C_out]
+        Xs = []
+        M_rows = []
+        for n, k in members:
+            blk = x1.data.blocks[n]
+            t = xp.transpose(blk, (ax_i, ax_w, ax_p0, ax_p1, ax_b))
+            Xs.append(xp.reshape(t, (t.shape[0], t.shape[1], t.shape[4])))
+            m_w = Xs[-1].shape[1]
+            row_parts = {ok: None for ok in out_keys}
+            for ok, piece in pieces_for(k):
+                row_parts[ok] = piece
+            M_rows.append(xp.concatenate(
+                [row_parts[ok] if row_parts[ok] is not None
+                 else xp.zeros((m_w, out_sizes[ok]), Xs[-1].dtype)
+                 for ok in out_keys], axis=1))
+        Xg = Xs[0] if len(Xs) == 1 else xp.concatenate(Xs, axis=1)
+        Mg = M_rows[0] if len(M_rows) == 1 else xp.concatenate(M_rows, axis=0)
+        Yg = bb.tensordot(Xg, [1], Mg, [0])  # [mi, mb, C_out]
+        for ok in out_keys:
+            w2, p0o, p1o = ok
+            o = col_off[ok]
+            sub = Yg[:, :, o:o + out_sizes[ok]]          # [mi, mb, m_w2]
+            blk = xp.reshape(xp.transpose(sub, (2, 0, 1)),
+                             (1, sub.shape[2], 1, sub.shape[0], sub.shape[1]))
+            out_blocks.append(blk)
+            out_rows.append([p1o, w2, p0o, i_idx, b_idx])
+
+    from ..backends.data import BlockSparseData
+    from ..symmetries import TensorProduct
+    from ..tensors import SymmetricTensor
+
+    codomain = TensorProduct(
+        [W2._as_codomain_leg('p1'), W2._as_codomain_leg('wR'),
+         W1._as_codomain_leg('p0'), x1._as_codomain_leg('vR*')],
+        symmetry=x1.symmetry)
+    domain = TensorProduct([x1._as_domain_leg('vR')], symmetry=x1.symmetry)
+    data = BlockSparseData(
+        out_blocks, np.array(out_rows, dtype=np.intp).reshape((-1, 5)),
+        res_dtype, is_sorted=False)
+    return SymmetricTensor(data, codomain, domain, backend,
+                           ['p1', 'wR', 'p0', 'vR*', 'vR'])
+
+
 def _heff_matvec_impl(LP, RP, W1, W2, theta):
     from ..backends.abelian import AbelianBackend
     from ..backends.no_symmetry import NoSymmetryBackend
+    from ..config import config
 
+    if isinstance(theta.backend, AbelianBackend) \
+            and config.bond_channel_fusion \
+            and W1.dtype == W2.dtype == theta.dtype:
+        x = tdot(LP, theta, 'vR', 'vL')                  # [vR*, wR, p0, p1, vR]
+        x = _apply_bond_mixing(x, W1, W2)                # [p1, wR, p0, vR*, vR]
+        x = tdot(x, RP, ['vR', 'wR'], ['vL', 'wL'])      # [p1, p0, vR*, vL*]
+        x = x.relabelled({'vR*': 'vL', 'vL*': 'vR'})
+        return permute_legs(x, codomain=['vL', 'p0', 'p1'], domain=['vR'])
     if isinstance(theta.backend, (AbelianBackend, NoSymmetryBackend)):
         # lhs-small operand order: the small static tensor (LP/W) goes on the
         # left, so chi stays the trailing (TPU lane) dim of every intermediate.

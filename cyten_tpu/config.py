@@ -50,6 +50,15 @@ class Config:
     bf16_accumulate_f32: bool = True
     #: pad per-sector matrix dims up to multiples of this when bucketing batched GEMMs
     mxu_pad_multiple: int = 128
+    #: fuse BOTH MPO applications of the two-site effective-Hamiltonian
+    #: matvec into one per-(vR*, vR)-group channel-mixing GEMM against a
+    #: trace-time W1.W2 mixing matrix (algorithms.dmrg._apply_bond_mixing):
+    #: the two chi^2-sized chain intermediates (x.W1, x.W2) and their
+    #: per-pair re-reads — ~600 MB of the chi=4096 matvec's 1.1 GB HBM
+    #: streaming traffic for 0.4 GFLOP — collapse to one concatenate + one
+    #: small-K GEMM. Abelian backends only; other backends and mixed-dtype
+    #: operands use the chained-tdot path.
+    bond_channel_fusion: bool = True
     #: reserved: enable pallas kernels once the flat-buffer block storage lands.
     #: Current measurements (v5e, honest sync) show XLA's unrolled dot_generals beat
     #: every alternative we tried on list-of-blocks storage (stacked batching 2x
