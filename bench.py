@@ -202,6 +202,50 @@ def build_workload(backend, chi=2048, seed=0):
     return LP, RP, W1, W2, theta
 
 
+def build_aligned_workload(backend, chi=2048, seed=0, unit=256):
+    """The north-star workload with the virtual leg allocated as EXACTLY
+    `chi` split into MXU-aligned units (largest-remainder proportional
+    allocation, >= one unit per sector) — the production layout of
+    ``DMRGEngine(pad_chi_multiple=...)``. Ragged sector multiplicities are
+    pure MXU-underutilization: aligning them was measured worth ~15% on the
+    full chi=4096 bf16 step (scripts/exp_r5_attack*.py, DESIGN §17)."""
+    from cyten_tpu import ElementarySpace, SymmetricTensor, u1_symmetry
+
+    rng = np.random.default_rng(seed)
+    charges = np.arange(-4, 5)
+    weights = np.exp(-0.4 * charges ** 2)
+    n_units = chi // unit
+    assert n_units >= len(charges), 'chi too small for this unit'
+    share = n_units * weights / weights.sum()
+    units = np.maximum(1, np.floor(share).astype(int))
+    while units.sum() < n_units:
+        units[np.argmax(share - units)] += 1
+    while units.sum() > n_units:
+        over = np.where(units > 1)[0]
+        units[over[np.argmin((share - units)[over])]] -= 1
+    mults = units * unit
+    v_leg = ElementarySpace(u1_symmetry, charges[:, None], mults)
+    p_leg = ElementarySpace(u1_symmetry, [[-1], [1]], [1, 1])
+    w_leg = ElementarySpace.from_defining_sectors(
+        u1_symmetry, np.array([[0], [2], [-2], [0], [0]]),
+        unique_sectors=False)
+    LP = SymmetricTensor.from_random_normal(
+        [v_leg], [v_leg, w_leg], backend=backend,
+        labels=[['vR*'], ['vR', 'wR']], rng=rng)
+    RP = SymmetricTensor.from_random_normal(
+        [v_leg, w_leg], [v_leg], backend=backend, labels=['vL', 'wL', 'vL*'],
+        rng=rng)
+    W = SymmetricTensor.from_random_normal(
+        [w_leg, p_leg], [p_leg, w_leg], backend=backend,
+        labels=['wL', 'p', 'wR', 'p*'], rng=rng)
+    theta = SymmetricTensor.from_random_normal(
+        [v_leg, p_leg, p_leg], [v_leg], backend=backend,
+        labels=['vL', 'p0', 'p1', 'vR'], rng=rng)
+    W1 = W.relabelled({'p': 'p0', 'p*': 'p0*'})
+    W2 = W.relabelled({'p': 'p1', 'p*': 'p1*'})
+    return LP, RP, W1, W2, theta
+
+
 def build_hubbard_workload(backend, chi=2048, seed=0):
     """U(1)xU(1) Hubbard-like bond environment: many small irregular sectors.
 
@@ -593,7 +637,8 @@ def build_step_state(backend, chi, seed=0, builder=None):
 
 
 def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
-             svd_mode='steady', env_dtype=None, work_dtype=None, builder=None):
+             svd_mode='steady', env_dtype=None, work_dtype=None, builder=None,
+             steady_opts=None):
     """Slope-time the FULL north-star step: one static-mode bond update (theta
     assembly + fused Lanczos + SVD + frozen-chi truncation + both environment
     updates) per scan iteration, state fed back as the carry.
@@ -638,7 +683,12 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
     if env_dtype is not None:
         LP = LP.to_dtype(env_dtype)
         RP = RP.to_dtype(env_dtype)
-    impl = _get_static_bond_fn(n_lanczos, svd_mode)
+    if steady_opts is None and os.environ.get('BENCH_STEADY_OPTS'):
+        # e.g. BENCH_STEADY_OPTS=n_jacobi=1,ns_polish=1 (DESIGN S17 knobs)
+        steady_opts = dict(kv.split('=') for kv in
+                           os.environ['BENCH_STEADY_OPTS'].split(','))
+        steady_opts = {k: int(v) for k, v in steady_opts.items()}
+    impl = _get_static_bond_fn(n_lanczos, svd_mode, steady_opts)
 
     def make_run(n_iter):
         # theta_tmpl MUST be an argument: closed over, its chi^2 d^2 block
@@ -701,8 +751,10 @@ def step_run(chi, n_lanczos=10, lengths=(2, 6), repeats=3, precision='float32',
     from cyten_tpu.tensors import tdot
     from cyten_tpu.tools.flops import tdot_flops
 
-    np_backend = ct2.get_backend(ct2.u1_symmetry, 'numpy')
-    LPn_, RPn_, W1n, W2n, theta_n = build_workload(np_backend, chi=chi)
+    np_backend = ct2.get_backend(_builder_symmetry(builder or build_workload),
+                                 'numpy')
+    LPn_, RPn_, W1n, W2n, theta_n = (builder or build_workload)(np_backend,
+                                                                chi=chi)
     flops = tdot_flops(LPn_, theta_n, ['vR'], ['vL'])
     x = tdot(LPn_, theta_n, 'vR', 'vL')
     flops += tdot_flops(x, W1n, ['wR', 'p0'], ['wL', 'p0*'])
@@ -1243,6 +1295,28 @@ def main():
                         _roofline_ms(f8w, tr8, peak, hbm0, 1) / (t8w * 1e3),
                         3)
             _gated('step8192_ladder', 100, _ladder)
+        # ---- 2a'. the chi=4096 bar rung (BASELINE.md as literally written):
+        # the production-layout step — virtual leg EXACTLY chi, allocated in
+        # MXU-aligned 256-units (DMRGEngine(pad_chi_multiple=...)), full-bf16
+        # work dtype, steady SVD with the converged-sweep cleanup knobs
+        # (n_jacobi=1, ns_polish=1; second-order exact at the fixed point,
+        # tests/test_dmrg.py::test_static_mode_steady_svd) ----
+        if os.environ.get('BENCH_LADDER', '1') != '0' and chi == 4096:
+            def _bar4096():
+                t_a, f_a = step_run(
+                    4096, n_lanczos=n_lanczos, precision='default',
+                    svd_mode=svd_mode, work_dtype='bfloat16',
+                    builder=build_aligned_workload,
+                    steady_opts={'n_jacobi': 1, 'ns_polish': 1},
+                    lengths=(2, 6))
+                _RESULT['step4096_aligned_bf16work_ms'] = round(t_a * 1e3, 2)
+                _RESULT['step4096_aligned_bf16work_tflops'] = round(
+                    f_a / t_a / 1e12, 2)
+                peak = _RESULT.get('measured_peak_bf16_tflops')
+                if peak:
+                    _RESULT['step4096_aligned_bf16work_frac_peak'] = round(
+                        f_a / t_a / 1e12 / peak, 3)
+            _gated('step4096_aligned_bf16work_ms', 90, _bar4096)
         # ---- 2b. non-abelian BASELINE configs, driver-visible (VERDICT r4
         # #3): the FULL fused SU(2) bond update + compile time, and the
         # anyonic golden-chain matvec ----

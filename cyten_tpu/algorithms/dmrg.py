@@ -304,7 +304,8 @@ class HEffective(LinearOperator):
 _STATIC_BOND_FN = {}
 
 
-def _get_static_bond_fn(N: int, svd_mode: str = 'exact'):
+def _get_static_bond_fn(N: int, svd_mode: str = 'exact',
+                        steady_opts: dict | None = None):
     """Traceable body of a WHOLE steady-state DMRG bond update:
     theta assembly, fused Lanczos, SVD, static-mask truncation, B-form
     restore and both environment updates — a single device dispatch per bond
@@ -316,8 +317,12 @@ def _get_static_bond_fn(N: int, svd_mode: str = 'exact'):
     :func:`~cyten_tpu.tensors.steady.steady_truncated_svd`, seeded by the
     current right-isometry B_{i+1} — on TPU this removes the dominant QDWH
     cost (tens to hundreds of ms per bond at chi >= 1024, measured in
-    docs/DESIGN.md) from the hot loop."""
-    key = (N, svd_mode)
+    docs/DESIGN.md) from the hot loop. ``steady_opts`` overrides its
+    iteration knobs (n_power/n_jacobi/ns_polish); near convergence
+    ``{'n_jacobi': 1, 'ns_polish': 1}`` saves ~8% of the chi=4096 step with
+    the cleanup accuracy still second-order (DESIGN §17)."""
+    steady_opts = dict(steady_opts or {})
+    key = (N, svd_mode, tuple(sorted(steady_opts.items())))
     if key in _STATIC_BOND_FN:
         return _STATIC_BOND_FN[key]
     import jax
@@ -338,7 +343,8 @@ def _get_static_bond_fn(N: int, svd_mode: str = 'exact'):
             Vh_prev = permute_legs(B_ip1.relabelled({'p': 'p1'}),
                                    codomain=['vL'], domain=['vR', 'p1'])
             U, S, Vh, _ = steady_truncated_svd(thp, Vh_prev,
-                                               new_labels=('vR', 'vL'))
+                                               new_labels=('vR', 'vL'),
+                                               **steady_opts)
         else:
             U, S, Vh = svd(thp, new_labels=['vR', 'vL'])
             U, S, Vh = svd_apply_mask(U, S, Vh, mask)
@@ -591,7 +597,8 @@ class DMRGEngine:
     # --- static (fully fused) steady-state mode --------------------------------------
 
     def enable_static_mode(self, n_lanczos: int = 20, svd_mode: str = 'exact',
-                           max_period: int = 2):
+                           max_period: int = 2,
+                           steady_svd_options: dict | None = None):
         """Freeze the current bond structures: subsequent sweeps run every bond
         update as ONE jitted device program (theta assembly, Lanczos, SVD,
         truncation to the frozen per-sector chi allocation, environment
@@ -608,6 +615,8 @@ class DMRGEngine:
         self.static_mode = True
         self._static_n_lanczos = n_lanczos
         self._static_svd_mode = svd_mode
+        #: iteration knobs for svd_mode='steady' (n_power/n_jacobi/ns_polish)
+        self._static_steady_opts = steady_svd_options
         #: largest structure-repetition period the batched sweep detects
         #: (2 covers alternating charge classes; raise for longer unit cells,
         #: e.g. 4-site dimerization patterns)
@@ -656,7 +665,8 @@ class DMRGEngine:
         import jax
 
         impl = _get_static_bond_fn(self._static_n_lanczos,
-                                   getattr(self, '_static_svd_mode', 'exact'))
+                                   getattr(self, '_static_svd_mode', 'exact'),
+                                   getattr(self, '_static_steady_opts', None))
         jfn = jax.jit(lambda H, S_i, B_i, B_ip1, tmpl: impl(
             H, S_i, B_i, B_ip1, tmpl, mask))
 
@@ -734,7 +744,8 @@ class DMRGEngine:
         masks = [c[1] for c in consts]
         tmpls = tuple(c[0] for c in consts)
         impl = _get_static_bond_fn(self._static_n_lanczos,
-                                   getattr(self, '_static_svd_mode', 'exact'))
+                                   getattr(self, '_static_svd_mode', 'exact'),
+                                   getattr(self, '_static_steady_opts', None))
 
         if right:
             def half(LP0, S0, B0, xs, tmpls):

@@ -427,6 +427,13 @@ def test_static_mode_steady_svd():
     for _ in range(3):
         E = eng.sweep()
     assert abs(float(E) - E_exact) < 1e-9
+    # reduced cleanup knobs (DESIGN §17: ~8% step saving near convergence):
+    # the Jacobi/Newton-Schulz corrections are second order at the fixed
+    # point, so one of each must preserve the converged energy
+    eng.enable_static_mode(n_lanczos=20, svd_mode='steady',
+                           steady_svd_options={'n_jacobi': 1, 'ns_polish': 1})
+    E = eng.sweep()
+    assert abs(float(E) - E_exact) < 1e-9
     # canonical form: every B right-isometric (sum over p, vR of B B^* == id on
     # the left bond, i.e. M M^dag == id for M = B viewed as [vL | p, vR])
     from cyten_tpu.tensors import permute_legs
