@@ -202,28 +202,22 @@ def build_workload(backend, chi=2048, seed=0):
     return LP, RP, W1, W2, theta
 
 
-def build_aligned_workload(backend, chi=2048, seed=0, unit=256):
-    """The north-star workload with the virtual leg allocated as EXACTLY
-    `chi` split into MXU-aligned units (largest-remainder proportional
-    allocation, >= one unit per sector) — the production layout of
-    ``DMRGEngine(pad_chi_multiple=...)``. Ragged sector multiplicities are
-    pure MXU-underutilization: aligning them was measured worth ~15% on the
-    full chi=4096 bf16 step (scripts/exp_r5_attack*.py, DESIGN §17)."""
+def build_padded_workload(backend, chi=2048, seed=0, pad=256):
+    """The north-star workload with every sector multiplicity of the
+    canonical chi-distribution rounded UP to a multiple of `pad` — the
+    production layout of ``DMRGEngine(pad_chi_multiple=...)`` applied to the
+    chi bond (the padded bond is LARGER than chi; its actual total is what
+    the step really carries and its FLOPs are counted exactly). Ragged
+    multiplicities are pure MXU underutilization: the padded chi=4096 step
+    runs ~10% faster while doing ~50% more counted work
+    (scripts/exp_r5_attack*.py, DESIGN §17)."""
     from cyten_tpu import ElementarySpace, SymmetricTensor, u1_symmetry
 
     rng = np.random.default_rng(seed)
     charges = np.arange(-4, 5)
     weights = np.exp(-0.4 * charges ** 2)
-    n_units = chi // unit
-    assert n_units >= len(charges), 'chi too small for this unit'
-    share = n_units * weights / weights.sum()
-    units = np.maximum(1, np.floor(share).astype(int))
-    while units.sum() < n_units:
-        units[np.argmax(share - units)] += 1
-    while units.sum() > n_units:
-        over = np.where(units > 1)[0]
-        units[over[np.argmin((share - units)[over])]] -= 1
-    mults = units * unit
+    mults = np.maximum(1, np.round(chi * weights / weights.sum()).astype(int))
+    mults = -(-mults // pad) * pad
     v_leg = ElementarySpace(u1_symmetry, charges[:, None], mults)
     p_leg = ElementarySpace(u1_symmetry, [[-1], [1]], [1, 1])
     w_leg = ElementarySpace.from_defining_sectors(
@@ -1295,28 +1289,34 @@ def main():
                         _roofline_ms(f8w, tr8, peak, hbm0, 1) / (t8w * 1e3),
                         3)
             _gated('step8192_ladder', 100, _ladder)
-        # ---- 2a'. the chi=4096 bar rung (BASELINE.md as literally written):
-        # the production-layout step — virtual leg EXACTLY chi, allocated in
-        # MXU-aligned 256-units (DMRGEngine(pad_chi_multiple=...)), full-bf16
-        # work dtype, steady SVD with the converged-sweep cleanup knobs
-        # (n_jacobi=1, ns_polish=1; second-order exact at the fixed point,
+        # ---- 2a'. the chi=4096 bar rung (BASELINE.md as written): the
+        # chi=4096 bond run through the production layout — sector
+        # multiplicities padded up to 256-multiples
+        # (DMRGEngine(pad_chi_multiple=...); actual padded total emitted as
+        # *_padded_chi), full-bf16 work dtype, steady SVD with the
+        # converged-sweep cleanup knobs (n_jacobi=1, ns_polish=1;
+        # second-order exact at the fixed point,
         # tests/test_dmrg.py::test_static_mode_steady_svd) ----
         if os.environ.get('BENCH_LADDER', '1') != '0' and chi == 4096:
             def _bar4096():
                 t_a, f_a = step_run(
                     4096, n_lanczos=n_lanczos, precision='default',
                     svd_mode=svd_mode, work_dtype='bfloat16',
-                    builder=build_aligned_workload,
+                    builder=build_padded_workload,
                     steady_opts={'n_jacobi': 1, 'ns_polish': 1},
                     lengths=(2, 6))
-                _RESULT['step4096_aligned_bf16work_ms'] = round(t_a * 1e3, 2)
-                _RESULT['step4096_aligned_bf16work_tflops'] = round(
+                w = np.exp(-0.4 * np.arange(-4, 5) ** 2)
+                m = np.maximum(1, np.round(4096 * w / w.sum()).astype(int))
+                _RESULT['step4096_pad256_bf16work_ms'] = round(t_a * 1e3, 2)
+                _RESULT['step4096_pad256_bf16work_tflops'] = round(
                     f_a / t_a / 1e12, 2)
+                _RESULT['step4096_pad256_padded_chi'] = int(
+                    np.sum(-(-m // 256) * 256))
                 peak = _RESULT.get('measured_peak_bf16_tflops')
                 if peak:
-                    _RESULT['step4096_aligned_bf16work_frac_peak'] = round(
+                    _RESULT['step4096_pad256_bf16work_frac_peak'] = round(
                         f_a / t_a / 1e12 / peak, 3)
-            _gated('step4096_aligned_bf16work_ms', 90, _bar4096)
+            _gated('step4096_pad256_bf16work_ms', 90, _bar4096)
         # ---- 2b. non-abelian BASELINE configs, driver-visible (VERDICT r4
         # #3): the FULL fused SU(2) bond update + compile time, and the
         # anyonic golden-chain matvec ----
