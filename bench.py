@@ -63,8 +63,8 @@ def _save_last_good():
         except (OSError, ValueError):
             pass
         for k, v in _RESULT.items():
-            if k == 'partial':
-                continue
+            if k in ('partial', 'note', 'last_good'):
+                continue  # failure markers describe a RUN, not the chip
             if isinstance(v, str) and (v.startswith('skipped:')
                                        or v.startswith('failed:')):
                 continue  # never overwrite a good number with a skip marker
