@@ -1201,6 +1201,11 @@ def main():
         # config update forces CPU (for smoke tests on the host)
         import jax
         jax.config.update('jax_platforms', os.environ['BENCH_PLATFORM'])
+    if os.environ.get('BENCH_DISABLE_MIXING'):
+        # fall back to the chained-tdot matvec programs (e.g. to reuse an
+        # older compile cache when a fresh mixing program hangs the tunnel)
+        from cyten_tpu.config import config as _cfg
+        _cfg.bond_channel_fusion = False
     _enable_compilation_cache()
     chi = int(os.environ.get('BENCH_CHI', '4096'))
     # headline precision is 'float32' (6-pass bf16, ~1e-7, comparable to the f64
