@@ -59,12 +59,19 @@ class Config:
     #: small-K GEMM. Abelian backends only; other backends and mixed-dtype
     #: operands use the chained-tdot path.
     bond_channel_fusion: bool = True
-    #: reserved: enable pallas kernels once the flat-buffer block storage lands.
-    #: Current measurements (v5e, honest sync) show XLA's unrolled dot_generals beat
-    #: every alternative we tried on list-of-blocks storage (stacked batching 2x
-    #: slower, gather-lowering 50x slower); a pallas grouped GEMM only makes sense
-    #: reading a single flat buffer with prefetched offsets, which requires the
-    #: storage redesign (SURVEY.md §7.2) scheduled for a later round.
+    #: RETIRED (round 5, measured): the flat-buffer + pallas grouped-GEMM
+    #: storage redesign (SURVEY.md §7 delta 2). The REAL prototype was built
+    #: this time — tile-linearized flat storage + a prefetched-offset ragged
+    #: matmul kernel (blocks/pallas_grouped.py, correct vs dense) — and
+    #: measured against XLA's unrolled per-pair dots on the actual stage-0
+    #: GEMM lists (scripts/exp_r5_pallas_grouped.py, v5e, slope-timed):
+    #: Hubbard chi=2048 (2036 tiny ragged pairs, the hoped-for niche) pallas
+    #: is 0.82-0.86x — the 128-aligned tile padding wastes more than the
+    #: dispatch overhead it saves; U(1) chi=2048 (84 big blocks) 0.28x —
+    #: unrolled dots run at 70 TF there; the chi=8192 program crashed the
+    #: tunnel's remote compiler. The intermediate-traffic motivation was
+    #: delivered at trace level instead (bond_channel_fusion, +10% headline).
+    #: The flag remains as an opt-in for the standalone kernel only.
     use_pallas: bool = False
     #: minimum total FLOPs in a bucket before a pallas batched GEMM kernel is preferred
     pallas_gemm_min_flops: int = 2**24

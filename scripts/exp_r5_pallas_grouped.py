@@ -135,8 +135,9 @@ def main():
 
     hub = stage0_gemm_list(bench.build_hubbard_workload, 2048)
     measure(hub, 'hubbard2048_s0')
-    u1 = stage0_gemm_list(bench.build_workload, 8192)
-    measure(u1, 'u1_8192_s0')
+    u1_chi = int(os.environ.get('EXP_U1_CHI', '2048'))
+    u1 = stage0_gemm_list(bench.build_workload, u1_chi)
+    measure(u1, f'u1_{u1_chi}_s0')
 
     print('RESULTS=' + json.dumps(RESULTS), flush=True)
 
