@@ -282,3 +282,26 @@ def test_general_twist_reduces_to_special_cases(np_random):
         for t in seg:
             np.testing.assert_allclose(complex(seg[t]), complex(single[t]),
                                        atol=1e-10)
+
+
+@pytest.mark.parametrize('idcs', [[1, 2], [1, 3], [0, 2]])
+def test_general_twist_su3_3_multiplicities(idcs):
+    """General twists on the multiplicity-rich SU(3)_3 category (N(1,1->1)=2
+    — the C-moves inside the block-braiding carry real multiplicity labels,
+    which Fibonacci/Ising never exercise): unitary, undertwist = adjoint,
+    and the spectrum is {theta_d} over the pair's fusion channels."""
+    s = sym.SU3_3AnyonCategory().as_Symmetry()
+    one = np.array([1])
+    trees = list(fusion_trees(s, [one] * 4, one))
+    assert len(trees) == 20
+    M = _twist_matrix(trees, idcs)
+    np.testing.assert_allclose(M @ M.conj().T, np.eye(len(trees)), atol=1e-10)
+    np.testing.assert_allclose(_twist_matrix(trees, idcs, False), M.conj().T,
+                               atol=1e-10)
+    ev = {complex(np.round(v, 8)) for v in np.linalg.eigvals(M)}
+    # 1 x 1 -> 0 + 2*1 + 2 + 3: the joint twist's spectrum is exactly the
+    # twists of those channels
+    expect = {complex(np.round(complex(s.topological_twist(np.array([c]))), 8))
+              for c in (0, 1, 2, 3)}
+    assert ev <= expect
+    assert len(ev) >= 2  # distinct channels appear (SU(3)_3 twists are +-1)
