@@ -553,9 +553,19 @@ class FusionTreeBackend(TensorBackend):
         then per (codomain tree, domain tree) keep only trees where each pair
         fuses back to its left inner sector ("on the diagonal"); the loop weight
         is a product of B symbols (and Frobenius-Schur signs for dual legs),
-        realizing the quantum trace with qdim weights. Falls back (via
-        NotImplementedError -> cap contraction in the tensors layer) when the
-        required braids need levels that were not provided.
+        realizing the quantum trace with qdim weights.
+
+        When braids are required but ``levels`` were not given, canonical
+        levels are synthesized as long as no two traced pairs interleave: the
+        trace loop around a pair slides freely over every strand it crosses
+        (Reidemeister II removes the same-chirality crossing pair), so any
+        assignment placing both members of a pair adjacent in level order --
+        above all other legs -- yields the isotopy-invariant answer. This is
+        exactly the consistency condition the reference enforces on
+        user-supplied levels (fusion_tree_backend.py:1791-1806); interleaved
+        pairs form *linked* loops whose value genuinely depends on chirality,
+        so those still require explicit levels (NotImplementedError -> planar
+        cap fallback / SymmetryError in the tensors layer).
         """
         bb = self.block_backend
         sym = a.symmetry
@@ -583,8 +593,29 @@ class FusionTreeBackend(TensorBackend):
                               symmetry=sym)
         dom = TensorProduct([a._as_domain_leg(i) for i in domain_idcs],
                             symmetry=sym)
+        # NOTE unlike the reference (fusion_tree_backend.py:1791-1806) we do
+        # NOT forbid user levels that place a foreign leg between a pair's two
+        # levels: all crossings are resolved with definite chirality in the
+        # permute step below, so the closure is local and ANY level assignment
+        # is well-defined (this is what makes linked closures -- Hopf links --
+        # computable here, see tests/test_fusion_tree_backend.py).
         perm_data = self.permute_legs(a, codomain_idcs, domain_idcs, levels,
                                       codom, dom)
+        if perm_data is None and levels is None:
+            # canonical auto-levels (see docstring): only linked (interleaved)
+            # loops are chirality-dependent; `pairs` is sorted by first member
+            interleaved = any(p[0] < q[0] < p[1] < q[1]
+                              for pi, p in enumerate(pairs)
+                              for q in pairs[pi + 1:])
+            if not interleaved:
+                auto = [0] * n
+                for pos, r in enumerate(remaining):
+                    auto[r] = pos
+                for k, (i1, i2) in enumerate(pairs):
+                    auto[i1] = n + 2 * k
+                    auto[i2] = n + 2 * k + 1
+                perm_data = self.permute_legs(a, codomain_idcs, domain_idcs,
+                                              auto, codom, dom)
         if perm_data is None:
             raise NotImplementedError('partial_trace: braids require levels')
 

@@ -291,6 +291,46 @@ def test_planar_partial_trace_nested():
         ct.partial_trace(A, (0, 2), (1, 3))
 
 
+def test_partial_trace_auto_levels_wrapping_open_legs():
+    """A traced pair whose loop wraps *open* legs needs braids, but the loop
+    slides off every strand it crosses (Reidemeister II: both crossings share
+    chirality), so the backend synthesizes canonical levels and the result is
+    exact and chirality-invariant. Pin: (a) no-levels == loop-above-all ==
+    loop-below-all explicit levels, (b) tracing the remaining legs afterwards
+    recovers the full trace, (c) interleaved (linked) pairs still refuse."""
+    from cyten_tpu.symmetries import SymmetryError
+
+    for sym in [ct.fibonacci_anyon_category, ct.ising_anyon_category]:
+        be = ct.get_backend(sym, 'numpy')
+        rng = np.random.default_rng(7)
+        V = ct.ElementarySpace.from_defining_sectors(
+            sym, sym.all_sectors(), [2] * len(sym.all_sectors()))
+        A = ct.SymmetricTensor.from_random_normal([V, V], [V, V], backend=be,
+                                                  rng=rng, labels=list('abcd'))
+        # pair (0, 2): the cap crosses the open strand of leg 1
+        auto = ct.partial_trace(A, (0, 2))
+        auto.test_sanity()
+        assert auto.labels == ['b', 'd']
+        over = ct.partial_trace(A, (0, 2), levels=[4, 0, 5, 1])
+        under = ct.partial_trace(A, (0, 2), levels=[0, 4, 1, 5])
+        for other in (over, under):
+            assert ct.norm(auto - other) < 1e-12 * max(ct.norm(auto), 1.)
+        # sequential tracing resolves interleaved loops as UNLINKED (the first
+        # loop slides off before the second closes); must equal the explicit
+        # levels computation with loop (0,2) above everything
+        seq = ct.partial_trace(auto, (0, 1))
+        explicit = ct.partial_trace(A, (0, 2), (1, 3), levels=[4, 0, 5, 1])
+        np.testing.assert_allclose(seq, explicit, atol=1e-12)
+        # the wrapping pair (0,3) crosses open strands 1,2 -> auto levels;
+        # closing the remaining adjacent pair recovers the full quantum trace
+        outer = ct.partial_trace(A, (0, 3))
+        np.testing.assert_allclose(ct.partial_trace(outer, (0, 1)),
+                                   ct.trace(A), atol=1e-12)
+        # linked loops are genuinely chirality-dependent -> still refused
+        with pytest.raises(SymmetryError, match='levels'):
+            ct.partial_trace(A, (0, 2), (1, 3))
+
+
 def test_grouped_plan_apply_equivalence(np_random):
     """The GEMM-ized plan application (stack -> batched transpose -> tree-pair
     coefficient GEMM -> scatter) reproduces the per-entry slice/scale/scatter
