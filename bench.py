@@ -1445,6 +1445,7 @@ def main():
         # production scale (VERDICT r2 #1b); reference: f64 CPU DMRG
         chi_a = int(os.environ.get('BENCH_CHI', '1024'))
         E, E_bf16, dE = accuracy_bf16work(chi=chi_a)
+        import jax as _jax
         result = {
             'metric': f'heis24_bf16work_polished_dE_chi{chi_a}',
             'value': dE,
@@ -1454,6 +1455,10 @@ def main():
             'E_bf16': E_bf16,
             'E_ref_f64_cpu': HEIS24_E_REF,
             'dE_bf16': abs(E_bf16 - HEIS24_E_REF),
+            # bf16 storage rounding dominates dE and is platform-identical
+            # (both CPU and TPU accumulate bf16-input matmuls in f32), so a
+            # CPU-measured dE is faithful; the platform is recorded anyway.
+            'platform': _jax.default_backend(),
         }
         _RESULT.update(result)
         try:  # persist for the default capture's accuracy_companion field
