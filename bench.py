@@ -144,11 +144,26 @@ def _start_watchdog(margin_s: float = 60.):  # pragma: no cover - timing
 
 def _enable_compilation_cache():
     """Repo-local persistent XLA cache: the driver re-runs bench on the same
-    chip, so compiles warmed by any earlier run are ~free on the next."""
+    chip, so compiles warmed by any earlier run are ~free on the next.
+
+    CPU runs (BENCH_PLATFORM=cpu, e.g. the accuracy scenario) get a separate
+    per-machine cache: XLA:CPU caches AOT machine code keyed only by program,
+    and loading an entry AOT-compiled by a previous session's different host
+    CPU has been observed to SIGSEGV (cpu_aot_loader 'machine type ...
+    doesn't match' warning, then a crash mid-sweep)."""
     import jax
 
+    suffix = ''
+    if os.environ.get('BENCH_PLATFORM') == 'cpu':
+        import hashlib
+        try:
+            with open('/proc/cpuinfo') as f:
+                flags = next((ln for ln in f if ln.startswith('flags')), '')
+        except OSError:
+            flags = ''
+        suffix = '_cpu_' + hashlib.sha1(flags.encode()).hexdigest()[:10]
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             '.jax_cache_bench')
+                             '.jax_cache_bench' + suffix)
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
@@ -1366,6 +1381,16 @@ def main():
                 _RESULT['svd_growth_rank'] = kept
             _gated('svd_growth_dyn_ms', 60, _svd_growth)
 
+            # the contract field vs_baseline is a pure HOST-side numpy
+            # baseline (cannot hang the tunnel) -- measure it before the
+            # remaining device metrics, whose cold compiles have been
+            # observed to hang the tunnel and eat the rest of the budget
+            if os.environ.get('BENCH_VS_BASELINE', '1') != '0':
+                def _vs_np_early():
+                    _RESULT['vs_baseline'] = round(
+                        numpy_run(chi)[0] * (n_lanczos + 2) / t_step, 3)
+                _gated('vs_baseline_note', 90, _vs_np_early)
+
             def _svd_dyn():
                 _RESULT['svd_dynamic_ms'] = round(
                     svd_dynamic_timing(chi, precision) * 1e3, 1)
@@ -1409,10 +1434,12 @@ def main():
             _RESULT['matvec_tflops'] = round(
                 flops / (n_lanczos + 2) / t_matvec / 1e12, 4)
         _gated('matvec_tflops', 60, _matvec)
-        if os.environ.get('BENCH_VS_BASELINE', '1') != '0':
+        if os.environ.get('BENCH_VS_BASELINE', '1') != '0' \
+                and _RESULT.get('vs_baseline') is None:
             def _vs_np():
-                # per-block numpy matvec baseline (single-core host; minutes
-                # at large chi — hence last and gated)
+                # per-block numpy matvec baseline (single-core host); usually
+                # already measured right after svd_growth above -- this is the
+                # retry slot in case that was budget-gated
                 _RESULT['vs_baseline'] = round(
                     numpy_run(chi)[0] * (n_lanczos + 2) / t_step, 3)
             _gated('vs_baseline_note', 90, _vs_np)

@@ -11,7 +11,8 @@ from .models import (
     mpo_from_bond_op, mpo_from_bond_ops, tfi_exact_finite_gs_energy,
 )
 from .models import GoldenChainModel, KitaevChainModel, SpinChainModel
-from .dmrg import DMRGEngine, HEffective, PlanarDMRGEngine, PlanarHEffective
+from .dmrg import (DMRGEngine, FaultError, HEffective, PlanarDMRGEngine,
+                   PlanarHEffective)
 from .dmrg1 import DMRG1SEngine, HEffective1
 from .exp_mpo import ExpMPOEvolution, exp_mpo_from_terms, make_wii
 from .excitations import ExcitationEngine, left_null_space
@@ -29,7 +30,8 @@ __all__ = ['SimpleMPS', 'split_truncate_theta', 'apply_mpo', 'add_mpos',
            'mpo_from_bond_op', 'mpo_from_bond_ops',
            'tfi_exact_finite_gs_energy', 'heisenberg_exact_finite_gs_energy',
            'tfi_exact_infinite_gs_energy',
-           'DMRGEngine', 'HEffective', 'PlanarDMRGEngine', 'PlanarHEffective',
+           'DMRGEngine', 'FaultError', 'HEffective', 'PlanarDMRGEngine',
+           'PlanarHEffective',
            'DMRG1SEngine', 'HEffective1', 'ExcitationEngine', 'left_null_space',
            'ExpMPOEvolution', 'exp_mpo_from_terms', 'make_wii',
            'iDMRGEngine', 'MultiCellIDMRGEngine',

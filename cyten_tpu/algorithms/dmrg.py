@@ -25,7 +25,12 @@ from ..tensors.krylov_based import lanczos
 from ..tensors.sparse import LinearOperator
 from .mps import SimpleMPS, split_truncate_theta
 
-__all__ = ['HEffective', 'DMRGEngine']
+__all__ = ['HEffective', 'DMRGEngine', 'FaultError']
+
+
+class FaultError(RuntimeError):
+    """A sweep produced a non-finite result and rollback was impossible or
+    exhausted (see :meth:`DMRGEngine.run`'s ``checkpoint`` / ``max_faults``)."""
 
 
 _JITTED_MATVEC = {}
@@ -400,6 +405,7 @@ class DMRGEngine:
     # attributes must be safe there.
     env_dtype = None
     dynamic_svd = 'exact'
+    _sweeps_done = 0  # completed sweeps across run() calls (checkpoint steps)
 
     def __init__(self, psi: SimpleMPS, model, chi_max: int = 32, eps: float = 1e-12,
                  lanczos_options: dict = None, pad_chi_multiple: int = None,
@@ -942,19 +948,107 @@ class DMRGEngine:
              tuple(int(m) for m in B.get_leg_co_domain('vL').multiplicities))
             for B in self.psi.Bs)
 
-    def run(self, n_sweeps: int = 10, tol: float = 1e-10, verbose: bool = False
-            ) -> float:
+    def _checkpoint_manager(self, checkpoint):
+        """Normalize run()'s ``checkpoint`` argument to a CheckpointManager."""
+        if checkpoint is None:
+            return None
+        if isinstance(checkpoint, str):
+            from ..tools.checkpoint import CheckpointManager
+            return CheckpointManager(checkpoint)
+        return checkpoint
+
+    def _restore_from(self, mgr, step, verbose=False, rollback=False):
+        """Restore psi (+ counters) from a checkpoint and rebuild derived state
+        (environments, overlap environments); static mode is reset so the
+        saturation detector re-triggers on the restored structures."""
+        payload = mgr.restore(step)
+        self.psi = payload['psi']
+        self.E = payload.get('E')
+        self.trunc_err = payload.get('trunc_err', 0.)
+        self._sweeps_done = int(payload.get('sweep', step))
+        self.static_mode = False
+        L = self.psi.L
+        self.LPs = [None] * L
+        self.RPs = [None] * L
+        self._init_environments()
+        self.OLs = [[None] * L for _ in self.orthogonal_to]
+        self.ORs = [[None] * L for _ in self.orthogonal_to]
+        self._init_overlap_environments()
+        if verbose:
+            print(('rollback to' if rollback else 'resumed from')
+                  + f' checkpoint step {step} (E = {self.E})')
+
+    def run(self, n_sweeps: int = 10, tol: float = 1e-10, verbose: bool = False,
+            checkpoint=None, checkpoint_every: int = 1, resume: bool = True,
+            max_faults: int = 2) -> float:
+        """Sweep to convergence, optionally with fault tolerance.
+
+        With ``checkpoint`` (a :class:`~cyten_tpu.tools.checkpoint.CheckpointManager`
+        or a directory path) the engine becomes restartable and self-healing
+        (the framework-level failure story; the reference has none, SURVEY §5):
+
+        - every ``checkpoint_every`` completed sweeps, ``{psi, E, sweep}`` is
+          saved (rolling, ``max_to_keep`` per the manager); environments are
+          derived state and are rebuilt on restore, not stored;
+        - on entry with ``resume=True``, a fresh engine restores the latest
+          checkpoint in the directory (crash recovery across processes);
+        - after every sweep the energy is health-checked; a non-finite value
+          (bf16 overflow, bad device math, corrupted state) triggers a
+          rollback to the last checkpoint. The first rollback also escalates
+          precision (drops ``env_dtype`` mixed storage); after ``max_faults``
+          rollbacks a :class:`FaultError` propagates.
+        """
+        mgr = self._checkpoint_manager(checkpoint)
+        if mgr is not None and resume and self._sweeps_done == 0:
+            step = mgr.latest_step()
+            if step is not None:
+                self._restore_from(mgr, step, verbose)
+        faults = 0
         E_old = np.inf
         sig_old = None
         for sweep in range(n_sweeps):
             # in static mode, run each half sweep as one lax.scan dispatch per
             # uniform (period-p) bond run; per-bond env casting/sharding hooks
             # (env_dtype, mesh) stay on the per-bond path
-            if (getattr(self, 'static_mode', False)
-                    and self.env_dtype is None and self.mesh is None):
-                E = self.sweep_static_batched()
-            else:
-                E = self.sweep()
+            fault_exc = None
+            try:
+                if (getattr(self, 'static_mode', False)
+                        and self.env_dtype is None and self.mesh is None):
+                    E = self.sweep_static_batched()
+                else:
+                    E = self.sweep()
+            except (np.linalg.LinAlgError, FloatingPointError) as exc:
+                # hard numerical failure (NaN blocks crash host-side eigh/svd
+                # before a non-finite energy ever returns) -> same rollback
+                # path as a non-finite energy
+                fault_exc = exc
+                E = np.nan
+            if not np.isfinite(E):
+                faults += 1
+                if mgr is None or mgr.latest_step() is None \
+                        or faults > max_faults:
+                    raise FaultError(
+                        f'non-finite result after sweep ({fault_exc or E}); '
+                        f'no checkpoint to roll back to' if mgr is None
+                        or mgr.latest_step() is None else
+                        f'non-finite result persisted through {max_faults} '
+                        f'rollbacks') from fault_exc
+                self._restore_from(mgr, mgr.latest_step(), verbose,
+                                   rollback=True)
+                if self.env_dtype is not None:
+                    if verbose:
+                        print('rollback: escalating precision '
+                              '(env_dtype -> None)')
+                    self.env_dtype = None
+                E_old = np.inf
+                sig_old = None
+                continue
+            self._sweeps_done += 1
+            if mgr is not None and self._sweeps_done % checkpoint_every == 0:
+                mgr.save(self._sweeps_done,
+                         {'psi': self.psi, 'E': float(E),
+                          'sweep': self._sweeps_done,
+                          'trunc_err': float(self.trunc_err)})
             if verbose:
                 print(f'sweep {sweep + 1}: E = {E:.12f}, '
                       f'max chi = {self.psi.max_chi()}')
