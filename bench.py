@@ -12,6 +12,7 @@ import functools
 import json
 import os
 import signal
+import sys
 import time
 
 import numpy as np
@@ -1141,13 +1142,30 @@ def accuracy_bf16work(chi=1024, L=24, e_ref=HEIS24_E_REF, n_bf16_sweeps=6):
                      matmul_precision='default',
                      dynamic_svd='adaptive',
                      lanczos_options={'N_max': 10, 'P_tol': 1e-10})
-    for _ in range(n_bf16_sweeps):
+    import jax
+
+    def _n_maps():
+        try:
+            with open('/proc/self/maps') as f:
+                return sum(1 for _ in f)
+        except OSError:
+            return -1
+
+    for sweep_i in range(n_bf16_sweeps):
         # full-bf16: demote the state after each sweep as well (the engine's
         # env_dtype covers LP/RP, the HBM-dominant operands)
         for i in range(len(eng.psi.Bs)):
             eng.psi.Bs[i] = eng.psi.Bs[i].to_dtype(Dtype.bfloat16)
             eng.psi.Ss[i] = eng.psi.Ss[i].to_dtype(Dtype.bfloat16)
         E_b = eng.sweep()
+        # on CPU the eager sweep JIT-compiles thousands of tiny programs;
+        # past vm.max_map_count LLVM dies with 'Cannot allocate memory' and
+        # the process SIGSEGVs (observed 2026-08-22). Dropping the compiled-
+        # program caches each sweep bounds the live module count; recompiles
+        # are cheap relative to the sweep.
+        print(f'accuracy sweep {sweep_i + 1}/{n_bf16_sweeps}: E={E_b:.8f}, '
+              f'maps={_n_maps()}', file=sys.stderr, flush=True)
+        jax.clear_caches()
     # converge-then-polish (DESIGN §10): one f32 full-precision sweep
     eng.env_dtype = None
     eng.matmul_precision = 'float32'
